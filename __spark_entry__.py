@@ -1,38 +1,60 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship star-join query at sf0.001 (smoke).
+queries()      — full catalog from id3c_spark.plans.queries (SURVEY §2).
+oracle_sql()   — DuckDB-equivalent SQL per query (correctness gate).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+
+from id3c_spark.plans.queries import all_oracles, all_queries
+
+
+def _prepare(spark: SparkSession) -> None:
+    """Session settings the catalog depends on, applied defensively in case
+    the driver built its own SparkSession: nanos timestamps read as long
+    (events.parquet is TIMESTAMP(NANOS)), UTC semantics, hstore-style
+    right-biased map concat."""
+    for k, v in {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
+        "spark.sql.adaptive.enabled": "true",
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    _prepare(spark)
+    return all_queries()["revenue_by_nation"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    catalog = all_queries()
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _prepare(spark)
+            return fn(spark, sf_dir)
+        return run
+
+    return {name: wrap(fn) for name, fn in catalog.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent ANSI SQL per query; omitted entries (approximate /
+    non-SQL-expressible operators) get the driver's rows-only check."""
+    return all_oracles()

@@ -1,0 +1,70 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop-format write (full plan
+execution, nothing collected to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from id3c_spark.plans.queries import all_queries
+from id3c_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "acctbal_bins",
+    "latest_order_per_customer",
+    "iso_week_events",
+    "sessionize_events",
+    "merge_upsert_orders",
+    "order_flag_sequence",
+    "exact_dedup_docs",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_docs",
+    "embedding_topk",
+    "ann_lsh_topk",
+    "doc_stats",
+    "doc_fingerprints",
+    "hamming_close_codes",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+    catalog = all_queries()
+
+    # Warm the JVM/codegen once so per-query numbers measure the plans.
+    catalog["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        start = time.perf_counter()
+        catalog[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "catalog_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

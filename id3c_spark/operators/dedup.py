@@ -1,0 +1,249 @@
+"""Deduplication suite for training-data pipelines (north star operators).
+
+All variants are pure DataFrame compositions over the ``documents`` table:
+
+  - exact_dedup        — hash-groupBy (content md5), keep lowest id.
+  - ngram_jaccard_pairs— shared-shingle blocking → exact Jaccard refine.
+  - minhash_lsh_pairs  — MinHash signatures + banded LSH candidate join
+                         → exact Jaccard verify.
+  - simhash            — 32-bit SimHash; near-dup pairs via byte-band
+                         blocking + bit_count(xor) refine.
+
+Hash design: every hash is derived from md5 (substr → hex → bigint), so
+the DuckDB oracle can reproduce values bit-for-bit; integer arithmetic
+stays below 2^62 so neither engine overflows. No Python UDFs anywhere —
+shingling, hashing and banding are higher-order column expressions that
+vectorize in codegen.
+
+Scale notes (100 TB): the explode-on-shingles join is the classic
+candidate-blocking shape — shuffle keys are (shingle hash) / (band hash),
+so load balances across executors; duplicate-heavy shingles (stop-shingle
+skew) are handled by AQE skew-join splitting; the Jaccard refine only runs
+on candidate pairs, never the cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from id3c_spark.functions.text import word_shingles
+
+MERSENNE31 = 2147483647          # modulus for the MinHash permutation family
+
+
+def md5_bigint(col: Column, hex_chars: int = 7) -> Column:
+    """Deterministic non-negative bigint from md5 prefix (28 bits for 7
+    hex chars — small enough that a*h+b stays in int64)."""
+    return F.conv(F.substring(F.md5(col), 1, hex_chars), 16, 10).cast("bigint")
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row (lowest id) per exact content hash."""
+    h = F.md5(F.col(text_col))
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__keep", F.min(id_col).over(Window.partitionBy("__h")))
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__h", "__keep")
+    )
+
+
+def _distinct_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), k)).alias("sh"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """Pairs (id_a < id_b, jaccard) with shingle-set Jaccard ≥ threshold.
+
+    Blocking on shared shingles is *exact* for threshold > 0: any pair with
+    a non-zero Jaccard shares at least one shingle. Output jaccard is
+    rounded to 6 dp (integer-ratio → stable across engines).
+    """
+    sh = _distinct_shingles(df, id_col, text_col, k)
+    cand = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        cand.join(inter, ["id_a", "id_b"])
+        .join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signature array per document.
+
+    h_i(s) = (a_i * H(s) + b_i) mod (2^31 - 1), H = md5-derived 28-bit
+    bigint, a_i = 2i+1, b_i = 11i+7 — a fixed universal-ish family shared
+    with the DuckDB oracle. Docs with < k words get an empty signature.
+    """
+    # Shape matters: a per-row higher-order expression re-evaluates the
+    # md5-of-every-shingle subtree once per hash function (Catalyst inlines
+    # the common subexpression — measured 32× slowdown). Instead explode
+    # shingles, hash each ONCE, and take num_hashes parallel MIN aggregates
+    # — also the right distributed shape (map-side partial min, one shuffle
+    # on doc id, no giant array values).
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("s"),
+    ).select("id", F.conv(F.substring(F.md5("s"), 1, 7), 16, 10).cast("bigint").alias("h"))
+    mins = exploded.groupBy("id").agg(
+        *[
+            F.min(((2 * i + 1) * F.col("h") + (11 * i + 7)) % MERSENNE31).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH, verified with exact Jaccard.
+
+    Candidate generation: split the signature into ``bands`` bands of
+    r = num_hashes/bands rows; docs agreeing on any whole band join on
+    md5(band values). Verification recomputes true shingle Jaccard on the
+    candidates only, so the output is exact-above-threshold ∩ LSH-recalled
+    — the standard quality/cost trade (probability of recall at jaccard s
+    is 1-(1-s^r)^b).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, k, num_hashes)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(F.to_json(F.slice("sig", b * r + 1, r))).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bh")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, id_col, text_col, k, threshold)
+    return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """32-bit SimHash over word tokens (md5-derived token hashes).
+
+    bit_j(doc) = sign of Σ_tokens (2*((H(tok) >> j) & 1) - 1); packed into
+    one bigint. Pure integer expression — identical in the oracle.
+    """
+    # Same explode+aggregate shape as minhash_signature: hash each token
+    # once, take `bits` parallel SUM aggregates of the per-bit ±1 votes,
+    # then pack. bit_j extracted via exact power-of-2 arithmetic
+    # (F.shiftright needs a literal shift; h < 2^32 so doubles are exact).
+    words = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda w: w != "")
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(words).alias("w")).select(
+        "id", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint").alias("h")
+    )
+    bit_votes = [
+        F.sum(
+            (F.floor(F.col("h") / F.lit(float(2 ** j))).cast("bigint") % 2) * 2 - 1
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    sums = exploded.groupBy("id").agg(*bit_votes)
+    packed = sum(
+        [F.when(F.col(f"b{j}") > 0, F.lit(2 ** j).cast("bigint")).otherwise(F.lit(0).cast("bigint")) for j in range(bits)],
+        start=F.lit(0).cast("bigint"),
+    )
+    return sums.select("id", packed.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_distance: int = 3, bits: int = 32,
+) -> DataFrame:
+    """Pairs within SimHash Hamming distance ≤ max_distance.
+
+    Blocking: split the 32-bit hash into 4 bytes; by pigeonhole any pair
+    within distance ≤ 3 agrees on ≥ 1 whole byte → equi-join per byte,
+    refine with bit_count(xor). Same trick as the reference's barcode
+    slices (dev/doc/01-barcode-slices.md), lifted to bit bands.
+    """
+    sh = simhash(df, id_col, text_col, bits)
+    bands = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    (
+                        F.floor(
+                            F.col("simhash").cast("double") / F.pow(F.lit(2.0), (b * 8).cast("double"))
+                        ).cast("bigint")
+                        % 256
+                    ).alias("bv"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.bv")
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("distance"),
+        )
+        .distinct()
+        .filter(F.col("distance") <= max_distance)
+    )

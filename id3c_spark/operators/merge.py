@@ -1,0 +1,205 @@
+"""Generic MERGE/upsert with id3c warehouse-write semantics (SURVEY §2.9).
+
+The reference's write path is row-at-a-time plpgsql/Python:
+*select-for-update → compare → insert / update / skip*, erroring on >1
+match (lib/id3c/db/__init__.py:182-326 ``upsert_sample``,
+lib/id3c/cli/command/etl/__init__.py:66-649 the upsert_* family).
+
+Here the whole batch is ONE distributed plan:
+
+  1. alternate-key match passes (``identifier`` OR ``collection_identifier``
+     — db/__init__.py:232-235) decomposed into sequential equi-joins over
+     the unmatched residue, so each pass is a plain hash join;
+  2. multi-match detection (db/__init__.py:316-318 "more than one match")
+     as a groupBy-count assertion;
+  3. skip-no-op-write change detection (``row(...)::text !=`` idiom,
+     db/__init__.py:213-231) as a null-safe struct comparison — matched
+     rows that did not change are passed through untouched, which matters
+     on Delta/Iceberg for write amplification;
+  4. top-level JSON details merge (``coalesce(details,'{}') || new``);
+  5. unmatched inserts with deterministic surrogate keys.
+
+Scale: both sides shuffle once per match pass on the join key; with Delta/
+Iceberg this plan feeds MERGE INTO directly (file-pruning on match keys).
+The parquet copy-on-write in sources/store.py is the local stand-in.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from id3c_spark.functions.json_ops import json_merge_udf
+
+
+class MultipleMatchError(RuntimeError):
+    """An update row matched more than one existing row — the reference
+    raises the same way rather than guessing (db/__init__.py:316-318)."""
+
+
+@dataclass
+class MergeResult:
+    """Lazy merge outcome: ``df`` is the merged table plan; the component
+    frames let callers compute write-amplification stats on demand without
+    forcing actions during plan construction."""
+
+    df: DataFrame
+    updated_df: DataFrame | None = None
+    inserted_df: DataFrame | None = None
+    unchanged_df: DataFrame | None = None
+
+    def stats(self) -> dict[str, int]:
+        return {
+            "updated": self.updated_df.count() if self.updated_df is not None else 0,
+            "inserted": self.inserted_df.count() if self.inserted_df is not None else 0,
+            "unchanged": self.unchanged_df.count() if self.unchanged_df is not None else 0,
+        }
+
+
+def _null_safe_changed(updates_prefixed: DataFrame, cols: Sequence[str]) -> Column:
+    """True where any compared column differs, null-safely (<=> negated)."""
+    cond = F.lit(False)
+    for c in cols:
+        cond = cond | ~F.col(f"u_{c}").eqNullSafe(F.col(f"t_{c}"))
+    return cond
+
+
+def merge(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[Sequence[str]] | Sequence[str],
+    id_col: str,
+    update_cols: Sequence[str] | None = None,
+    details_col: str | None = "details",
+    error_on_multi: bool = True,
+) -> MergeResult:
+    """Upsert ``updates`` into ``target``; returns the merged DataFrame.
+
+    key_cols: one key, or a list of alternate keys tried in order (rows
+    unmatched by key[0] are retried on key[1], matching upsert_sample's
+    ``identifier OR collection_identifier``).
+    id_col: surrogate key column of target; new rows get
+    xxhash64(first-key columns) — deterministic across runs (SURVEY §7.3
+    item 6 warns off monotonically_increasing_id).
+    update_cols: columns overwritten on match (default: all shared columns
+    except id and details). details_col merged top-level JSON.
+    """
+    alt_keys: list[list[str]] = (
+        [list(k) for k in key_cols]
+        if key_cols and not isinstance(key_cols[0], str)
+        else [list(key_cols)]
+    )
+    if update_cols is None:
+        update_cols = [
+            c for c in updates.columns
+            if c in target.columns and c != id_col and c != details_col
+        ]
+    compare_cols = list(update_cols) + ([details_col] if details_col else [])
+
+    t = target.select(*[F.col(c).alias(f"t_{c}") for c in target.columns])
+    u = updates.select(*[F.col(c).alias(f"u_{c}") for c in updates.columns])
+
+    # --- alternate-key match passes over the shrinking residue -------------
+    matched_parts: list[DataFrame] = []
+    residue = u
+    for keys in alt_keys:
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & F.col(f"u_{k}").eqNullSafe(F.col(f"t_{k}")) & F.col(f"u_{k}").isNotNull()
+        joined = residue.join(t, cond, "inner")
+        matched_parts.append(joined)
+        residue = residue.join(t, cond, "left_anti")
+
+    matched = matched_parts[0]
+    for part in matched_parts[1:]:
+        matched = matched.unionByName(part)
+
+    if error_on_multi:
+        # Eager by design: the reference aborts the transaction on >1 match
+        # rather than writing ambiguous rows (db/__init__.py:316-318).
+        multi = (
+            matched.groupBy(*[F.col(f"u_{k}") for k in sorted(set(sum(alt_keys, [])))])
+            .agg(F.countDistinct(f"t_{id_col}").alias("n"))
+            .filter(F.col("n") > 1)
+        )
+        bad = multi.limit(1).collect()
+        if bad:
+            raise MultipleMatchError(f"update matched multiple rows: {bad[0].asDict()}")
+
+    # --- change detection + column resolution ------------------------------
+    changed = _null_safe_changed(matched, update_cols)
+    if details_col:
+        # null incoming details = "no details in this update" → no-op;
+        # otherwise coalesce(details,'{}') || new (top-level, right-biased).
+        merged_details = F.when(
+            F.col(f"u_{details_col}").isNull(), F.col(f"t_{details_col}")
+        ).otherwise(
+            json_merge_udf(
+                F.coalesce(F.col(f"t_{details_col}"), F.lit("{}")),
+                F.col(f"u_{details_col}"),
+            )
+        )
+        changed = changed | ~merged_details.eqNullSafe(F.col(f"t_{details_col}"))
+    out_cols = []
+    for c in target.columns:
+        if c == id_col:
+            out_cols.append(F.col(f"t_{id_col}").alias(id_col))
+        elif details_col and c == details_col:
+            out_cols.append(merged_details.alias(c))
+        elif c in update_cols:
+            out_cols.append(F.coalesce(F.col(f"u_{c}"), F.col(f"t_{c}")).alias(c))
+        else:
+            out_cols.append(F.col(f"t_{c}").alias(c))
+    updated_rows = matched.filter(changed).select(*out_cols)
+
+    matched_ids = matched.select(F.col(f"t_{id_col}").alias(id_col)).distinct()
+    untouched = target.join(matched_ids, id_col, "left_anti")
+    unchanged_matched = (
+        target.join(matched_ids, id_col, "left_semi")
+        .join(updated_rows.select(id_col), id_col, "left_anti")
+    )
+
+    # --- inserts with deterministic surrogate keys -------------------------
+    # If the surrogate id IS one of the match keys (natural-key tables like
+    # orders), inserts keep the natural key; otherwise new rows get
+    # xxhash64(match keys) — deterministic across runs (SURVEY §7.3 item 6
+    # rules out monotonically_increasing_id).
+    all_keys = sum(alt_keys, [])
+    insert_cols = []
+    for c in target.columns:
+        if c == id_col and c not in updates.columns:
+            insert_cols.append(
+                F.xxhash64(*[F.col(f"u_{k}") for k in all_keys]).alias(id_col)
+            )
+        elif c in updates.columns:
+            insert_cols.append(F.col(f"u_{c}").alias(c))
+        else:
+            insert_cols.append(F.lit(None).cast(dict(target.dtypes)[c]).alias(c))
+    inserts = residue.select(*insert_cols)
+
+    merged = (
+        untouched.unionByName(unchanged_matched)
+        .unionByName(updated_rows)
+        .unionByName(inserts)
+    )
+    return MergeResult(
+        df=merged, updated_df=updated_rows, inserted_df=inserts,
+        unchanged_df=unchanged_matched,
+    )
+
+
+def find_or_create(
+    target: DataFrame,
+    wanted: DataFrame,
+    key_cols: Sequence[str],
+    id_col: str,
+) -> MergeResult:
+    """``find_or_create_*`` parity (etl/__init__.py:33-63): insert missing
+    keys, never update existing rows — a MERGE with whenNotMatched only."""
+    return merge(
+        target, wanted, [list(key_cols)], id_col,
+        update_cols=[], details_col=None, error_on_multi=False,
+    )

@@ -1,0 +1,125 @@
+"""Barcode similarity join + identifier minting (SURVEY §2.3, §2.9).
+
+Reference: candidate barcodes must be Hamming ≥ 3 from every existing
+barcode; a positional-2-gram ("slices") prefilter blocks the O(n²) scan
+(schema/deploy/warehouse/identifier/triggers/barcode-distance-check.sql:35-46,
+design: dev/doc/01-barcode-slices.md). Minting loops insert→check→retry
+(schema/deploy/functions/mint_identifiers.sql:5-55, caller
+lib/id3c/db/__init__.py:36-76) under an exclusive table lock.
+
+Spark shape: the *same blocking algorithm*, as explode → equi-join on the
+slice key → distinct candidate pairs → vectorized Hamming refine. The
+slices prefilter is complete for distance < 3 (see functions.strings.
+barcode_slices), so results equal the brute-force cross join — the oracle
+checks exactly that. Minting becomes a driver loop of set-oriented rounds
+(generate k·n candidates → one blocked join → keep survivors), replacing
+the row-at-a-time lock with single-writer batch semantics.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from id3c_spark.functions.strings import barcode_slices, hamming_distance
+
+
+def _exploded_slices(df: DataFrame, code_col: str, side: str) -> DataFrame:
+    return df.select(
+        F.col(code_col).alias(f"{side}_code"),
+        F.explode(barcode_slices(F.col(code_col))).alias("slice"),
+    )
+
+
+def hamming_close_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    code_col: str = "barcode",
+    max_distance: int = 2,
+) -> DataFrame:
+    """All (l_code, r_code, distance) pairs with Hamming ≤ max_distance.
+
+    Complete for max_distance ≤ 2 with width-2 overlapping slices on
+    8-char codes (pigeonhole: 2 mismatches kill ≤ 4 of 7 slices).
+    Each side scans once; the join shuffles (slice, code) pairs only.
+    """
+    ls = _exploded_slices(left, code_col, "l")
+    rs = _exploded_slices(right, code_col, "r")
+    cand = (
+        ls.join(rs, "slice")
+        .select("l_code", "r_code")
+        .distinct()
+    )
+    return cand.withColumn(
+        "distance", hamming_distance(F.col("l_code"), F.col("r_code"))
+    ).filter(F.col("distance") <= max_distance)
+
+
+def conflicting_candidates(
+    candidates: DataFrame, existing: DataFrame, code_col: str = "barcode", min_distance: int = 3,
+) -> DataFrame:
+    """Candidate codes too close (Hamming < min_distance) to an existing
+    code OR to another candidate — the exact rejection set of the
+    barcode-distance-check trigger."""
+    vs_existing = hamming_close_pairs(candidates, existing, code_col, min_distance - 1)
+    vs_self = hamming_close_pairs(candidates, candidates, code_col, min_distance - 1).filter(
+        F.col("l_code") != F.col("r_code")
+    )
+    return (
+        vs_existing.select(F.col("l_code").alias(code_col))
+        .unionByName(vs_self.select(F.col("l_code").alias(code_col)))
+        .unionByName(vs_self.select(F.col("r_code").alias(code_col)))
+        .distinct()
+    )
+
+
+def mint_identifiers(
+    spark: SparkSession,
+    existing: DataFrame,
+    n: int,
+    identifier_set_id: int,
+    seed: str = "mint",
+    overgen: int = 4,
+    max_rounds: int = 10,
+) -> DataFrame:
+    """Mint n new identifiers whose barcodes keep pairwise Hamming ≥ 3.
+
+    Deterministic given ``seed``: uuid bytes come from md5(seed, round, i).
+    Each round generates overgen·n candidates, rejects conflicts with ONE
+    blocked similarity join, keeps survivors; loops until n minted
+    (mint_identifiers.sql retry-loop parity, instrumented the same way:
+    tries / failures per round).
+    """
+    minted = spark.createDataFrame([], "uuid string, barcode string, identifier_set_id bigint")
+    stats = {"tries": 0, "failures": 0, "rounds": 0}
+    rnd = 0
+    while minted.count() < n and rnd < max_rounds:
+        want = (n - minted.count()) * overgen
+        rows = []
+        for i in range(want):
+            h = hashlib.md5(f"{seed}:{rnd}:{i}".encode()).hexdigest()
+            uuid = f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+            rows.append((uuid, uuid[-8:], identifier_set_id))
+        cands = spark.createDataFrame(rows, "uuid string, barcode string, identifier_set_id bigint").dropDuplicates(["barcode"])
+        pool = existing.select("barcode").unionByName(minted.select("barcode"))
+        bad = conflicting_candidates(cands.select("barcode"), pool)
+        ok = cands.join(bad, "barcode", "left_anti")
+        # self-conflicts within the surviving batch, keep first by barcode order
+        self_bad = hamming_close_pairs(ok.select("barcode"), ok.select("barcode"), max_distance=2).filter(
+            F.col("l_code") < F.col("r_code")
+        )
+        ok = ok.join(self_bad.select(F.col("r_code").alias("barcode")), "barcode", "left_anti")
+        take = ok.orderBy("barcode").limit(n - minted.count())
+        kept = take.count()
+        stats["tries"] += want
+        stats["failures"] += want - kept
+        stats["rounds"] += 1
+        minted = minted.unionByName(take.select("uuid", "barcode", "identifier_set_id"))
+        rnd += 1
+    minted = minted.withColumn("generated", F.current_timestamp())
+    # mint_identifiers.sql:42-46 perf-notice parity
+    import logging
+    logging.getLogger(__name__).info("id3c_minting_performance::%s", stats)
+    return minted

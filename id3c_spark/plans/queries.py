@@ -1,0 +1,809 @@
+"""Query catalog — every SURVEY §2 operator expressed over the driver's
+synthetic tables, each with an equivalent ANSI-SQL oracle for DuckDB.
+
+Determinism contract with the oracle (the driver hash-compares values):
+  - Double aggregations use CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE):
+    decimal sums are exact and order-independent, so both engines produce
+    the identical double regardless of partitioning/parallelism.
+  - Derived similarity scores are rounded (6 dp) BEFORE ranking, with an
+    id tiebreak, so top-k sets cannot flip on last-ulp differences.
+  - All hashing is md5-based (identical in both engines); bigint hash
+    arithmetic stays under 2^62 (no overflow divergence).
+
+Each entry names the SURVEY §2 operator(s) it exercises; reference
+citations live in the operator modules.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from id3c_spark.functions.strings import iso_week_label
+from id3c_spark.functions.text import LANG_MARKERS, TOKEN_REGEX
+from id3c_spark.operators import ann, dedup, merge as merge_op, similarity
+from id3c_spark.operators.range_join import range_containment_join
+from id3c_spark.operators.topk import distinct_on
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def wrap(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return wrap
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # nanosAsLong (session.py) surfaces TIMESTAMP(NANOS) columns as bigint
+    # nanos; convert to microsecond timestamps (identical to DuckDB's
+    # ns→µs truncation) so timestamp semantics line up everywhere.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def dsum(col: Column, alias: str) -> Column:
+    """Order-independent double sum (see module docstring)."""
+    return F.sum(col.cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+DSUM = "CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregation — TPC-H-Q1-style pricing summary
+# ---------------------------------------------------------------------------
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {DSUM.format(expr='l_quantity')} AS sum_qty,
+           {DSUM.format(expr='l_extendedprice')} AS sum_base_price,
+           {DSUM.format(expr='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 star join — shipping-view shape (sample⋈pa⋈target⟕organism analogue)
+# ---------------------------------------------------------------------------
+
+@query(
+    "revenue_by_nation",
+    oracle=f"""
+    SELECT n_name,
+           {DSUM.format(expr='l_extendedprice * (1 - l_discount)')} AS revenue,
+           count(DISTINCT o_orderkey) AS n_orders
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE') AND o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 range-containment join — age-bin parity on customer balances
+# ---------------------------------------------------------------------------
+
+ACCTBAL_BINS = [  # (label, lo, hi) — hi-open, null = unbounded
+    ("negative", None, 0.0),
+    ("low", 0.0, 1000.0),
+    ("mid", 1000.0, 5000.0),
+    ("high", 5000.0, None),
+]
+
+_BINS_VALUES = ", ".join(
+    f"('{lbl}', {('CAST(NULL AS DOUBLE)' if lo is None else lo)}, "
+    f"{('CAST(NULL AS DOUBLE)' if hi is None else hi)})"
+    for lbl, lo, hi in ACCTBAL_BINS
+)
+
+
+@query(
+    "acctbal_bins",
+    oracle=f"""
+    SELECT bins.label AS bin_label, count(*) AS n_customers,
+           {DSUM.format(expr='c_acctbal')} AS sum_acctbal
+    FROM customer
+    LEFT JOIN (VALUES {_BINS_VALUES}) AS bins(label, lo, hi)
+      ON (bins.lo IS NULL OR c_acctbal >= bins.lo)
+     AND (bins.hi IS NULL OR c_acctbal < bins.hi)
+    GROUP BY bins.label
+    """,
+)
+def acctbal_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    bins = spark.createDataFrame(ACCTBAL_BINS, "label string, lo double, hi double")
+    joined = range_containment_join(cust, bins, "c_acctbal", "lo", "hi", how="left")
+    return joined.groupBy(F.col("label").alias("bin_label")).agg(
+        F.count("*").alias("n_customers"),
+        dsum(F.col("c_acctbal"), "sum_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 DISTINCT ON / top-1 per group — primary_encounter_location parity
+# ---------------------------------------------------------------------------
+
+@query(
+    "latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders) WHERE rn = 1
+    """,
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    top = distinct_on(
+        orders, ["o_custkey"], [F.desc("o_orderdate"), F.desc("o_orderkey")]
+    )
+    return top.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# §2.2/§2.8 JSON predicate + extraction — DET filter / lateral decode parity
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_json_decode",
+    oracle=f"""
+    SELECT event_type, count(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           {DSUM.format(expr='value')} AS sum_value
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    GROUP BY event_type
+    """,
+)
+def events_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            dsum(F.col("value"), "sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 anti joins — find-or-create "missing" split / unprocessed filter
+# ---------------------------------------------------------------------------
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@query(
+    "unprocessed_events",
+    oracle="""
+    SELECT event_id, event_type, user_id FROM events e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events p WHERE p.event_id % 10 < 3 AND p.event_id = e.event_id)
+    """,
+)
+def unprocessed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processing_log anti-join parity (§2.10): the 'status table' here is a
+    derived subset standing in for streaming/incremental.py's real one."""
+    ev = t(spark, sf_dir, "events")
+    done = ev.filter(F.col("event_id") % 10 < 3).select("event_id")
+    return (
+        ev.join(done, "event_id", "left_anti")
+        .select("event_id", "event_type", "user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 pattern filter — LIKE ANY parity (redcap_sync.py:164-174)
+# ---------------------------------------------------------------------------
+
+@query(
+    "part_pattern_filter",
+    oracle="""
+    SELECT p_brand, count(*) AS n_parts, max(p_retailprice) AS max_price
+    FROM part
+    WHERE (p_name LIKE '%red%' OR p_name LIKE '%blue%' OR p_name LIKE 'small%')
+    GROUP BY p_brand
+    """,
+)
+def part_pattern_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    pats = F.col("p_name").like("%red%") | F.col("p_name").like("%blue%") | F.col("p_name").like("small%")
+    return (
+        part.filter(pats)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"), F.max("p_retailprice").alias("max_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 VALUES-list lookup join, citext compare — barcode-uses verify parity
+# ---------------------------------------------------------------------------
+
+LOOKUP_NAMES = ["NATION_3", "nation_7", "Nation_12", "NATION_3", "missing_x"]
+
+@query(
+    "nation_lookup_join",
+    oracle="""
+    SELECT q.requested, n_nationkey, n_name
+    FROM (VALUES ('NATION_3'), ('nation_7'), ('Nation_12'), ('NATION_3'), ('missing_x'))
+         AS q(requested)
+    LEFT JOIN nation ON lower(q.requested) = lower(n_name)
+    """,
+)
+def nation_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = t(spark, sf_dir, "nation")
+    req = spark.createDataFrame([(x,) for x in LOOKUP_NAMES], "requested string")
+    return req.join(
+        F.broadcast(nation), F.lower(req.requested) == F.lower(nation.n_name), "left"
+    ).select("requested", "n_nationkey", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# §2.8 ISO week label — to_char(IYYY-"W"IW) parity
+# ---------------------------------------------------------------------------
+
+@query(
+    "iso_week_events",
+    oracle=f"""
+    SELECT isoyear(ts)::VARCHAR || '-W' || lpad(weekofyear(ts)::VARCHAR, 2, '0') AS iso_week,
+           count(*) AS n, {DSUM.format(expr='value')} AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def iso_week_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(iso_week_label(F.col("ts")).alias("iso_week"))
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), "sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 order-preserving array_distinct — functions/array_distinct.sql parity
+# ---------------------------------------------------------------------------
+
+@query(
+    "order_flag_sequence",
+    oracle="""
+    WITH r AS (
+      SELECT l_orderkey, l_returnflag, l_linenumber,
+             row_number() OVER (PARTITION BY l_orderkey, l_returnflag
+                                ORDER BY l_linenumber, l_returnflag) AS rn
+      FROM lineitem)
+    SELECT l_orderkey AS o_orderkey,
+           string_agg(l_returnflag, '-' ORDER BY l_linenumber, l_returnflag) AS flag_seq
+    FROM r WHERE rn = 1 GROUP BY l_orderkey
+    """,
+)
+def order_flag_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("l_linenumber", "l_returnflag"))),
+        lambda s: s["l_returnflag"],
+    )
+    return (
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.array_join(F.array_distinct(ordered), "-").alias("flag_seq"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set ops — EXCEPT parity
+# ---------------------------------------------------------------------------
+
+@query(
+    "building_except_bigspenders",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+    """,
+)
+def building_except_bigspenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = orders.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.subtract(b)
+
+
+# ---------------------------------------------------------------------------
+# §2.8 ltree lineage match — dot-path prefix predicate
+# ---------------------------------------------------------------------------
+
+@query(
+    "lineage_prefix_match",
+    oracle="""
+    SELECT r_name || '.' || n_name AS lineage, n_nationkey
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE (r_name || '.' || n_name) LIKE 'ASIA.%'
+    """,
+)
+def lineage_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    lineage = F.concat_ws(".", "r_name", "n_name")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(lineage.alias("lineage"), "n_nationkey")
+        .filter(F.col("lineage").startswith("ASIA."))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 stats — count_if / manual deterministic mode / median (minting stats)
+# ---------------------------------------------------------------------------
+
+@query(
+    "event_stats",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, user_id % 50 AS bucket, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT event_type, bucket,
+             row_number() OVER (PARTITION BY event_type ORDER BY n DESC, bucket) AS rn
+      FROM b)
+    SELECT e.event_type, count(*) AS n,
+           count(*) FILTER (WHERE value > 50) AS n_high,
+           round(median(value), 6) AS med,
+           max(m.bucket) AS mode_bucket
+    FROM events e JOIN m ON m.event_type = e.event_type AND m.rn = 1
+    GROUP BY e.event_type
+    """,
+)
+def event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    buckets = ev.groupBy("event_type", (F.col("user_id") % 50).alias("bucket")).agg(
+        F.count("*").alias("bn")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("bn"), F.asc("bucket"))
+    modes = (
+        buckets.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("bucket").alias("mode_bucket"))
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("value") > 50).alias("n_high"),
+        F.round(F.median("value"), 6).alias("med"),
+    )
+    return stats.join(F.broadcast(modes), "event_type")
+
+
+# ---------------------------------------------------------------------------
+# beyond-reference: sessionization (lag + gap cumsum)
+# ---------------------------------------------------------------------------
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN date_diff('second',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events)
+    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull() | ((F.col("ts").cast("long") - prev.cast("long")) > 1800), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 MERGE/upsert as a query — upsert_sample-family semantics
+# ---------------------------------------------------------------------------
+
+@query(
+    "merge_upsert_orders",
+    oracle=f"""
+    WITH upd AS (
+      SELECT l_orderkey AS o_orderkey,
+             {DSUM.format(expr='l_extendedprice')} AS new_price
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+      UNION ALL
+      SELECT o_orderkey + 10000000, round(o_totalprice * 2, 2)
+      FROM orders WHERE o_custkey < 10)
+    SELECT coalesce(o.o_orderkey, u.o_orderkey) AS o_orderkey,
+           o.o_custkey AS o_custkey,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.new_price
+                ELSE o.o_totalprice END AS o_totalprice,
+           o.o_orderstatus AS o_orderstatus
+    FROM orders o FULL OUTER JOIN upd u ON o.o_orderkey = u.o_orderkey
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.9 write path as a pure plan: updates (corrected totals) +
+    inserts (synthetic new orders) merged into orders via operators.merge."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    li = t(spark, sf_dir, "lineitem")
+    corrections = (
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            dsum(F.col("l_extendedprice"), "o_totalprice"),
+            F.sum("l_quantity").alias("qty"),
+        )
+        .filter(F.col("qty") > 150)
+        .drop("qty")
+    )
+    new_orders = orders.filter(F.col("o_custkey") < 10).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        F.round(F.col("o_totalprice") * 2, 2).alias("o_totalprice"),
+    )
+    updates = corrections.unionByName(new_orders)
+    result = merge_op.merge(
+        orders, updates, ["o_orderkey"], id_col="o_orderkey",
+        update_cols=["o_totalprice"], details_col=None, error_on_multi=False,
+    )
+    return result.df
+
+
+# ---------------------------------------------------------------------------
+# dedup: exact (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+@query(
+    "exact_dedup_docs",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup: n-gram Jaccard + MinHash-LSH + SimHash (shared oracle CTEs)
+# ---------------------------------------------------------------------------
+
+_WORDS_CTE = """
+    w AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> x != '') AS ws
+      FROM documents)
+"""
+
+_SHINGLES_CTE = _WORDS_CTE + """,
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(ws) >= 3
+               THEN list_transform(range(1, len(ws) - 1),
+                                   i -> array_to_string(ws[i:i+2], ' '))
+               ELSE []::VARCHAR[] END) AS s
+      FROM w),
+    ds AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+      FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jac AS (
+      SELECT id_a, id_b,
+             round(ni::DOUBLE / (na.n + nb.n - ni), 6) AS jaccard
+      FROM inter
+      JOIN sizes na ON na.doc_id = id_a
+      JOIN sizes nb ON nb.doc_id = id_b)
+"""
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}
+    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.4
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.4)
+
+
+_MINHASH_SIG_SQL = (
+    "list_transform(range(0, 32), i -> list_min(list_transform(shh, "
+    "h -> ((2*i + 1) * h + (11*i + 7)) % 2147483647)))"
+)
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    shl AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+               THEN list_transform(range(1, len(ws) - 1),
+                                   i -> array_to_string(ws[i:i+2], ' '))
+               ELSE []::VARCHAR[] END AS shingles
+      FROM w),
+    sigs AS (
+      SELECT doc_id, {_MINHASH_SIG_SQL} AS sig
+      FROM (SELECT doc_id,
+                   list_transform(shingles,
+                     s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS shh
+            FROM shl WHERE len(shingles) > 0)),
+    bands AS (
+      SELECT doc_id, b,
+             md5(array_to_string(sig[b*4+1 : b*4+4], '-')) AS bh
+      FROM sigs, unnest(range(0, 8)) AS u(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
+    SELECT c.id_a, c.id_b, j.jaccard
+    FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+    WHERE j.jaccard >= 0.4
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=32, bands=8, threshold=0.4
+    )
+
+
+@query(
+    "simhash_docs",
+    oracle=f"""
+    WITH {_WORDS_CTE},
+    th AS (
+      SELECT doc_id,
+             list_transform(ws, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+      FROM w),
+    bs AS (
+      SELECT doc_id,
+             list_transform(range(0, 32),
+               j -> list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1))) AS sums
+      FROM th)
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 32),
+             j -> CASE WHEN sums[j+1] > 0 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)
+             AS simhash
+    FROM bs
+    """,
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text").withColumnsRenamed({"id": "doc_id"})
+
+
+@query("simhash_pairs")  # rows-only: pair set checked vs brute force in tests
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_distance=3)
+
+
+# ---------------------------------------------------------------------------
+# similarity search: exact brute-force top-k + LSH-bucketed ANN
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(
+               list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i])))),
+               6) AS sim
+      FROM v a CROSS JOIN v b WHERE a.vec_id != b.vec_id),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM p)
+    SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 3
+    """,
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return ann.cosine_topk(emb, emb, k=3)
+
+
+@query("ann_lsh_topk")  # rows-only: approximate; recall vs exact in tests
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return ann.lsh_bucketed_topk(emb, emb, dim=64, k=3, planes=16, bands=8)
+
+
+# ---------------------------------------------------------------------------
+# text analysis: language-ID, quality, token counts, fingerprints
+# ---------------------------------------------------------------------------
+
+def _marker_sql(words: list[str]) -> str:
+    return (
+        "len(regexp_extract_all(text, '(?i)\\b(" + "|".join(words) + ")\\b'))"
+    )
+
+_LANG_CASE = "CASE "
+for _lang in sorted(LANG_MARKERS):
+    _LANG_CASE += (
+        f"WHEN {_marker_sql(LANG_MARKERS[_lang])} = best AND best > 0 THEN '{_lang}' "
+    )
+_LANG_CASE += "ELSE 'und' END"
+
+@query(
+    "doc_stats",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, text,
+             greatest({', '.join(_marker_sql(LANG_MARKERS[l]) for l in sorted(LANG_MARKERS))}) AS best
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_tokens,
+           {_LANG_CASE} AS lang_guess,
+           round((least(length(text)::DOUBLE / 1000.0, 1.0)
+                  + (CASE WHEN length(text) > 0
+                     THEN len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / length(text)
+                     ELSE 0.0 END)
+                  + least({_marker_sql(LANG_MARKERS['en'])}::DOUBLE / 10.0, 1.0)) / 3.0,
+                 6) AS quality
+    FROM m
+    """,
+)
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from id3c_spark.functions.text import language_id, quality_score, token_count
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        language_id(F.col("text")).alias("lang_guess"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+    WITH {_WORDS_CTE}
+    SELECT doc_id,
+           coalesce(
+             list_min(list_transform(
+               CASE WHEN len(ws) >= 5
+                 THEN list_transform(range(1, len(ws) - 3),
+                                     i -> array_to_string(ws[i:i+4], ' '))
+                 ELSE []::VARCHAR[] END,
+               x -> md5(x))),
+             md5(text)) AS fingerprint
+    FROM w
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from id3c_spark.functions.text import doc_fingerprint
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text"), 5).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# §2.3 barcode similarity join — slices blocking vs brute-force oracle
+# ---------------------------------------------------------------------------
+
+_HAMMING8_SQL = " + ".join(
+    f"(CASE WHEN substr(l.code, {i}, 1) = substr(r.code, {i}, 1) THEN 0 ELSE 1 END)"
+    for i in range(1, 9)
+)
+
+@query(
+    "hamming_close_codes",
+    oracle=f"""
+    WITH l AS (SELECT DISTINCT translate(substr(md5(s_name), 1, 8),
+                     '0123456789abcdef', 'aabbccddaabbccdd') AS code FROM supplier),
+         r AS (SELECT DISTINCT translate(substr(md5(p_name), 1, 8),
+                     '0123456789abcdef', 'aabbccddaabbccdd') AS code FROM part)
+    SELECT * FROM (
+      SELECT l.code AS l_code, r.code AS r_code, {_HAMMING8_SQL} AS distance
+      FROM l CROSS JOIN r)
+    WHERE distance <= 2
+    """,
+)
+def hamming_close_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The slices-blocked similarity join (barcode-distance-check parity):
+    Spark runs the optimized explode+equi-join plan; the oracle brute-forces
+    the cross join — results must be identical (blocking is complete)."""
+    code = lambda c: F.translate(
+        F.substring(F.md5(c), 1, 8), "0123456789abcdef", "aabbccddaabbccdd"
+    )
+    sup = t(spark, sf_dir, "supplier").select(code(F.col("s_name")).alias("code")).distinct()
+    part = t(spark, sf_dir, "part").select(code(F.col("p_name")).alias("code")).distinct()
+    return similarity.hamming_close_pairs(sup, part, "code", max_distance=2)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(ORACLES)

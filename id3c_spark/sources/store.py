@@ -1,0 +1,69 @@
+"""Copy-on-write parquet table store.
+
+Local stand-in for a transactional table format: Delta/Iceberg jars are
+not in this image (see pyspark guide), so writes go to a new versioned
+directory and a ``_CURRENT`` pointer file flips atomically — readers never
+see a partial write, and failed jobs leave the previous version intact
+(the reference's "commit nothing on hard error" transaction guarantee,
+SURVEY §7.3 item 5, via shadow-write-then-publish).
+
+On a real cluster, swap ParquetTable for Delta and operators/merge.py
+feeds MERGE INTO unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ParquetTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "_CURRENT")
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._pointer) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def exists(self) -> bool:
+        return self.current_version() is not None
+
+    def read(self) -> DataFrame:
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no published version at {self.path}")
+        return self.spark.read.parquet(os.path.join(self.path, f"v{v}"))
+
+    def publish(self, df: DataFrame) -> int:
+        """Write a new version, then flip the pointer (atomic rename)."""
+        v = (self.current_version() or 0) + 1
+        out = os.path.join(self.path, f"v{v}")
+        df.write.mode("overwrite").parquet(out)
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._pointer)
+        self._vacuum(keep=2)
+        return v
+
+    def append(self, df: DataFrame) -> int:
+        if self.exists():
+            return self.publish(self.read().unionByName(df))
+        return self.publish(df)
+
+    def _vacuum(self, keep: int) -> None:
+        v = self.current_version() or 0
+        for name in os.listdir(self.path):
+            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) <= v - keep:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)

@@ -1,0 +1,111 @@
+"""Dedup, similarity-join, minting, and ANN operator tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from id3c_spark.operators import ann, dedup, similarity
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup of 1
+    (3, "completely different text about spark query engines and distributed joins"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank today"),    # exact dup of 1
+    (5, "another unrelated document mentioning embeddings vectors and cosine math"),
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = dedup.exact_dedup(docs_df(spark), "text", "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2, 3, 5]
+
+
+def test_ngram_jaccard_finds_near_dups(spark):
+    pairs = dedup.ngram_jaccard_pairs(docs_df(spark), "doc_id", "text", k=3, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got      # near-dup
+    assert (1, 4) in got      # exact dup → jaccard 1.0
+    assert (2, 4) in got
+    assert all(a in (1, 2, 4) and b in (1, 2, 4) for a, b in got)
+
+
+def test_minhash_lsh_recalls_exact_dups(spark):
+    pairs = dedup.minhash_lsh_pairs(
+        docs_df(spark), "doc_id", "text", k=3, num_hashes=32, bands=8, threshold=0.5
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 4) in got          # identical docs always collide in every band
+    jac = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert jac[(1, 4)] == 1.0
+
+
+def test_simhash_near_dup_distance(spark):
+    sh = {r.id: r.simhash for r in dedup.simhash(docs_df(spark), "doc_id", "text").collect()}
+    assert sh[1] == sh[4]  # identical text → identical simhash
+    ham = bin(sh[1] ^ sh[2]).count("1")
+    far = bin(sh[1] ^ sh[3]).count("1")
+    assert ham < far  # near-dup closer than unrelated doc
+    assert all(0 <= v < 2 ** 32 for v in sh.values())
+
+
+def test_simhash_pairs_vs_bruteforce(spark):
+    df = docs_df(spark)
+    pairs = dedup.simhash_pairs(df, "doc_id", "text", max_distance=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    sh = {r.id: r.simhash for r in dedup.simhash(df, "doc_id", "text").collect()}
+    brute = {
+        (a, b)
+        for a in sh for b in sh
+        if a < b and bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    assert got == brute  # byte-band blocking is complete for distance ≤ 3
+
+
+def test_hamming_close_pairs_complete(spark):
+    codes = ["aaaaaaaa", "aaaaaaab", "aaaaabbb", "bbbbbbbb", "aabbaabb"]
+    df = spark.createDataFrame([(c,) for c in codes], "barcode string")
+    pairs = similarity.hamming_close_pairs(df, df, "barcode", max_distance=2)
+    got = {(r.l_code, r.r_code) for r in pairs.collect() if r.l_code < r.r_code}
+    brute = {
+        (a, b)
+        for a in codes for b in codes
+        if a < b and sum(x != y for x, y in zip(a, b)) <= 2
+    }
+    assert got == brute
+
+
+def test_minting(spark):
+    existing = spark.createDataFrame([("deadbeef",), ("cafef00d",)], "barcode string")
+    minted = similarity.mint_identifiers(spark, existing, n=15, identifier_set_id=1, seed="t")
+    rows = minted.collect()
+    assert len(rows) == 15
+    barcodes = [r.barcode for r in rows]
+    assert len(set(barcodes)) == 15
+    for r in rows:
+        assert r.uuid.replace("-", "")[-8:] == r.barcode  # barcode = uuid suffix
+    # invariant: pairwise Hamming ≥ 3 within minted ∪ existing
+    pool = barcodes + ["deadbeef", "cafef00d"]
+    for i, a in enumerate(pool):
+        for b in pool[i + 1:]:
+            assert sum(x != y for x, y in zip(a, b)) >= 3, (a, b)
+
+
+def test_minting_deterministic(spark):
+    existing = spark.createDataFrame([("00000000",)], "barcode string")
+    a = sorted(r.barcode for r in similarity.mint_identifiers(spark, existing, 5, 1, seed="x").collect())
+    b = sorted(r.barcode for r in similarity.mint_identifiers(spark, existing, 5, 1, seed="x").collect())
+    assert a == b
+
+
+def test_ann_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    exact = ann.cosine_topk(emb, emb, k=3)
+    approx = ann.lsh_bucketed_topk(emb, emb, dim=64, k=3, planes=16, bands=8)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall > 0.5, recall  # banded LSH recall on clustered embeddings

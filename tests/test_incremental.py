@@ -1,0 +1,50 @@
+"""Incremental processing-log semantics (SURVEY §2.10)."""
+
+from __future__ import annotations
+
+from id3c_spark.sources.store import ParquetTable
+from id3c_spark.streaming.incremental import run_incremental
+
+
+def test_incremental_idempotent(spark, tmp_path):
+    receiving = spark.createDataFrame(
+        [(i, f'{{"n": {i}}}') for i in range(10)], "id long, document string"
+    )
+    status = ParquetTable(spark, str(tmp_path / "status"))
+    seen_batches = []
+
+    def transform(batch):
+        seen_batches.append(batch.count())
+
+    # first run processes everything
+    s1 = run_incremental(spark, receiving, status, "enrollment", "etl1", 1, transform)
+    assert s1.processed == 10
+    # second run: nothing new
+    s2 = run_incremental(spark, receiving, status, "enrollment", "etl1", 1, transform)
+    assert s2.processed == 0
+    # revision bump → full reprocess (backfill parity)
+    s3 = run_incremental(spark, receiving, status, "enrollment", "etl1", 2, transform)
+    assert s3.processed == 10
+    # a different etl name has its own offsets
+    s4 = run_incremental(spark, receiving, status, "enrollment", "etl2", 1, transform)
+    assert s4.processed == 10
+    assert seen_batches == [10, 10, 10]
+
+
+def test_new_rows_only(spark, tmp_path):
+    status = ParquetTable(spark, str(tmp_path / "status"))
+    r1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, document string")
+    run_incremental(spark, r1, status, "manifest", "etl", 1, lambda b: None)
+    r2 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, document string")
+    s = run_incremental(spark, r2, status, "manifest", "etl", 1, lambda b: None)
+    assert s.processed == 1
+
+
+def test_store_atomic_publish(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    assert not t.exists()
+    t.publish(spark.createDataFrame([(1,)], "x long"))
+    assert t.read().count() == 1
+    t.append(spark.createDataFrame([(2,)], "x long"))
+    assert t.read().count() == 2
+    assert t.current_version() == 2

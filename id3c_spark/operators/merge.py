@@ -60,10 +60,14 @@ class MergeResult:
 
 
 def _null_safe_changed(updates_prefixed: DataFrame, cols: Sequence[str]) -> Column:
-    """True where any compared column differs, null-safely (<=> negated)."""
+    """True where any column's RESOLVED value (null update = keep target,
+    mirroring the coalesce in the output projection) differs from the
+    target's — the skip-no-op-write discipline of db/__init__.py:213-231
+    that keeps Delta/parquet file churn down."""
     cond = F.lit(False)
     for c in cols:
-        cond = cond | ~F.col(f"u_{c}").eqNullSafe(F.col(f"t_{c}"))
+        resolved = F.coalesce(F.col(f"u_{c}"), F.col(f"t_{c}"))
+        cond = cond | ~resolved.eqNullSafe(F.col(f"t_{c}"))
     return cond
 
 
@@ -75,6 +79,7 @@ def merge(
     update_cols: Sequence[str] | None = None,
     details_col: str | None = "details",
     error_on_multi: bool = True,
+    update_keys: bool = True,
 ) -> MergeResult:
     """Upsert ``updates`` into ``target``; returns the merged DataFrame.
 
@@ -92,11 +97,30 @@ def merge(
         if key_cols and not isinstance(key_cols[0], str)
         else [list(key_cols)]
     )
+    # A batch may carry only a subset of the table's columns (e.g. the
+    # presence-absence ETL updates samples by identifier only, while the
+    # manifest ETL carries both identifier and collection_identifier —
+    # reference upserts pass explicit column lists per call site). Key
+    # passes and update columns are restricted to what the batch has.
+    alt_keys = [k for k in alt_keys if all(c in updates.columns for c in k)]
+    if not alt_keys:
+        raise ValueError("updates carry none of the match keys")
     if update_cols is None:
         update_cols = [
             c for c in updates.columns
             if c in target.columns and c != id_col and c != details_col
         ]
+    update_cols = [c for c in update_cols if c in updates.columns]
+    if update_keys:
+        # upsert_sample's update_identifiers semantics (db/__init__.py:
+        # 182-326): a row matched via one alternate key takes the update's
+        # value for the OTHER key columns too (null update values keep the
+        # target's — coalesce below). find_or_create passes update_keys=False.
+        for c in dict.fromkeys(sum(alt_keys, [])):
+            if c in updates.columns and c != id_col and c not in update_cols:
+                update_cols.append(c)
+    if details_col and details_col not in updates.columns:
+        details_col = None
     compare_cols = list(update_cols) + ([details_col] if details_col else [])
 
     t = target.select(*[F.col(c).alias(f"t_{c}") for c in target.columns])
@@ -118,10 +142,28 @@ def merge(
         matched = matched.unionByName(part)
 
     if error_on_multi:
-        # Eager by design: the reference aborts the transaction on >1 match
-        # rather than writing ambiguous rows (db/__init__.py:316-318).
+        # Eager by design: the reference aborts on >1 match rather than
+        # writing ambiguous rows (db/__init__.py:316-318). Checked across
+        # ALL alternate keys against the FULL update set — an update whose
+        # identifier matches row A while its collection_identifier matches
+        # row B is ambiguous even though the residue-based passes above
+        # would only ever apply it to A.
+        all_key_cols = sorted(set(sum(alt_keys, [])))
+        check_parts = []
+        for keys in alt_keys:
+            cond = F.lit(True)
+            for k in keys:
+                cond = cond & F.col(f"u_{k}").eqNullSafe(F.col(f"t_{k}")) & F.col(f"u_{k}").isNotNull()
+            check_parts.append(
+                u.join(t, cond, "inner").select(
+                    *[F.col(f"u_{k}") for k in all_key_cols], F.col(f"t_{id_col}")
+                )
+            )
+        check = check_parts[0]
+        for part in check_parts[1:]:
+            check = check.unionByName(part)
         multi = (
-            matched.groupBy(*[F.col(f"u_{k}") for k in sorted(set(sum(alt_keys, [])))])
+            check.groupBy(*[f"u_{k}" for k in all_key_cols])
             .agg(F.countDistinct(f"t_{id_col}").alias("n"))
             .filter(F.col("n") > 1)
         )
@@ -201,5 +243,5 @@ def find_or_create(
     keys, never update existing rows — a MERGE with whenNotMatched only."""
     return merge(
         target, wanted, [list(key_cols)], id_col,
-        update_cols=[], details_col=None, error_on_multi=False,
+        update_cols=[], details_col=None, error_on_multi=False, update_keys=False,
     )

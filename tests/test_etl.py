@@ -1,0 +1,180 @@
+"""End-to-end domain ETL tests: receiving documents → warehouse MERGEs →
+shipping views, with a DuckDB oracle on the view stack.
+
+Pipeline order mirrors production: enrollment (skeletal collection
+samples) → manifest (links sample↔collection barcodes via OR-key MERGE) →
+presence-absence (results by sample identifier)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from id3c_spark.etl import enrollments, manifest, presence_absence
+from id3c_spark.etl.warehouse import Warehouse
+from id3c_spark.plans import shipping
+from tests import fixtures
+
+
+@pytest.fixture()
+def warehouse(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "warehouse"))
+
+
+@pytest.fixture()
+def identifiers(spark):
+    return spark.createDataFrame(
+        fixtures.identifier_rows(), "uuid string, barcode string, identifier_set_id long"
+    )
+
+
+def receiving_df(spark, rows):
+    return spark.createDataFrame(rows, "id long, document string").withColumn(
+        "received", F.current_timestamp()
+    )
+
+
+def run_pipeline(spark, warehouse, identifiers):
+    s1 = enrollments.run(spark, receiving_df(spark, fixtures.enrollment_documents()),
+                         warehouse, identifiers)
+    s2 = manifest.run(spark, receiving_df(spark, fixtures.manifest_documents()),
+                      warehouse, identifiers)
+    s3 = presence_absence.run(spark, receiving_df(spark, fixtures.pa_documents()),
+                              warehouse, identifiers)
+    return s1, s2, s3
+
+
+def test_enrollment_etl(spark, warehouse, identifiers):
+    stats = enrollments.run(
+        spark, receiving_df(spark, fixtures.enrollment_documents()), warehouse, identifiers
+    )
+    assert stats["enrollments"] == 2               # unknown version skipped
+
+    ind = {r.identifier: r.sex for r in warehouse.read("individual").collect()}
+    assert ind == {"indiv-1": "female", "indiv-2": "male"}
+
+    enc = {r.identifier: r for r in warehouse.read("encounter").collect()}
+    assert enc["enc-1"].age_months == 414           # floor(34.5 * 12)
+    assert enc["enc-2"].age_months == 1080          # ninetyOrAbove cap
+    assert {r.identifier for r in warehouse.read("site").collect()} == {"hmc", "uw-club"}
+
+    samples = {r.collection_identifier for r in warehouse.read("sample").collect()}
+    # codes resolved to collection uuids; unknown type + unknown barcode skipped
+    assert samples == {
+        fixtures.COLLECTION_BARCODES["aabbccdd"],
+        fixtures.COLLECTION_BARCODES["bbccddee"],
+    }
+
+
+def test_manifest_links_sample_to_collection(spark, warehouse, identifiers):
+    enrollments.run(spark, receiving_df(spark, fixtures.enrollment_documents()),
+                    warehouse, identifiers)
+    stats = manifest.run(spark, receiving_df(spark, fixtures.manifest_documents()),
+                         warehouse, identifiers)
+    assert stats["unknown_barcodes"] == 1
+
+    rows = {r.collection_identifier: r for r in warehouse.read("sample").collect()}
+    linked = rows[fixtures.COLLECTION_BARCODES["aabbccdd"]]
+    # OR-key MERGE fused the skeletal enrollment row with the manifest row
+    assert linked.identifier == fixtures.SAMPLE_BARCODES["11112222"]
+    assert str(linked.collected) == "2020-03-15"     # M/d/yyyy parsed
+    assert linked.encounter_id is not None           # enrollment link survived
+    assert len(rows) == 2                             # no duplicate rows created
+
+
+def test_presence_absence_etl(spark, warehouse, identifiers):
+    _, _, stats = run_pipeline(spark, warehouse, identifiers)
+    assert stats["unknown_barcodes"] == 1          # UNKNOWN1
+
+    targets = {r.identifier: r.control for r in warehouse.read("target").collect()}
+    assert targets == {
+        "Flu_A_pan": False, "RSV": False, "PhiX_Control": True, "Flu_B_pan": False,
+    }
+
+    pa = warehouse.read("presence_absence")
+    joined = {
+        (r.sample_identifier, r.target): r.present
+        for r in pa.join(
+            warehouse.read("target").select("target_id", F.col("identifier").alias("target")),
+            "target_id",
+        )
+        .join(
+            warehouse.read("sample").select(
+                "sample_id", F.col("identifier").alias("sample_identifier")),
+            "sample_id",
+        )
+        .collect()
+    }
+    u1 = fixtures.SAMPLE_BARCODES["11112222"]
+    u2 = fixtures.SAMPLE_BARCODES["33334444"]
+    assert joined[(u1, "Flu_A_pan")] is False      # re-test correction flipped it
+    assert joined[(u1, "RSV")] is False
+    assert joined[(u1, "PhiX_Control")] is True
+    assert joined[(u1, "Flu_B_pan")] is None       # Indeterminate → null
+    assert joined[(u2, "Flu_A_pan")] is False      # Negative
+    assert "Adeno" not in {t for _, t in joined}   # Fail skipped
+
+    # results attached to the SAME fused sample rows the manifest linked
+    assert warehouse.read("sample").count() == 2
+
+    # idempotence: re-running the same batch changes nothing
+    before = sorted(map(str, warehouse.read("presence_absence").collect()))
+    presence_absence.run(spark, receiving_df(spark, fixtures.pa_documents()),
+                         warehouse, identifiers)
+    after = sorted(map(str, warehouse.read("presence_absence").collect()))
+    assert before == after
+
+
+def test_shipping_views_vs_oracle(spark, warehouse, identifiers, tmp_path):
+    """Full pipeline + view stack, Spark vs DuckDB on the same warehouse
+    parquet, oracle SQL shaped like the reference views (views.sql:17-28)."""
+    run_pipeline(spark, warehouse, identifiers)
+
+    frames = {n: warehouse.read(n) for n in ("sample", "presence_absence", "target",
+                                             "encounter", "individual", "site")}
+    shipping.create_views(spark, frames)
+
+    out = str(tmp_path / "wh_parquet")
+    for n, df in frames.items():
+        df.write.mode("overwrite").parquet(f"{out}/{n}")
+    con = duckdb.connect()
+    for n in frames:
+        con.sql(f"CREATE VIEW {n} AS SELECT * FROM '{out}/{n}/*.parquet'")
+
+    spark_pa = {
+        tuple(r) for r in spark.sql(
+            "SELECT sample, target, present FROM presence_absence_result_v1"
+        ).collect()
+    }
+    duck_pa = {
+        tuple(r) for r in con.sql("""
+            SELECT coalesce(s.identifier, s.collection_identifier) AS sample,
+                   t.identifier AS target, pa.present
+            FROM sample s
+            JOIN presence_absence pa USING (sample_id)
+            JOIN target t USING (target_id)
+            WHERE NOT t.control
+        """).fetchall()
+    }
+    assert spark_pa == duck_pa
+    assert len(spark_pa) == 4                      # 3 for sample 1 + 1 for sample 2
+
+    obs = {r.encounter: r for r in spark.sql(
+        "SELECT encounter, encountered_week, age_range_fine, age_range_coarse, sex, sample "
+        "FROM incidence_model_observation_v2"
+    ).collect()}
+    assert obs["enc-1"].encountered_week == "2020-W01"   # 2019-12-30 → ISO 2020
+    assert obs["enc-1"].age_range_fine == "[360,480)"    # 414 months
+    assert obs["enc-2"].age_range_fine == "[1080,)"      # 90y cap, unbounded bin
+    assert obs["enc-1"].sex == "female"
+    # observation.sample = coalesce(identifier, collection) = sample uuid
+    assert obs["enc-1"].sample == fixtures.SAMPLE_BARCODES["11112222"]
+
+    joined = spark.sql(
+        "SELECT encounter, target, present FROM observation_with_presence_absence_result_v1"
+    ).collect()
+    assert {(r.encounter, r.target) for r in joined} == {
+        ("enc-1", "Flu_A_pan"), ("enc-1", "RSV"), ("enc-1", "Flu_B_pan"),
+        ("enc-2", "Flu_A_pan"),
+    }

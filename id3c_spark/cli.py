@@ -1,0 +1,174 @@
+"""CLI mirroring the reference's ``id3c`` command tree
+(lib/id3c/cli/__init__.py; SURVEY §2.1, §3.1).
+
+Commands: etl {enrollments,manifest,presence-absence}, receiving upload,
+identifier mint, de-identify, location lookup, shipping query.
+
+Transaction policy parity (lib/id3c/cli/command/__init__.py:57-162): ETLs
+default to --dry-run (run against a scratch copy of the warehouse, report
+stats, publish nothing); --commit runs in place. The versioned parquet
+store makes dry-run cheap and crash-safe either way.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+
+import click
+
+from id3c_spark.session import get_spark
+
+
+@click.group()
+def cli() -> None:
+    """id3c-spark — PySpark-native id3c capabilities."""
+
+
+def _load_identifiers(spark, path: str):
+    return spark.read.parquet(path)
+
+
+ETLS = {}
+
+
+def _register_etls() -> None:
+    from id3c_spark.etl import enrollments, manifest, presence_absence
+
+    ETLS.update({
+        "enrollments": lambda spark, rec, wh, ids: enrollments.run(spark, rec, wh, ids),
+        "manifest": lambda spark, rec, wh, ids: manifest.run(spark, rec, wh, ids),
+        "presence-absence": lambda spark, rec, wh, ids: presence_absence.run(spark, rec, wh, ids),
+    })
+
+
+@cli.command("etl")
+@click.argument("name", type=click.Choice(["enrollments", "manifest", "presence-absence"]))
+@click.option("--input", "input_path", required=True, help="NDJSON receiving file/glob")
+@click.option("--warehouse", "warehouse_dir", required=True)
+@click.option("--identifiers", "identifiers_path", required=True, help="identifier parquet")
+@click.option("--commit/--dry-run", default=False, help="default: dry-run (no publish)")
+def etl_cmd(name, input_path, warehouse_dir, identifiers_path, commit):
+    from id3c_spark.etl.warehouse import Warehouse
+    from id3c_spark.sources.readers import read_ndjson_receiving
+
+    _register_etls()
+    spark = get_spark(f"etl-{name}")
+    target_dir = warehouse_dir
+    scratch = None
+    if not commit:
+        scratch = tempfile.mkdtemp(prefix="id3c-dryrun-")
+        shutil.rmtree(scratch)
+        shutil.copytree(warehouse_dir, scratch, dirs_exist_ok=False) if _exists(warehouse_dir) else None
+        target_dir = scratch
+    receiving = read_ndjson_receiving(spark, input_path)
+    wh = Warehouse(spark, target_dir)
+    stats = ETLS[name](spark, receiving, wh, _load_identifiers(spark, identifiers_path))
+    click.echo(json.dumps({"etl": name, "committed": commit, **stats}))
+    if scratch:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _exists(path: str) -> bool:
+    import os
+    return os.path.isdir(path)
+
+
+@cli.command("upload")
+@click.argument("file", type=click.Path(exists=True))
+@click.option("--receiving-dir", required=True)
+@click.option("--table", required=True)
+def upload_cmd(file, receiving_dir, table):
+    """receiving upload parity (lib/id3c/cli/command/receiving.py:35-60):
+    append NDJSON documents to the receiving log."""
+    import os
+
+    os.makedirs(receiving_dir, exist_ok=True)
+    dest = os.path.join(receiving_dir, f"{table}.ndjson")
+    n = 0
+    with open(file) as src, open(dest, "a") as out:
+        for line in src:
+            if line.strip():
+                json.loads(line)            # json_typeof-style validation
+                out.write(line.rstrip("\n") + "\n")
+                n += 1
+    click.echo(json.dumps({"table": table, "uploaded": n}))
+
+
+@cli.command("mint")
+@click.option("--n", type=int, required=True)
+@click.option("--set-id", type=int, required=True)
+@click.option("--existing", help="parquet of existing identifiers", default=None)
+@click.option("--seed", default="mint")
+def mint_cmd(n, set_id, existing, seed):
+    from id3c_spark.operators.similarity import mint_identifiers
+
+    spark = get_spark("mint")
+    ex = (
+        spark.read.parquet(existing).select("barcode")
+        if existing
+        else spark.createDataFrame([], "barcode string")
+    )
+    minted = mint_identifiers(spark, ex, n, set_id, seed=seed)
+    for r in minted.collect():
+        click.echo(json.dumps({"uuid": r.uuid, "barcode": r.barcode}))
+
+
+@cli.command("de-identify")
+@click.option("--input", "input_path", required=True, help="CSV file")
+@click.option("--columns", required=True, help="comma-separated hash inputs")
+@click.option("--secret", envvar="ID3C_DEIDENTIFY_SECRET", required=True)
+@click.option("--output", required=True)
+def deidentify_cmd(input_path, columns, secret, output):
+    from id3c_spark.deidentify import deidentify
+    from id3c_spark.sources.readers import read_csv_all_strings
+
+    spark = get_spark("de-identify")
+    df = read_csv_all_strings(spark, input_path)
+    deidentify(df, columns.split(","), secret).write.mode("overwrite").csv(output, header=True)
+    click.echo(json.dumps({"output": output}))
+
+
+@cli.command("lookup")
+@click.option("--points", required=True, help="CSV with lat,lng columns")
+@click.option("--locations", required=True, help="location parquet (polygon_wkt)")
+@click.option("--output", required=True)
+def lookup_cmd(points, locations, output):
+    from id3c_spark.geo import lookup_tract
+    from id3c_spark.sources.readers import read_csv_all_strings
+
+    spark = get_spark("lookup")
+    pts = read_csv_all_strings(spark, points).withColumns(
+        {"lat": F_double("lat"), "lng": F_double("lng")}
+    )
+    locs = spark.read.parquet(locations)
+    lookup_tract(pts, locs).write.mode("overwrite").csv(output, header=True)
+    click.echo(json.dumps({"output": output}))
+
+
+def F_double(c):
+    from pyspark.sql import functions as F
+    return F.col(c).cast("double")
+
+
+@cli.command("shipping")
+@click.option("--warehouse", "warehouse_dir", required=True)
+@click.option("--view", default="observation_with_presence_absence_result_v1")
+@click.option("--limit", type=int, default=20)
+def shipping_cmd(warehouse_dir, view, limit):
+    from id3c_spark.etl.warehouse import Warehouse
+    from id3c_spark.plans import shipping as shipping_views
+
+    spark = get_spark("shipping")
+    wh = Warehouse(spark, warehouse_dir)
+    frames = {n: wh.read(n) for n in ("sample", "presence_absence", "target",
+                                      "encounter", "individual", "site")}
+    shipping_views.create_views(spark, frames)
+    for row in spark.sql(f"SELECT * FROM {view} LIMIT {limit}").collect():  # noqa: S608
+        click.echo(json.dumps(row.asDict(), default=str))
+
+
+if __name__ == "__main__":
+    cli()

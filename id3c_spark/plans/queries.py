@@ -801,6 +801,160 @@ def hamming_close_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hamming_close_pairs(sup, part, "code", max_distance=2)
 
 
+# ---------------------------------------------------------------------------
+# §2.5 posexplode / unnest WITH ORDINALITY parity
+# ---------------------------------------------------------------------------
+
+@query(
+    "posexplode_part_words",
+    oracle="""
+    SELECT p_partkey, u.s['pos'] AS pos, u.s['word'] AS word
+    FROM (SELECT p_partkey,
+                 [{'pos': i, 'word': w[i]} for i in range(1, len(w) + 1)] AS sl
+          FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)),
+         unnest(sl) AS u(s)
+    """,
+)
+def posexplode_part_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos0", "word")
+    ).select("p_partkey", (F.col("pos0") + 1).cast("int").alias("pos"), "word")
+
+
+# ---------------------------------------------------------------------------
+# §2.7 manifest-diff: content-hash anti-join ignoring a provenance column
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_diff_new",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 300
+    """,
+)
+def doc_diff_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """manifest.py:396-436 parity: B ∖ A by content hash with the
+    provenance-ish column ignored — the 'old' snapshot has a rewritten
+    ``source`` column, so only the ignore semantics make the overlap
+    cancel; survivors are exactly doc_id >= 300 (the oracle states the
+    expected set directly)."""
+    from id3c_spark.operators.diff import diff_new_records
+
+    docs = t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 300).withColumn("source", F.lit("rewritten"))
+    new = docs
+    return diff_new_records(new, old, ignore=("source",)).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 crypto: sha256 de-identification hash
+# ---------------------------------------------------------------------------
+
+@query(
+    "deidentified_docs",
+    oracle="""
+    SELECT doc_id, sha256(text || 'abadsecret') AS hash FROM documents
+    """,
+)
+def deidentified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from id3c_spark.deidentify import generate_hash
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", generate_hash(F.col("text"), "abadsecret").alias("hash"))
+
+
+# ---------------------------------------------------------------------------
+# §2.8 date labels: to_char(generated, 'FMDD Mon YYYY') parity
+# ---------------------------------------------------------------------------
+
+@query(
+    "order_date_labels",
+    oracle="""
+    SELECT strftime(o_orderdate, '%-d %b %Y') AS label, count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def order_date_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.date_format("o_orderdate", "d MMM yyyy").alias("label")
+    ).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# §2.8 hstore: parse + element extraction over constructed hierarchy text
+# ---------------------------------------------------------------------------
+
+@query(
+    "hstore_hierarchy_extract",
+    oracle="""
+    SELECT n_nationkey, lower(r_name) AS region, lower(n_name) AS nation
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def hstore_hierarchy_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hstore round-trip: build 'region => X, nation => Y' text, parse with
+    str_to_map (etl/__init__.py:393-399 semantics), extract elements — the
+    oracle states the expected values directly."""
+    from id3c_spark.functions.hstore import parse_hstore
+
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    htext = F.concat(F.lit("region => "), F.col("r_name"), F.lit(", nation => "), F.col("n_name"))
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .withColumn("h", parse_hstore(htext))
+        .select(
+            "n_nationkey",
+            F.element_at("h", "region").alias("region"),
+            F.element_at("h", "nation").alias("nation"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 jsonb containment: DET-filter parity (redcap_det.py:127-135)
+# ---------------------------------------------------------------------------
+
+@query(
+    "json_containment_events",
+    oracle="""
+    SELECT event_id, event_type FROM events
+    WHERE json_extract_string(props, '$.k') = '42'
+    """,
+)
+def json_containment_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from id3c_spark.functions.json_ops import json_contains_struct
+
+    ev = t(spark, sf_dir, "events")
+    return ev.filter(json_contains_struct(F.col("props"), {"k": 42})).select(
+        "event_id", "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 array ops: collect_set + arrays_overlap (urgent-customer filter)
+# ---------------------------------------------------------------------------
+
+@query(
+    "urgent_customers",
+    oracle="""
+    SELECT DISTINCT o_custkey AS c_custkey FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    prios = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.collect_set("o_orderpriority").alias("prios")
+    )
+    return prios.filter(
+        F.arrays_overlap("prios", F.array(F.lit("1-URGENT"), F.lit("2-HIGH")))
+    ).select("c_custkey")
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

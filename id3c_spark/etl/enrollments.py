@@ -65,10 +65,11 @@ def decode_option_answer(responses: Column, token: str) -> Column:
     """First chosen-option token for question ``token`` — decode_answer
     parity (enrollments.py:370-399) as a pure expression: find the
     response, index its options by chosenOptions[0]."""
-    resp = F.filter(responses, lambda r: r["question"]["token"] == F.lit(token))[0]
+    resp = F.get(F.filter(responses, lambda r: r["question"]["token"] == F.lit(token)), 0)
     return F.when(
         resp["answer"]["type"] == "Option",
-        resp["options"][F.coalesce(resp["answer"]["chosenOptions"][0], F.lit(0))]["token"],
+        F.get(resp["options"],
+              F.coalesce(F.get(resp["answer"]["chosenOptions"], 0), F.lit(0)))["token"],
     )
 
 

@@ -1,0 +1,105 @@
+"""Geocoding adapter (reference: lib/id3c/cli/command/geocode.py).
+
+The reference calls SmartyStreets per address with a pickled TTL cache
+(lib/id3c/cli/command/__init__.py:221-279). The external service is
+pluggable here; the default provider is a deterministic fake (no network
+in this image) so the full pipeline — cache, batching, output columns
+std_address/lat/lng/canonicalized_address — is real and testable.
+
+Scale: lookups run driver-side over the DISTINCT address set only (the
+cache is a driver artifact, like the reference's pickle), then join back
+to the full frame — geocoding 10^9 rows only ever calls the provider for
+the unique addresses.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ADDRESS_COLS = ["Street", "Street2", "City", "State", "ZipCode"]
+
+
+def fake_geocoder(address: str) -> dict | None:
+    """Deterministic stand-in for SmartyStreets: md5-derived lat/lng in
+    plausible ranges; empty/short addresses return None (no geocode)."""
+    if not address or len(address.strip()) < 5:
+        return None
+    h = hashlib.md5(address.lower().encode()).hexdigest()
+    lat = 45.0 + int(h[:6], 16) / 0xFFFFFF * 4.0       # 45..49
+    lng = -125.0 + int(h[6:12], 16) / 0xFFFFFF * 8.0   # -125..-117
+    return {
+        "std_address": address.strip().upper(),
+        "lat": round(lat, 6),
+        "lng": round(lng, 6),
+        "canonicalized_address": " ".join(address.upper().split()),
+    }
+
+
+class PickleCache:
+    """TTL'd pickled cache (command/__init__.py:221-279 parity)."""
+
+    def __init__(self, path: str, ttl_seconds: float = 30 * 86400):
+        self.path = path
+        self.ttl = ttl_seconds
+        self.data: dict[str, tuple[float, dict | None]] = {}
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                self.data = pickle.load(f)
+
+    def get(self, key: str):
+        hit = self.data.get(key)
+        if hit and (time.time() - hit[0]) < self.ttl:
+            return True, hit[1]
+        return False, None
+
+    def put(self, key: str, value) -> None:
+        self.data[key] = (time.time(), value)
+
+    def save(self) -> None:
+        with open(self.path, "wb") as f:
+            pickle.dump(self.data, f)
+
+
+def geocode(
+    df: DataFrame,
+    cache_path: str,
+    provider: Callable[[str], dict | None] = fake_geocoder,
+    address_cols: list[str] | None = None,
+) -> DataFrame:
+    """Add std_address/lat/lng/canonicalized_address (geocode.py:55-109).
+
+    Distinct addresses → cache/provider on the driver → broadcast join
+    back; passthrough columns preserved.
+    """
+    cols = [c for c in (address_cols or ADDRESS_COLS) if c in df.columns]
+    spark = df.sparkSession
+    key = F.concat_ws(", ", *[F.coalesce(F.col(c), F.lit("")) for c in cols])
+    keyed = df.withColumn("__addr", key)
+
+    distinct = [r["__addr"] for r in keyed.select("__addr").distinct().collect()]
+    cache = PickleCache(cache_path)
+    rows = []
+    for addr in distinct:
+        hit, value = cache.get(addr)
+        if not hit:
+            value = provider(addr)
+            cache.put(addr, value)
+        rows.append((
+            addr,
+            (value or {}).get("std_address"),
+            (value or {}).get("lat"),
+            (value or {}).get("lng"),
+            (value or {}).get("canonicalized_address"),
+        ))
+    cache.save()
+    lookup = spark.createDataFrame(
+        rows, "__addr string, std_address string, lat double, lng double, canonicalized_address string"
+    )
+    return keyed.join(F.broadcast(lookup), "__addr", "left").drop("__addr")

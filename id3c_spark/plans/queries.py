@@ -955,6 +955,89 @@ def urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey")
 
 
+# ---------------------------------------------------------------------------
+# beyond-reference OLAP (SURVEY §2.4 notes Spark gives these for free):
+# cube/rollup, window frames, pivot-style conditional aggregation
+# ---------------------------------------------------------------------------
+
+@query(
+    "cube_revenue",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {DSUM.format(expr='l_extendedprice')} AS revenue, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_extendedprice"), "revenue"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "running_revenue",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total,
+           lag(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS prev_orderkey
+    FROM orders
+    """,
+)
+def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames + lag (no frame-spec windows exist in the reference —
+    SURVEY §2.5 — provided as engine capability). Decimal running sum keeps
+    the frame prefix order-exact across engines."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(frame)
+         .cast("double").alias("running_total"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending,
+           {DSUM.format(expr='o_totalprice')} AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.count_if(F.col("o_orderstatus") == "P").alias("n_pending"),
+        dsum(F.col("o_totalprice"), "total"),
+    )
+
+
+@query("approx_distinct_parts")  # rows-only: HLL sketch is engine-specific
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct + approx percentile — the approximate-agg
+    surface (SURVEY §2.4: absent from the reference, free in Spark).
+    Accuracy asserted against exact values in tests, not the oracle."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count("*").alias("n"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -1,0 +1,114 @@
+"""Kit ETL retry semantics, consensus-genome path, delete cascade."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from id3c_spark.etl import consensus_genome, enrollments, kit
+from id3c_spark.etl.warehouse import Warehouse
+from id3c_spark.operators import deletes
+from tests import fixtures
+
+
+@pytest.fixture()
+def warehouse(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+@pytest.fixture()
+def identifiers(spark):
+    rows = fixtures.identifier_rows() + [
+        ("cccccccc-0000-0000-0000-0000deadbee1", "deadbee1", 3),  # kit barcode set
+    ]
+    return spark.createDataFrame(rows, "uuid string, barcode string, identifier_set_id long")
+
+
+def receiving_df(spark, docs):
+    return spark.createDataFrame(
+        [(i + 1, json.dumps(d)) for i, d in enumerate(docs)], "id long, document string"
+    ).withColumn("received", F.current_timestamp())
+
+
+def test_kit_defers_until_encounter_exists(spark, warehouse, identifiers):
+    kit_doc = {"kit": "DEADBEE1", "encounter": "enc-1", "rdt_sample": "11112222"}
+    # enrollment not loaded yet → kit deferred, nothing written
+    r1 = kit.run(spark, receiving_df(spark, [kit_doc]), warehouse, identifiers)
+    assert r1.stats["ready"] == 0 and r1.stats["deferred"] == 1
+    assert [row.id for row in r1.deferred_ids.collect()] == [1]
+    assert warehouse.read("kit").count() == 0
+
+    # load enrollments, retry the same document → now links
+    enrollments.run(spark, receiving_df(spark, [json.loads(d) for _, d in fixtures.enrollment_documents()][:2]),
+                    warehouse, identifiers)
+    r2 = kit.run(spark, receiving_df(spark, [kit_doc]), warehouse, identifiers)
+    assert r2.stats["ready"] == 1 and r2.stats["deferred"] == 0
+    kits = warehouse.read("kit").collect()
+    assert len(kits) == 1
+    assert kits[0].identifier == "cccccccc-0000-0000-0000-0000deadbee1"
+    assert kits[0].encounter_id is not None
+
+
+ORGANISMS = [
+    (1, "Influenza.A.H1N1", None, None),
+    (2, "Influenza.A.H3N2", None, None),
+    (3, "Influenza.B", None, None),
+]
+
+
+def test_consensus_genome_etl(spark, warehouse, identifiers):
+    # seed a sample to attach the genome to
+    warehouse.upsert_sample(spark.createDataFrame(
+        [(fixtures.SAMPLE_BARCODES["11112222"], None)],
+        "identifier string, collection_identifier string",
+    ))
+    organisms = spark.createDataFrame(
+        ORGANISMS, "organism_id long, lineage string, identifiers map<string,string>, details string"
+    )
+    doc = {
+        "sample_identifier": fixtures.SAMPLE_BARCODES["11112222"],
+        "reference_organism": "h3n2", "status": "complete",
+        "metadata": {"urls": ["s3://b/reads2.fq.gz", "s3://b/reads1.fq.gz"]},
+        "masked_consensus": [
+            {"genomic_sequence": "ACGT", "sequence_segment": "PB2", "sequence_identifier": "seq-1"},
+            {"genomic_sequence": "GGCC", "sequence_segment": "NA", "sequence_identifier": "seq-2"},
+        ],
+    }
+    stats = consensus_genome.run(spark, receiving_df(spark, [doc]), warehouse, organisms)
+    assert stats == {"documents": 1, "read_sets": 1, "genomes": 1, "sequences": 2}
+
+    srs = warehouse.read("sequence_read_set").collect()[0]
+    assert srs.urls == ["s3://b/reads1.fq.gz", "s3://b/reads2.fq.gz"]  # sorted
+
+    genome = warehouse.read("consensus_genome").collect()[0]
+    assert genome.organism_id == 2                     # h3n2 → H3N2 lineage
+    seqs = {r.segment: r.seq for r in warehouse.read("genomic_sequence").collect()}
+    assert seqs == {"pb2": "ACGT", "na": "GGCC"}
+
+    # idempotent: same document again changes nothing
+    stats2 = consensus_genome.run(spark, receiving_df(spark, [doc]), warehouse, organisms)
+    assert stats2 == stats
+
+
+def test_cascade_delete(spark, warehouse, identifiers):
+    enrollments.run(
+        spark, receiving_df(spark, [json.loads(d) for _, d in fixtures.enrollment_documents()]),
+        warehouse, identifiers,
+    )
+    frames = {n: warehouse.read(n) for n in ("encounter", "sample", "individual")}
+    doomed = deletes.find_encounters_like_any(frames["encounter"], ["enc-1%"])
+    assert doomed.count() == 1
+
+    out, stats = deletes.cascade_delete_encounters(frames, doomed)
+    assert stats["encounter"] == 1
+    assert stats["sample_unlinked"] == 1
+    assert stats["individual_orphans"] == 1            # indiv-1 orphaned
+
+    assert {r.identifier for r in out["encounter"].collect()} == {"enc-2"}
+    assert {r.identifier for r in out["individual"].collect()} == {"indiv-2"}
+    # unlinked sample retained but detached
+    s = {r.collection_identifier: r.encounter_id for r in out["sample"].collect()}
+    assert s[fixtures.COLLECTION_BARCODES["aabbccdd"]] is None
+    assert s[fixtures.COLLECTION_BARCODES["bbccddee"]] is not None

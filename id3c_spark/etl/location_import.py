@@ -1,0 +1,111 @@
+"""Location import (reference: lib/id3c/cli/command/location.py:110-305).
+
+GeoJSON features → staged frame (identifier, scale, hierarchy, point/
+polygon WKT) → left join of a sidecar simplified-polygons set →
+upsert with on-conflict mode switch + import stats (the five
+``count(*) filter (where ...)`` aggregates, location.py:271-279).
+
+CRS contract: inputs must already be EPSG:4326 (the reference re-projects
+with fiona; without geo deps we validate the declared CRS and reject
+others). Hierarchy text parses with the hstore parser and is
+right-bias-merged on conflict (etl/__init__.py:450-456).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from id3c_spark.etl.warehouse import Warehouse
+from id3c_spark.functions.hstore import hstore_concat, parse_hstore
+
+
+def _geom_to_wkt(geom: dict | None) -> str | None:
+    if not geom:
+        return None
+    t = geom.get("type")
+    if t == "Point":
+        x, y = geom["coordinates"][:2]
+        return f"POINT ({x} {y})"
+    if t == "Polygon":
+        ring = ", ".join(f"{x} {y}" for x, y in (p[:2] for p in geom["coordinates"][0]))
+        return f"POLYGON (({ring}))"
+    if t == "MultiPolygon":
+        first = geom["coordinates"][0][0]
+        ring = ", ".join(f"{x} {y}" for x, y in (p[:2] for p in first))
+        return f"POLYGON (({ring}))"     # outer ring of first polygon
+    return None
+
+
+def stage_features(
+    spark: SparkSession, feature_collection: dict, scale: str | None = None
+) -> DataFrame:
+    """GeoJSON FeatureCollection → staged location frame
+    (parse_features parity, location.py:316-352)."""
+    crs = (
+        feature_collection.get("crs", {}).get("properties", {}).get("name", "EPSG:4326")
+    )
+    if "4326" not in str(crs) and "CRS84" not in str(crs):
+        raise ValueError(f"expected EPSG:4326 features, got {crs}")
+    rows = []
+    for feat in feature_collection.get("features", []):
+        props = feat.get("properties", {})
+        rows.append((
+            str(feat.get("id") or props.get("id")),
+            props.get("scale") or scale,
+            props.get("hierarchy"),
+            _geom_to_wkt(feat.get("geometry")),
+        ))
+    staged = spark.createDataFrame(
+        rows, "identifier string, scale string, hierarchy_text string, polygon_wkt string"
+    )
+    return staged.select(
+        "identifier", "scale",
+        parse_hstore(F.col("hierarchy_text")).alias("hierarchy"),
+        "polygon_wkt",
+    )
+
+
+def import_locations(
+    spark: SparkSession,
+    warehouse: Warehouse,
+    staged: DataFrame,
+    simplified: DataFrame | None = None,
+    mode: str = "update",          # 'update' | 'nothing' (on-conflict modes)
+) -> dict[str, int]:
+    """Staged import with conflict-mode switch + import stats."""
+    if simplified is not None:
+        staged = staged.join(
+            simplified.select("identifier", F.col("polygon_wkt").alias("simplified_polygon_wkt")),
+            "identifier", "left",
+        )
+    else:
+        staged = staged.withColumn("simplified_polygon_wkt", F.lit(None).cast("string"))
+
+    current = warehouse.read("location")
+    if mode == "nothing":
+        # on conflict do nothing: only brand-new (scale, identifier) land
+        new_only = staged.join(
+            current.select("scale", "identifier"), ["scale", "identifier"], "left_anti"
+        )
+        updates = new_only
+    else:
+        # hierarchy right-biased merge with existing rows
+        existing_h = current.select("scale", "identifier", F.col("hierarchy").alias("old_h"))
+        updates = (
+            staged.join(existing_h, ["scale", "identifier"], "left")
+            .withColumn("hierarchy", hstore_concat(F.col("old_h"), F.col("hierarchy")))
+            .drop("old_h")
+        )
+    result = warehouse.upsert_location(updates)
+
+    # import stats: count(*) filter (where ...) ×N (location.py:271-279)
+    stats_row = staged.agg(
+        F.count("*").alias("staged"),
+        F.count_if(F.col("polygon_wkt").isNotNull()).alias("with_polygon"),
+        F.count_if(F.col("simplified_polygon_wkt").isNotNull()).alias("with_simplified"),
+        F.count_if(F.col("hierarchy").isNotNull()).alias("with_hierarchy"),
+    ).collect()[0]
+    return {**stats_row.asDict(), "total_locations": result.count()}

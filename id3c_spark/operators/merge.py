@@ -59,15 +59,27 @@ class MergeResult:
         }
 
 
-def _null_safe_changed(updates_prefixed: DataFrame, cols: Sequence[str]) -> Column:
+def _null_safe_changed(
+    updates_prefixed: DataFrame, cols: Sequence[str], dtypes: dict[str, str]
+) -> Column:
     """True where any column's RESOLVED value (null update = keep target,
     mirroring the coalesce in the output projection) differs from the
     target's — the skip-no-op-write discipline of db/__init__.py:213-231
-    that keeps Delta/parquet file churn down."""
+    that keeps Delta/parquet file churn down.
+
+    Maps are not orderable (<=> rejects them) → compared via key-sorted
+    entry arrays, which also makes the comparison key-order independent,
+    matching hstore equality semantics."""
+    def canon(col: Column, dtype: str) -> Column:
+        if dtype.startswith("map<"):
+            return F.array_sort(F.map_entries(col))
+        return col
+
     cond = F.lit(False)
     for c in cols:
         resolved = F.coalesce(F.col(f"u_{c}"), F.col(f"t_{c}"))
-        cond = cond | ~resolved.eqNullSafe(F.col(f"t_{c}"))
+        dtype = dtypes.get(c, "")
+        cond = cond | ~canon(resolved, dtype).eqNullSafe(canon(F.col(f"t_{c}"), dtype))
     return cond
 
 
@@ -172,7 +184,7 @@ def merge(
             raise MultipleMatchError(f"update matched multiple rows: {bad[0].asDict()}")
 
     # --- change detection + column resolution ------------------------------
-    changed = _null_safe_changed(matched, update_cols)
+    changed = _null_safe_changed(matched, update_cols, dict(target.dtypes))
     if details_col:
         # null incoming details = "no details in this update" → no-op;
         # otherwise coalesce(details,'{}') || new (top-level, right-biased).

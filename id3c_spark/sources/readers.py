@@ -70,6 +70,22 @@ def fastq_read_sets(
     )
 
 
+def select_columns_glob(df: DataFrame, *patterns: str) -> DataFrame:
+    """Column projection by shell glob, case-insensitive — select_column(s)
+    parity (manifest.py:471-510). Driver-side metadata op; raises if a
+    pattern matches nothing (the reference errors the same way)."""
+    import fnmatch
+
+    keep: list[str] = []
+    for pattern in patterns:
+        hits = [c for c in df.columns
+                if fnmatch.fnmatchcase(c.lower(), pattern.lower()) and c not in keep]
+        if not hits:
+            raise KeyError(f"no column matches {pattern!r}")
+        keep.extend(hits)
+    return df.select(*keep)
+
+
 def read_excel_all_strings(spark: SparkSession, path: str, sheet: str | None = None) -> DataFrame:
     """Excel manifest scan (manifest.py:278-336). openpyxl/xlrd are not in
     this image; when available the contract matches read_csv_all_strings."""

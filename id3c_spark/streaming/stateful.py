@@ -1,0 +1,104 @@
+"""Custom stateful streaming operators (beyond-reference; the engine
+capability SURVEY §2.10 notes the reference never needed).
+
+  - streaming_event_counts: watermarked tumbling-window aggregation.
+  - sessionize_stateful: per-user session assembly with
+    applyInPandasWithState — the custom-stateful-operator escape hatch
+    for semantics window functions can't express incrementally (open
+    sessions carried across micro-batches, closed by event-time gap).
+
+Timeout design note: EventTimeTimeout, not ProcessingTimeTimeout — a
+wall-clock timeout equal to the session gap makes availableNow runs hang
+until it fires; event-time timeouts advance with the watermark, so batch
+(availableNow) and continuous runs behave identically.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_event_counts(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window count/sum per event_type; late rows
+    beyond the watermark are dropped by the engine."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+SESSION_STATE_SCHEMA = "start long, last long, n long"
+GAP_SECONDS = 1800
+
+
+def _sessionize_group(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Carry the open session in state; emit sessions closed by the
+    event-time gap (from newer events of the same key, or from the
+    watermark passing the session's timeout)."""
+    (user_id,) = key
+    closed: list[tuple] = []
+
+    if state.hasTimedOut:
+        if state.exists:
+            start, last, n = state.get
+            closed.append((user_id, start, last, n))
+            state.remove()
+    else:
+        ts = sorted(
+            int(t.timestamp())
+            for pdf in pdfs
+            for t in pd.to_datetime(pdf["ts"])
+        )
+        start, last, n = state.get if state.exists else (None, None, 0)
+        for t in ts:
+            if last is not None and t - last > GAP_SECONDS:
+                closed.append((user_id, start, last, n))
+                start, last, n = t, t, 1
+            else:
+                start = t if start is None else start
+                last = t
+                n += 1
+        if start is not None:
+            state.update((start, last, n))
+            timeout_ms = (last + GAP_SECONDS) * 1000
+            state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
+
+    yield pd.DataFrame(
+        [(u, pd.Timestamp(s, unit="s"), pd.Timestamp(e, unit="s"), n)
+         for u, s, e, n in closed],
+        columns=["user_id", "session_start", "session_end", "n_events"],
+    )
+
+
+def sessionize_stateful(events: DataFrame, watermark_delay: str = "1 hour") -> DataFrame:
+    """Streaming sessionization: groupBy(user).applyInPandasWithState.
+    Emits a row per CLOSED session (append mode); open sessions stay in
+    state until newer events or the watermark close them."""
+    return (
+        events.select("user_id", "ts")
+        .withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            SESSION_OUTPUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,143 @@
+"""REDCap DET framework, location import, stateful streaming, column glob."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from id3c_spark.etl import redcap_det
+from id3c_spark.etl.location_import import import_locations, stage_features
+from id3c_spark.etl.warehouse import Warehouse
+from id3c_spark.sources.readers import select_columns_glob
+
+URL = "https://redcap.example.edu/api/"
+
+
+def det(record, instrument="symptom_survey", complete="2", project="123"):
+    return {
+        "redcap_url": URL, "project_id": project, "record": str(record),
+        "instrument": instrument, f"{instrument}_complete": complete,
+    }
+
+
+def test_redcap_det_pipeline(spark):
+    docs = [
+        det(1), det(1),                     # repeat DET: first wins
+        det(2, complete="0"),               # incomplete → skipped
+        det(3),
+        det(9, project="999"),              # other project → not selected
+    ]
+    receiving = spark.createDataFrame(
+        [(i + 1, json.dumps(d)) for i, d in enumerate(docs)], "id long, document string"
+    )
+
+    seen = {}
+
+    @redcap_det.command_for_project(URL, 123)
+    def my_etl(spark_, records):
+        seen["records"] = records
+        return len(records)
+
+    api = redcap_det.FakeRedcapApi(records={"1": {"record": "1", "age": "34"},
+                                            "3": {"record": "3", "age": "7"}},
+                                   batch_size=1)
+    stats = redcap_det.run(spark, receiving, URL, 123, api)
+    assert stats["dets"] == 4               # project filter applied
+    assert stats["complete_records"] == 2   # record 1 deduped, record 2 gated
+    assert stats["fetched"] == 2
+    assert stats["api_calls"] == 2          # batch_size=1 → one call per record
+    assert stats["transform_result"] == 2
+
+    with pytest.raises(KeyError):
+        redcap_det.run(spark, receiving, URL, 777, api)
+
+
+FEATURES = {
+    "type": "FeatureCollection",
+    "features": [
+        {"id": "53033000100", "properties": {"scale": "tract",
+                                             "hierarchy": "country => us, state => wa"},
+         "geometry": {"type": "Polygon", "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]]}},
+        {"id": "53033000200", "properties": {"scale": "tract", "hierarchy": None},
+         "geometry": {"type": "MultiPolygon",
+                      "coordinates": [[[[2, 2], [3, 2], [3, 3], [2, 3], [2, 2]]]]}},
+    ],
+}
+
+
+def test_location_import_modes(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    staged = stage_features(spark, FEATURES)
+    stats = import_locations(spark, wh, staged, mode="update")
+    assert stats["staged"] == 2 and stats["with_polygon"] == 2
+    assert stats["with_hierarchy"] == 1 and stats["total_locations"] == 2
+
+    locs = {r.identifier: r for r in wh.read("location").collect()}
+    assert locs["53033000100"].hierarchy == {"country": "us", "state": "wa"}
+
+    # re-import with extended hierarchy → right-biased concat
+    feats2 = json.loads(json.dumps(FEATURES))
+    feats2["features"][0]["properties"]["hierarchy"] = "state => or, tract => 53033000100"
+    import_locations(spark, wh, stage_features(spark, feats2), mode="update")
+    h = {r.identifier: r.hierarchy for r in wh.read("location").collect()}
+    assert h["53033000100"] == {"country": "us", "state": "or", "tract": "53033000100"}
+
+    # on-conflict-do-nothing mode: existing rows untouched
+    feats3 = json.loads(json.dumps(FEATURES))
+    feats3["features"][0]["properties"]["hierarchy"] = "state => zz"
+    import_locations(spark, wh, stage_features(spark, feats3), mode="nothing")
+    h2 = {r.identifier: r.hierarchy for r in wh.read("location").collect()}
+    assert h2["53033000100"]["state"] == "or"
+
+    with pytest.raises(ValueError):
+        stage_features(spark, {"crs": {"properties": {"name": "EPSG:3857"}}, "features": []})
+
+
+def test_stateful_sessionization(spark, tmp_path):
+    """applyInPandasWithState sessionization driven by a rate-free memory
+    stream: two batches; a session stays open across batches, closes on gap."""
+    from id3c_spark.streaming.stateful import sessionize_stateful
+
+    src = tmp_path / "stream"
+    src.mkdir()
+    # batch 1: user 7 events at t0, t0+10min
+    (src / "b1.json").write_text(
+        '{"user_id": 7, "ts": "2024-01-01T00:00:00Z"}\n'
+        '{"user_id": 7, "ts": "2024-01-01T00:10:00Z"}\n'
+    )
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        stream = spark.readStream.schema("user_id long, ts timestamp").json(str(src))
+        q = (
+            sessionize_stateful(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(out_dir).count() == 0           # session still open
+
+    # batch 2: an event 2h later → closes the first session
+    (src / "b2.json").write_text('{"user_id": 7, "ts": "2024-01-01T02:30:00Z"}\n')
+    run_once()
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 1
+    assert rows[0].n_events == 2
+    assert str(rows[0].session_start).startswith("2024-01-01 00:00")
+    assert str(rows[0].session_end).startswith("2024-01-01 00:10")
+
+
+def test_select_columns_glob(spark):
+    df = spark.createDataFrame([(1, 2, 3, 4)], "Barcode_ID int, Aliquot_A int, Aliquot_B int, Notes int")
+    out = select_columns_glob(df, "barcode*", "aliquot*")
+    assert out.columns == ["Barcode_ID", "Aliquot_A", "Aliquot_B"]
+    with pytest.raises(KeyError):
+        select_columns_glob(df, "nonexistent*")

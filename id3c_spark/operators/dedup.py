@@ -66,13 +66,9 @@ def ngram_jaccard_pairs(
     rounded to 6 dp (integer-ratio → stable across engines).
     """
     sh = _distinct_shingles(df, id_col, text_col, k)
-    cand = (
-        sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    # one self-join: the grouped intersection counts ARE the candidate set
+    # (any pair with jaccard > 0 shares a shingle and lands here once)
     inter = (
         sh.alias("a")
         .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
@@ -80,7 +76,7 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("n_inter"))
     )
     return (
-        cand.join(inter, ["id_a", "id_b"])
+        inter
         .join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
         .withColumn(
@@ -170,8 +166,33 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, id_col, text_col, k, threshold)
-    return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    # exact-Jaccard verify restricted to the candidates — the whole point
+    # of LSH is to never touch the full shared-shingle pair set
+    sh = _distinct_shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a_sh = sh.select(F.col("id").alias("id_a"), "sh")
+    b_sh = sh.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        cand.join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:

@@ -37,6 +37,16 @@ BENCH_QUERIES = [
     "doc_stats",
     "doc_fingerprints",
     "hamming_close_codes",
+    "cube_revenue",
+    "running_revenue",
+    "pivot_status_by_priority",
+    "posexplode_part_words",
+    "doc_diff_new",
+    "deidentified_docs",
+    "urgent_customers",
+    "embedding_dups",
+    "json_containment_events",
+    "order_date_labels",
 ]
 
 

@@ -105,6 +105,55 @@ def cosine_topk(
     )
 
 
+def cosine_pairs_above(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All unordered pairs (id_a < id_b) with cosine ≥ threshold —
+    embedding-based near-dup detection. Same broadcast-GEMM shape as
+    cosine_topk; per query-batch row the neighbor scan is one matmul and
+    a boolean mask, so cost is O(|corpus|²/batches) FLOPs with no
+    quadratic row materialization before the threshold filter.
+
+    Scale: for corpora past broadcast size, run lsh_bucketed_topk first
+    and threshold-filter its rerank output instead.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    c_pdf = corpus.select(
+        F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("v")
+    ).toPandas()
+    c_ids = np.asarray(c_pdf["nid"].values)
+    c_mat = np.asarray([np.asarray(v, dtype=np.float64) for v in c_pdf["v"]])
+    c_mat = c_mat / np.sqrt((c_mat * c_mat).sum(axis=1))[:, None]
+    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+
+    q = corpus.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("qv"))
+
+    def pairs(batches):
+        ids, mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qids = pdf["id_a"].values
+            qmat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["qv"]])
+            qmat = qmat / np.sqrt((qmat * qmat).sum(axis=1))[:, None]
+            sims = np.round(qmat @ mat.T, 6)
+            out_a, out_b, out_s = [], [], []
+            for i in range(len(qids)):
+                mask = (ids > qids[i]) & (sims[i] >= threshold)
+                out_a.extend([qids[i]] * int(mask.sum()))
+                out_b.extend(ids[mask])
+                out_s.extend(sims[i][mask])
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
+
+    return q.mapInPandas(pairs, schema="id_a long, id_b long, sim double")
+
+
 def hyperplanes(dim: int, planes: int, seed: str = "lsh"):
     """Deterministic pseudo-random hyperplane matrix (planes × dim):
     w[p][d] = (md5_int(seed:p:d) / 2^27) - 1 ∈ [-1, 1). Computed once on

@@ -697,6 +697,33 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_bucketed_topk(emb, emb, dim=64, k=3, planes=16, bands=8)
 
 
+@query(
+    "embedding_dups",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i])))
+                * sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i])))),
+             6) AS sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(
+             list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i])))
+                * sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i])))),
+             6) >= 0.35
+    """,
+)
+def embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the last dedup family member):
+    all pairs with cosine ≥ 0.35 (threshold sized to the synthetic corpus), scored with the numpy GEMM path."""
+    emb = t(spark, sf_dir, "embeddings")
+    return ann.cosine_pairs_above(emb, threshold=0.35)
+
+
 # ---------------------------------------------------------------------------
 # text analysis: language-ID, quality, token counts, fingerprints
 # ---------------------------------------------------------------------------

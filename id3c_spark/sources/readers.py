@@ -8,11 +8,14 @@
     trim + ''/'na' → null normalization (manifest.py:331-336).
   - FASTQ directory scan: sequence_read_set.py:46-88 — glob *.fastq.gz,
     regex-capture the sample id, group urls per sample.
-  - Excel workbook scan: gated stub (openpyxl not in this image); the
-    Spark-side contract (all-string schema) is the same as CSV.
+  - Excel workbook scan: stdlib zip+XML parser (xlsx is a zip of XML;
+    openpyxl is not in this image) with the same all-string contract as CSV.
 """
 
 from __future__ import annotations
+
+import zipfile
+import xml.etree.ElementTree as ET
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -86,16 +89,95 @@ def select_columns_glob(df: DataFrame, *patterns: str) -> DataFrame:
     return df.select(*keep)
 
 
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _xlsx_col_index(cell_ref: str) -> int:
+    """'A1'→0, 'BC12'→54 — column index from the letter prefix."""
+    idx = 0
+    for ch in cell_ref:
+        if not ch.isalpha():
+            break
+        idx = idx * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return idx - 1
+
+
+def _parse_xlsx(path: str, sheet: str | None = None) -> list[list[str | None]]:
+    """Parse one worksheet of an .xlsx into rows of raw cell strings.
+
+    xlsx is a zip archive of XML parts; this reads sharedStrings + the
+    requested sheet with the stdlib only. Values are kept as the raw stored
+    text (numbers stay in their serial form) — the all-string discipline of
+    the reference's dtype=string read (lib/id3c/cli/io/pandas.py:91-133).
+    """
+    with zipfile.ZipFile(path) as zf:
+        # Sheet name → target part, via workbook.xml + its rels.
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        rel_ns = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+        rid_ns = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+        targets = {r.get("Id"): r.get("Target") for r in rels.findall(f"{rel_ns}Relationship")}
+        sheets = [
+            (s.get("name"), targets.get(s.get(rid_ns), ""))
+            for s in wb.find(f"{_XLSX_NS}sheets") or []
+        ]
+        if not sheets:
+            raise ValueError(f"{path}: no worksheets")
+        if sheet is None:
+            target = sheets[0][1]
+        else:
+            matches = [t for (name, t) in sheets if name == sheet]
+            if not matches:
+                raise KeyError(f"{path}: no sheet named {sheet!r}")
+            target = matches[0]
+        target = target.lstrip("/")
+        part = target if target.startswith("xl/") else f"xl/{target}"
+
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in zf.namelist():
+            sst = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            for si in sst.findall(f"{_XLSX_NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t")))
+
+        rows: list[list[str | None]] = []
+        for row in ET.fromstring(zf.read(part)).iter(f"{_XLSX_NS}row"):
+            cells: list[str | None] = []
+            for c in row.findall(f"{_XLSX_NS}c"):
+                idx = _xlsx_col_index(c.get("r", ""))
+                while len(cells) < idx:
+                    cells.append(None)
+                ctype = c.get("t", "n")
+                if ctype == "inlineStr":
+                    value = "".join(t.text or "" for t in c.iter(f"{_XLSX_NS}t"))
+                elif ctype == "s":
+                    v = c.find(f"{_XLSX_NS}v")
+                    value = shared[int(v.text)] if v is not None and v.text else None
+                else:  # n, str, b, e — raw stored text
+                    v = c.find(f"{_XLSX_NS}v")
+                    value = v.text if v is not None else None
+                cells.append(value)
+            rows.append(cells)
+        return rows
+
+
 def read_excel_all_strings(spark: SparkSession, path: str, sheet: str | None = None) -> DataFrame:
-    """Excel manifest scan (manifest.py:278-336). openpyxl/xlrd are not in
-    this image; when available the contract matches read_csv_all_strings."""
-    try:
-        import openpyxl  # noqa: F401
-        import pandas as pd
-    except ImportError as e:
-        raise NotImplementedError(
-            "Excel reading needs openpyxl (not in this image); convert the "
-            "workbook to CSV and use read_csv_all_strings"
-        ) from e
-    pdf = pd.read_excel(path, sheet_name=sheet or 0, dtype=str, na_filter=False)
-    return spark.createDataFrame(pdf.astype(str))
+    """Excel manifest scan (manifest.py:278-336, io/pandas.py:91-133):
+    first row = header, every column StringType, trim + ''/'na' → null —
+    identical contract to read_csv_all_strings.
+
+    The workbook parses driver-side (stdlib zip+XML): a manifest workbook is
+    one small file, same locality as the reference's pandas read. A fleet of
+    workbooks at scale would instead go through binaryFile + mapInPandas with
+    this same parser applied per file.
+    """
+    rows = _parse_xlsx(path, sheet)
+    if not rows:
+        raise ValueError(f"{path}: empty worksheet")
+    header = [h if h else f"col{i}" for i, h in enumerate(rows[0])]
+    width = len(header)
+    data = [tuple((r + [None] * width)[:width]) for r in rows[1:]]
+    df = spark.createDataFrame(data, schema=", ".join(f"`{h}` string" for h in header))
+    for c in df.columns:
+        v = F.trim(F.col(c))
+        df = df.withColumn(c, F.when(F.lower(v).isin("", "na"), None).otherwise(v))
+    return df

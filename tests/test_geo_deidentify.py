@@ -73,6 +73,65 @@ def test_csv_all_strings_null_normalization(spark, tmp_path):
     assert rows[1].barcode == "xyz" and rows[1].notes is None
 
 
+def _write_minimal_xlsx(path):
+    """Hand-built workbook: shared strings, inline string, number cell,
+    a skipped cell (sparse B3), and an 'NA' that must normalize to null."""
+    import zipfile
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>',
+        )
+        z.writestr(
+            "xl/workbook.xml",
+            f'<?xml version="1.0"?><workbook {ns} xmlns:r="{rns}">'
+            '<sheets><sheet name="Manifest" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Target="worksheets/sheet1.xml" '
+            f'Type="{rns}/worksheet"/></Relationships>',
+        )
+        z.writestr(
+            "xl/sharedStrings.xml",
+            f'<?xml version="1.0"?><sst {ns}><si><t>Sample Barcode</t></si>'
+            "<si><t>Notes</t></si><si><t> ABC123 </t></si><si><t>NA</t></si></sst>",
+        )
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>'
+            '<c r="C1" t="inlineStr"><is><t>Qty</t></is></c></row>'
+            '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2" t="s"><v>3</v></c>'
+            '<c r="C2"><v>42</v></c></row>'
+            '<row r="3"><c r="A3" t="inlineStr"><is><t>xyz</t></is></c>'
+            '<c r="C3"><v>7.5</v></c></row>'
+            "</sheetData></worksheet>",
+        )
+
+
+def test_read_excel_all_strings(spark, tmp_path):
+    p = tmp_path / "manifest.xlsx"
+    _write_minimal_xlsx(p)
+    df = readers.read_excel_all_strings(spark, str(p), sheet="Manifest")
+    assert df.columns == ["Sample Barcode", "Notes", "Qty"]
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["string"] * 3
+    rows = df.collect()
+    assert rows[0]["Sample Barcode"] == "ABC123"  # trimmed
+    assert rows[0].Notes is None  # 'NA' → null
+    assert rows[0].Qty == "42"
+    assert rows[1]["Sample Barcode"] == "xyz" and rows[1].Notes is None
+    assert rows[1].Qty == "7.5"
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        readers.read_excel_all_strings(spark, str(p), sheet="nope")
+
+
 def test_fastq_read_sets(spark, tmp_path):
     d = tmp_path / "fastq"
     d.mkdir()

@@ -1,0 +1,87 @@
+"""Property-based tests (hypothesis) for core invariants.
+
+Driver-side pure-Python properties run hundreds of cases; Spark-backed
+properties use a handful of drawn examples (each Spark action costs ~100ms)
+via explicit example batching.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import date, timedelta
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from id3c_spark.functions.strings import iso_week_label
+from id3c_spark.geo import parse_wkt_polygon, point_in_ring
+
+CODES = st.text(alphabet="ab", min_size=8, max_size=8)
+
+
+@given(st.lists(CODES, min_size=2, max_size=12, unique=True))
+@settings(max_examples=20, deadline=None)
+def test_hamming_blocking_complete_property(spark, codes):
+    """Slices blocking finds EXACTLY the brute-force Hamming ≤ 2 pairs,
+    for arbitrary 8-char codes over a worst-case tiny alphabet."""
+    from id3c_spark.operators.similarity import hamming_close_pairs
+
+    df = spark.createDataFrame([(c,) for c in codes], "barcode string")
+    got = {
+        (r.l_code, r.r_code)
+        for r in hamming_close_pairs(df, df, "barcode", 2).collect()
+        if r.l_code < r.r_code
+    }
+    brute = {
+        (a, b)
+        for a in codes for b in codes
+        if a < b and sum(x != y for x, y in zip(a, b)) <= 2
+    }
+    assert got == brute
+
+
+@given(
+    st.dictionaries(st.text(min_size=1, max_size=5), st.integers(), max_size=4),
+    st.dictionaries(st.text(min_size=1, max_size=5), st.integers(), max_size=4),
+)
+@settings(max_examples=15, deadline=None)
+def test_json_merge_matches_dict_update(spark, left, right):
+    from id3c_spark.functions.json_ops import json_merge_udf
+
+    df = spark.createDataFrame([(json.dumps(left), json.dumps(right))], "l string, r string")
+    out = df.select(json_merge_udf("l", "r").alias("m")).collect()[0].m
+    expected = dict(left)
+    expected.update(right)
+    assert json.loads(out) == expected
+
+
+@given(st.integers(min_value=0, max_value=20000))
+@settings(max_examples=10, deadline=None)
+def test_iso_week_matches_python_isocalendar(spark, day_offset):
+    d = date(1995, 1, 1) + timedelta(days=day_offset)
+    got = spark.range(1).select(iso_week_label(F.lit(str(d))).alias("w")).collect()[0].w
+    iso = d.isocalendar()
+    assert got == f"{iso[0]}-W{iso[1]:02d}"
+
+
+@given(
+    st.lists(
+        st.tuples(st.floats(-10, 10), st.floats(-10, 10)),
+        min_size=3, max_size=8,
+    ),
+    st.floats(-12, 12), st.floats(-12, 12),
+)
+@settings(max_examples=200, deadline=None)
+def test_point_in_ring_consistent_with_winding(ring_pts, px, py):
+    """Ray casting never crashes and agrees with itself under ring rotation
+    (driver-side pure function — cheap to hammer)."""
+    ring = list(ring_pts)
+    rotated = ring[1:] + ring[:1]
+    assert point_in_ring(px, py, ring) == point_in_ring(px, py, rotated)
+
+
+def test_wkt_roundtrip():
+    ring = parse_wkt_polygon("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert ring == [(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]
+    assert parse_wkt_polygon("not wkt") == []
+    assert parse_wkt_polygon(None) == []

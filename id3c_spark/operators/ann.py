@@ -226,8 +226,15 @@ def lsh_bucketed_topk(
             F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
         )
 
-    qb = prep(queries).mapInPandas(band_rows("q"), "id long, band int, sig long")
-    cb = prep(corpus).mapInPandas(band_rows("c"), "id long, band int, sig long")
+    # self-search (queries IS corpus, the common dedup/knn-graph case):
+    # compute the band signatures once and persist — both join sides and
+    # the GEMM below would otherwise re-run the mapInPandas pass
+    qb = prep(queries).mapInPandas(band_rows("q"), "id long, band int, sig long").persist()
+    cb = (
+        qb
+        if queries is corpus
+        else prep(corpus).mapInPandas(band_rows("c"), "id long, band int, sig long")
+    )
     cand = (
         qb.alias("q")
         .join(cb.alias("c"), (F.col("q.band") == F.col("c.band")) & (F.col("q.sig") == F.col("c.sig")))
@@ -238,7 +245,7 @@ def lsh_bucketed_topk(
 
     # rerank: vectorized scoring against the broadcast corpus matrix
     c_pdf = prep(corpus).toPandas()
-    q_pdf = prep(queries).toPandas()
+    q_pdf = c_pdf if queries is corpus else prep(queries).toPandas()
     def to_mat(pdf):
         ids = np.asarray(pdf["id"].values)
         mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])

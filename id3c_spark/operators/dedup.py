@@ -65,7 +65,10 @@ def ngram_jaccard_pairs(
     a non-zero Jaccard shares at least one shingle. Output jaccard is
     rounded to 6 dp (integer-ratio → stable across engines).
     """
-    sh = _distinct_shingles(df, id_col, text_col, k)
+    # persist: the shingle relation feeds both self-join sides AND the size
+    # aggregate — without it the explode+md5+distinct pipeline runs 3×
+    # (Spark does not dedupe common subplans within one action)
+    sh = _distinct_shingles(df, id_col, text_col, k).persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     # one self-join: the grouped intersection counts ARE the candidate set
     # (any pair with jaccard > 0 shares a shingle and lands here once)
@@ -143,6 +146,8 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig = minhash_signature(df, id_col, text_col, k, num_hashes)
+    # banded feeds both sides of the candidate self-join; persisting stops
+    # the whole signature pipeline (explode + 32 min-aggs) running twice
     banded = sig.select(
         "id",
         F.explode(
@@ -154,7 +159,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.bh")
+    ).select("id", "bb.band", "bb.bh").persist()
     cand = (
         banded.alias("a")
         .join(
@@ -168,7 +173,9 @@ def minhash_lsh_pairs(
     )
     # exact-Jaccard verify restricted to the candidates — the whole point
     # of LSH is to never touch the full shared-shingle pair set
-    sh = _distinct_shingles(df, id_col, text_col, k)
+    # (persisted: feeds both pair sides + the size aggregate, see
+    # ngram_jaccard_pairs)
+    sh = _distinct_shingles(df, id_col, text_col, k).persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a_sh = sh.select(F.col("id").alias("id_a"), "sh")
     b_sh = sh.select(F.col("id").alias("id_b"), "sh")
@@ -234,6 +241,7 @@ def simhash_pairs(
     slices (dev/doc/01-barcode-slices.md), lifted to bit bands.
     """
     sh = simhash(df, id_col, text_col, bits)
+    # persisted: both sides of the band self-join share this subplan
     bands = sh.select(
         "id",
         "simhash",
@@ -251,7 +259,7 @@ def simhash_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("id", "simhash", "bb.band", "bb.bv")
+    ).select("id", "simhash", "bb.band", "bb.bv").persist()
     return (
         bands.alias("a")
         .join(

@@ -104,7 +104,7 @@ def test_minting_deterministic(spark):
 def test_ann_recall(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
     exact = ann.cosine_topk(emb, emb, k=3)
-    approx = ann.lsh_bucketed_topk(emb, emb, dim=64, k=3, planes=16, bands=8)
+    approx = ann.lsh_bucketed_topk(emb, emb, dim=64, k=3, planes=32, bands=8)
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)

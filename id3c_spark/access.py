@@ -14,11 +14,20 @@ from collections.abc import Iterable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# per-view grants (views.sql revoke/grant pattern): view name → roles
+# Explicit world-readable marker: a view must OPT IN to public access the
+# same way views.sql must issue an explicit ``grant select ... to public``.
+PUBLIC = "public"
+
+# per-view grants (views.sql revoke/grant pattern): view name → roles.
+# Views NOT registered here are unreadable by everyone — the reference
+# revokes from public before granting (views.sql:33-39), so an unregistered
+# view failing closed mirrors a view whose deploy script forgot its grants.
 VIEW_ACL: dict[str, set[str]] = {
     "presence_absence_result_v1": {"reporter", "incidence-modeler"},
+    "presence_absence_result_v2": {"incidence-modeler"},
     "incidence_model_observation_v2": {"incidence-modeler"},
     "observation_with_presence_absence_result_v1": {"incidence-modeler"},
+    "sample_with_best_available_encounter_data_v1": {PUBLIC},
 }
 
 
@@ -32,8 +41,12 @@ def rls_filter(sample: DataFrame, roles: Iterable[str]) -> DataFrame:
 
 
 def can_select(view: str, roles: Iterable[str]) -> bool:
+    """Deny-by-default: unknown views are readable by no one; registered
+    views require a matching role unless explicitly marked PUBLIC."""
     allowed = VIEW_ACL.get(view)
-    return allowed is None or bool(allowed & {r.lower() for r in roles})
+    if not allowed:
+        return False
+    return PUBLIC in allowed or bool(allowed & {r.lower() for r in roles})
 
 
 def check_select(view: str, roles: Iterable[str]) -> None:

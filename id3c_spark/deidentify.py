@@ -25,8 +25,17 @@ def deidentify(
     out_col: str = "hash",
     drop: bool = True,
 ) -> DataFrame:
-    """Replace identifying columns with one stable hash (de_identify.py:32-72:
-    hash canonicalized_address, emit remaining columns)."""
-    joined = F.concat_ws("\x1f", *[F.coalesce(F.col(c), F.lit("")) for c in columns])
-    out = df.withColumn(out_col, generate_hash(joined, secret))
+    """Replace identifying columns with one stable hash.
+
+    Exact reference semantics (de_identify.py:58-60): values joined with a
+    single space IN COLUMN ORDER (``' '.join``, nulls as empty strings), and
+    a NULL hash when the joined value is the empty string (``generate_hash(x)
+    if x else None``) — so hashes line up with ones produced by the
+    reference pipeline for cross-system linkage."""
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in columns]
+    joined = F.concat_ws(" ", *parts)
+    h = F.when(joined == F.lit(""), F.lit(None).cast("string")).otherwise(
+        generate_hash(joined, secret)
+    )
+    out = df.withColumn(out_col, h)
     return out.drop(*columns) if drop else out

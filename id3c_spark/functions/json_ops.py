@@ -12,6 +12,7 @@ queries/merges via jsonb operators. We keep raw strings and:
 from __future__ import annotations
 
 import json
+from collections.abc import Sequence
 
 import pandas as pd
 from pyspark.sql import Column
@@ -49,6 +50,31 @@ def json_merge_udf(left: pd.Series, right: pd.Series) -> pd.Series:
         return json.dumps(base, allow_nan=False, sort_keys=True, separators=(",", ":"))
 
     return pd.Series([merge(a, b) for a, b in zip(left, right)])
+
+
+def json_remove_keys(doc: Column, keys: Sequence[str]) -> Column:
+    """Drop top-level *keys* from a JSON object string (``details - 'note'``,
+    redcap_sync.py:341 ``sample.details.pop("note")``). Pandas UDF because
+    generic jsonb has no fixed schema; only ever applied to the (small)
+    REDCap-unlink row set on the deletion-sync path, never in scans."""
+
+    key_set = set(keys)
+
+    @F.pandas_udf(T.StringType())
+    def _remove(col: pd.Series) -> pd.Series:
+        def rm(a: object) -> object:
+            if not (isinstance(a, str) and a.strip()):
+                return None
+            obj = json.loads(a)
+            if not isinstance(obj, dict):
+                return a
+            for k in key_set:
+                obj.pop(k, None)
+            return json.dumps(obj, allow_nan=False, sort_keys=True, separators=(",", ":"))
+
+        return pd.Series([rm(a) for a in col])
+
+    return _remove(doc)
 
 
 def json_contains_struct(doc: Column, required: dict) -> Column:

@@ -188,7 +188,9 @@ def lsh_bucketed_topk(
       1. band signatures via numpy GEMM in mapInPandas (one pass per side);
       2. candidate pairs via a plain equi-join on (band, signature) —
          a shuffle keyed by bucket, AQE handles skewed buckets;
-      3. rerank candidates with numpy against a broadcast corpus matrix.
+      3. rerank distributed: join candidates back to the embedding columns
+         (equi-joins on id) and score per Arrow batch with numpy row-dots —
+         no driver-side collect anywhere in the plan.
     Recall is tuned by (planes, bands): match probability per band is
     p_agree^(planes/bands), any-of-bands 1-(1-p^r)^b.
     """
@@ -243,28 +245,35 @@ def lsh_bucketed_topk(
         .distinct()
     )
 
-    # rerank: vectorized scoring against the broadcast corpus matrix
-    c_pdf = prep(corpus).toPandas()
-    q_pdf = c_pdf if queries is corpus else prep(queries).toPandas()
-    def to_mat(pdf):
-        ids = np.asarray(pdf["id"].values)
-        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-        mat = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
-        return {int(i): row for i, row in zip(ids, mat)}
-    lookup = spark.sparkContext.broadcast((to_mat(q_pdf), to_mat(c_pdf)))
+    # rerank: fully distributed — join candidate pairs back to the embedding
+    # columns (two equi-joins on id; the embeddings never leave executors),
+    # then score each Arrow batch with vectorized numpy row-dot. No driver
+    # materialization: this is the path that must survive corpora too big
+    # to broadcast, so nothing here collects.
+    qe = prep(queries).select(F.col("id").alias("query_id"), F.col("v").alias("qv"))
+    ce = (
+        qe.select(F.col("query_id").alias("neighbor_id"), F.col("qv").alias("cv"))
+        if queries is corpus
+        else prep(corpus).select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"))
+    )
+    pairs = cand.join(qe, "query_id").join(ce, "neighbor_id")
 
     def score(batches):
-        qm, cm = lookup.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            sims = [
-                round(float(qm[int(q)] @ cm[int(c)]), 6)
-                for q, c in zip(pdf["query_id"], pdf["neighbor_id"])
-            ]
-            yield pdf.assign(sim=sims)
+            qm = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["qv"]])
+            cm = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
+            sims = np.round(
+                (qm * cm).sum(axis=1)
+                / (np.sqrt((qm * qm).sum(axis=1)) * np.sqrt((cm * cm).sum(axis=1))),
+                6,
+            )
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], "neighbor_id": pdf["neighbor_id"], "sim": sims}
+            )
 
-    scored = cand.mapInPandas(score, "query_id long, neighbor_id long, sim double")
+    scored = pairs.mapInPandas(score, "query_id long, neighbor_id long, sim double")
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -57,18 +57,48 @@ def _distinct_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> Dat
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.5,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Pairs (id_a < id_b, jaccard) with shingle-set Jaccard ≥ threshold.
 
     Blocking on shared shingles is *exact* for threshold > 0: any pair with
     a non-zero Jaccard shares at least one shingle. Output jaccard is
     rounded to 6 dp (integer-ratio → stable across engines).
+
+    max_df (SSJoin prefix-filter lite / stop-shingle removal): drop
+    shingles whose document frequency exceeds *max_df* from the relation
+    before the self-join — the O(f²) pair blowup on stop-shingles is
+    quadratic per hot key, which AQE skew splitting rebalances but cannot
+    shrink. Jaccard is then exact over the capped vocabulary (the standard
+    stopword-removal semantics; sizes and intersections use the same
+    relation, mirrored in the oracle). Pairs whose every shared shingle is
+    ultra-common can be missed — at a sane cap they sit far below any
+    useful threshold. When no shingle exceeds the cap the plan is
+    byte-identical to the uncapped one (eager emptiness gate).
     """
     # persist: the shingle relation feeds both self-join sides AND the size
     # aggregate — without it the explode+md5+distinct pipeline runs 3×
     # (Spark does not dedupe common subplans within one action)
     sh = _distinct_shingles(df, id_col, text_col, k).persist()
+    if max_df is not None:
+        # Eager emptiness gate (one map-side-combined agg + limit-1): when
+        # no shingle exceeds the cap the anti-join is pure overhead, so the
+        # uncapped relation is used unchanged. The STOP set (df > max_df)
+        # is small by construction — broadcast it and anti-join;
+        # broadcasting the KEEP set would ship nearly every distinct
+        # shingle to every executor.
+        stop = (
+            sh.groupBy("sh").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .persist()
+        )
+        if stop.limit(1).count():
+            sh = sh.join(F.broadcast(stop.select("sh")), "sh", "left_anti").persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     # one self-join: the grouped intersection counts ARE the candidate set
     # (any pair with jaccard > 0 shares a shingle and lands here once)

@@ -182,32 +182,69 @@ def merge(
         bad = multi.limit(1).collect()
         if bad:
             raise MultipleMatchError(f"update matched multiple rows: {bad[0].asDict()}")
+        # The converse ambiguity: two update rows carrying the same key would
+        # both match one target (or both insert under the same surrogate id).
+        # The reference's row-at-a-time loop silently applies them in batch
+        # order; a distributed batch has no order, so refuse instead of
+        # guessing — callers that mean last-wins must pre-dedupe with an
+        # explicit ordinal (e.g. redcap_det.complete_dets does).
+        for keys in alt_keys:
+            nn = u
+            for k in keys:
+                nn = nn.filter(F.col(f"u_{k}").isNotNull())
+            dup = (
+                nn.groupBy(*[f"u_{k}" for k in keys])
+                .agg(F.count("*").alias("n"))
+                .filter(F.col("n") > 1)
+            )
+            bad = dup.limit(1).collect()
+            if bad:
+                raise MultipleMatchError(
+                    f"duplicate update rows for key {keys}: {bad[0].asDict()}"
+                )
 
     # --- change detection + column resolution ------------------------------
     changed = _null_safe_changed(matched, update_cols, dict(target.dtypes))
+
+    def out_cols(merged_details: Column | None) -> list[Column]:
+        cols = []
+        for c in target.columns:
+            if c == id_col:
+                cols.append(F.col(f"t_{id_col}").alias(id_col))
+            elif details_col and c == details_col:
+                cols.append(merged_details.alias(c))
+            elif c in update_cols:
+                cols.append(F.coalesce(F.col(f"u_{c}"), F.col(f"t_{c}")).alias(c))
+            else:
+                cols.append(F.col(f"t_{c}").alias(c))
+        return cols
+
     if details_col:
-        # null incoming details = "no details in this update" → no-op;
-        # otherwise coalesce(details,'{}') || new (top-level, right-biased).
-        merged_details = F.when(
-            F.col(f"u_{details_col}").isNull(), F.col(f"t_{details_col}")
-        ).otherwise(
+        # The JSON merge is the one pandas UDF on the write path, so it is
+        # gated hard: rows with null incoming details (= "no details in this
+        # update", a no-op) never reach Python at all, and for the rest the
+        # merge is materialized ONCE as a column (ArrowEvalPython attribute)
+        # instead of being re-evaluated by change detection and the output
+        # projection separately.
+        m_noop = matched.filter(F.col(f"u_{details_col}").isNull())
+        m_up = matched.filter(F.col(f"u_{details_col}").isNotNull()).withColumn(
+            "__merged",
             json_merge_udf(
                 F.coalesce(F.col(f"t_{details_col}"), F.lit("{}")),
                 F.col(f"u_{details_col}"),
+            ),
+        )
+        updated_rows = (
+            m_noop.filter(changed)
+            .select(*out_cols(F.col(f"t_{details_col}")))
+            .unionByName(
+                m_up.filter(
+                    changed | ~F.col("__merged").eqNullSafe(F.col(f"t_{details_col}"))
+                ).select(*out_cols(F.col("__merged")))
             )
         )
-        changed = changed | ~merged_details.eqNullSafe(F.col(f"t_{details_col}"))
-    out_cols = []
-    for c in target.columns:
-        if c == id_col:
-            out_cols.append(F.col(f"t_{id_col}").alias(id_col))
-        elif details_col and c == details_col:
-            out_cols.append(merged_details.alias(c))
-        elif c in update_cols:
-            out_cols.append(F.coalesce(F.col(f"u_{c}"), F.col(f"t_{c}")).alias(c))
-        else:
-            out_cols.append(F.col(f"t_{c}").alias(c))
-    updated_rows = matched.filter(changed).select(*out_cols)
+    else:
+        updated_rows = matched.filter(changed).select(*out_cols(None))
 
     matched_ids = matched.select(F.col(f"t_{id_col}").alias(id_col)).distinct()
     untouched = target.join(matched_ids, id_col, "left_anti")

@@ -198,7 +198,7 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_decode",
     oracle=f"""
     SELECT event_type, count(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            {DSUM.format(expr='value')} AS sum_value
     FROM events
     WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
@@ -454,7 +454,7 @@ def event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events)
-    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
     FROM g GROUP BY user_id
     """,
 )
@@ -578,14 +578,30 @@ _SHINGLES_CTE = _WORDS_CTE + """,
 
 @query(
     "ngram_jaccard_pairs",
+    # stop-shingle removal (df > 200 dropped from the relation; jaccard
+    # exact over the capped vocabulary) — mirrored exactly
     oracle=f"""
-    WITH {_SHINGLES_CTE}
-    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.4
+    WITH {_SHINGLES_CTE},
+    stop AS (SELECT s FROM ds GROUP BY s HAVING count(*) > 200),
+    bl AS (SELECT doc_id, s FROM ds WHERE s NOT IN (SELECT s FROM stop)),
+    bsizes AS (SELECT doc_id, count(*) AS n FROM bl GROUP BY doc_id),
+    binter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+      FROM bl a JOIN bl b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(ni::DOUBLE / (na.n + nb.n - ni), 6) AS jaccard
+    FROM binter
+    JOIN bsizes na ON na.doc_id = id_a
+    JOIN bsizes nb ON nb.doc_id = id_b
+    WHERE round(ni::DOUBLE / (na.n + nb.n - ni), 6) >= 0.4
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.4)
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.4, max_df=200
+    )
 
 
 _MINHASH_SIG_SQL = (
@@ -630,10 +646,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "simhash_docs",
-    oracle=f"""
-    WITH {_WORDS_CTE},
+_SIMHASH_CTE = _WORDS_CTE + """,
     th AS (
       SELECT doc_id,
              list_transform(ws, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
@@ -642,12 +655,20 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              list_transform(range(0, 32),
                j -> list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1))) AS sums
-      FROM th)
-    SELECT doc_id,
-           CAST(list_sum(list_transform(range(0, 32),
-             j -> CASE WHEN sums[j+1] > 0 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)
-             AS simhash
-    FROM bs
+      FROM th),
+    sims AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 32),
+               j -> CASE WHEN sums[j+1] > 0 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)
+               AS simhash
+      FROM bs)
+"""
+
+@query(
+    "simhash_docs",
+    oracle=f"""
+    WITH {_SIMHASH_CTE}
+    SELECT doc_id, simhash FROM sims
     """,
 )
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -655,7 +676,19 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(docs, "doc_id", "text").withColumnsRenamed({"id": "doc_id"})
 
 
-@query("simhash_pairs")  # rows-only: pair set checked vs brute force in tests
+@query(
+    "simhash_pairs",
+    # The byte-band pigeonhole blocking is *lossless* for max_distance=3 <
+    # 4 bands (some byte must be untouched), so the oracle is the plain
+    # brute-force hamming join over the same simhash values.
+    oracle=f"""
+    WITH {_SIMHASH_CTE}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS distance
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return dedup.simhash_pairs(docs, "doc_id", "text", max_distance=3)
@@ -691,7 +724,45 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.cosine_topk(emb, emb, k=3)
 
 
-@query("ann_lsh_topk")  # rows-only: approximate; recall vs exact in tests
+@query(
+    "ann_lsh_topk",
+    # Deterministic given the fixed md5-derived hyperplane family
+    # (ann.hyperplanes): w[p][d] = md5('lsh:p:d')[:7]/2^27 - 1. The oracle
+    # replays signatures → banded candidates → exact-cosine rerank in SQL.
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings),
+    pl AS (
+      SELECT p, list_transform(range(0, 64),
+               d -> ('0x' || substr(md5('lsh:' || p || ':' || d), 1, 7))::BIGINT
+                    / 134217728.0 - 1.0) AS w
+      FROM range(0, 32) AS t(p)),
+    sb AS (
+      SELECT v.vec_id, pl.p // 4 AS band,
+             SUM(CASE WHEN list_sum(list_transform(range(1, 65), i -> v.e[i] * pl.w[i])) > 0
+                      THEN 1 << (pl.p % 4) ELSE 0 END) AS sig
+      FROM v CROSS JOIN pl
+      GROUP BY v.vec_id, band),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM sb a JOIN sb b ON a.band = b.band AND a.sig = b.sig AND a.vec_id != b.vec_id),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+                   / (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i])))
+                      * sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i])))),
+                   6) AS sim
+      FROM cand c
+      JOIN v a ON a.vec_id = c.query_id
+      JOIN v b ON b.vec_id = c.neighbor_id),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 3
+    """,
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     # r = planes/bands = 4 sign bits per band: measured recall 0.74 vs the

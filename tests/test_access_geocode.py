@@ -23,9 +23,55 @@ def test_rls_filter(spark):
 def test_view_acl():
     assert access.can_select("presence_absence_result_v1", ["reporter"])
     assert not access.can_select("incidence_model_observation_v2", ["reporter"])
-    assert access.can_select("unlisted_view", [])       # no ACL = public
+    # deny-by-default: unregistered views fail closed (views.sql revokes
+    # from public before granting — a missing ACL entry is a missing grant)
+    assert not access.can_select("unlisted_view", [])
+    assert not access.can_select("unlisted_view", ["reporter"])
+    # explicit PUBLIC marker is the only way to be world-readable
+    assert access.can_select("sample_with_best_available_encounter_data_v1", [])
     with pytest.raises(PermissionError):
         access.check_select("incidence_model_observation_v2", ["reporter"])
+
+
+def test_user_registry(tmp_path):
+    """user.py / db/__init__.py:104-153 parity: create, grant, reset,
+    name-ordered listing with sorted roles; access layer integration."""
+    from click.testing import CliRunner
+
+    from id3c_spark.cli import cli
+    from id3c_spark.users import NoSuchUserError, UserExistsError, UserRegistry
+
+    reg = UserRegistry(str(tmp_path / "users.json"))
+    reg.create_user("ada", comment="modeler")
+    reg.grant_roles("ada", ["incidence-modeler"])
+    reg.grant_roles("ada", ["reporter", "incidence-modeler"])   # idempotent union
+    reg.create_user("bob")
+    reg.grant_roles("bob", [])                                   # no-op like the reference
+    assert reg.list_users() == [
+        {"name": "ada", "description": "modeler", "roles": ["incidence-modeler", "reporter"]},
+        {"name": "bob", "description": None, "roles": []},
+    ]
+    with pytest.raises(UserExistsError):
+        reg.create_user("ada")
+    with pytest.raises(NoSuchUserError):
+        reg.grant_roles("ghost", ["reporter"])
+
+    pw = reg.reset_password("ada")
+    assert reg.check_password("ada", pw) and not reg.check_password("ada", "wrong")
+    assert pw not in (tmp_path / "users.json").read_text()       # only digest stored
+
+    # granted roles drive the ACL layer
+    assert access.can_select("incidence_model_observation_v2", reg.roles_of("ada"))
+    assert not access.can_select("incidence_model_observation_v2", reg.roles_of("bob"))
+
+    # CLI surface (user create --role / ls)
+    r = CliRunner()
+    path = str(tmp_path / "cli_users.json")
+    out = r.invoke(cli, ["user", "create", "carol", "--registry", path,
+                         "--role", "reporter", "--generate-password"])
+    assert out.exit_code == 0 and "Password is " in out.output
+    ls = r.invoke(cli, ["user", "ls", "--registry", path])
+    assert ls.exit_code == 0 and "carol" in ls.output and "reporter" in ls.output
 
 
 def test_refresh_atomic(spark, tmp_path):

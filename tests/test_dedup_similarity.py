@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import functions as F
 
 from id3c_spark.operators import ann, dedup, similarity
@@ -31,6 +33,19 @@ def test_ngram_jaccard_finds_near_dups(spark):
     assert (1, 4) in got      # exact dup → jaccard 1.0
     assert (2, 4) in got
     assert all(a in (1, 2, 4) and b in (1, 2, 4) for a, b in got)
+
+
+def test_ngram_jaccard_df_cap(spark):
+    df = docs_df(spark)
+    uncapped = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.5)
+    # sane cap (nothing in the fixture exceeds df=4) → identical pair set,
+    # identical jaccard values (verify runs on FULL sets either way)
+    capped = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.5, max_df=4)
+    assert sorted(map(tuple, uncapped.collect())) == sorted(map(tuple, capped.collect()))
+    # cap of 1 removes every shingle shared by the (1,2,4) cluster from
+    # blocking → no candidates survive
+    starved = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.5, max_df=1)
+    assert starved.count() == 0
 
 
 def test_minhash_lsh_recalls_exact_dups(spark):
@@ -99,6 +114,62 @@ def test_minting_deterministic(spark):
     a = sorted(r.barcode for r in similarity.mint_identifiers(spark, existing, 5, 1, seed="x").collect())
     b = sorted(r.barcode for r in similarity.mint_identifiers(spark, existing, 5, 1, seed="x").collect())
     assert a == b
+
+
+def test_labelmaker_spec_parity():
+    """Layout-spec shapes vs labelmaker.py:63-113 blank-padding rules."""
+    from id3c_spark import labelmaker
+
+    # simple layout: one entry per barcode, no blanks
+    lay, bc = labelmaker.layout_identifiers("collections-seattleflu.org", ["aaaaaaaa", "bbbbbbbb"])
+    spec = lay.spec(bc)
+    assert spec["type"] == "LCRY-1100"
+    assert [l.get("barcode") for l in spec["labels"]] == ["aaaaaaaa", "bbbbbbbb"]
+    assert spec["labels"][0]["text"] == "COLLECTION aaaaaaaa\nseattleflu.org"
+
+    # triplicate LCRY-1100: a blank before every barcode after the first
+    lay, bc = labelmaker.layout_identifiers("collections-self-test", ["a1", "a2", "a3"])
+    labels = lay.spec(bc)["labels"]
+    assert [l.get("barcode") for l in labels] == ["a1", None, "a2", None, "a3"]
+    assert all(l["copies"] == 3 for l in labels if "barcode" in l)
+
+    # duplicate LCRY-2380 (samples): blank before every 4th barcode
+    lay, bc = labelmaker.layout_identifiers("samples", [f"b{i}" for i in range(1, 6)])
+    labels = lay.spec(bc)["labels"]
+    assert [l.get("barcode") for l in labels] == ["b1", "b2", "b3", None, "b4", "b5"]
+    # singlet variant: single copies, no padding (labelmaker.py:115-144)
+    lay, bc = labelmaker.layout_identifiers("samples", ["b1", "b2", "b3", "b4"], layout="singlet")
+    labels = lay.spec(bc)["labels"]
+    assert [l.get("barcode") for l in labels] == ["b1", "b2", "b3", "b4"]
+    assert all(l["copies"] == 1 for l in labels)
+
+    # CLIA 'small': LCRY-2380 sheet, reference-only text (labelmaker.py:244-268)
+    lay, bc = labelmaker.layout_identifiers("collections-clia-compliance", ["cccccccc"], layout="small")
+    spec = lay.spec(bc)
+    assert spec["type"] == "LCRY-2380"
+    assert spec["labels"][0]["text"] == "seattleflu.org"
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        labelmaker.layout_identifiers("collections-scan", ["x"], layout="singlet")
+
+
+def test_labelmaker_generate_pdf_offline():
+    from id3c_spark import labelmaker
+
+    seen = {}
+
+    def transport(url, data, headers):
+        seen.update(url=url, spec=json.loads(data), ct=headers["Content-Type"])
+        return b"%PDF-fake"
+
+    lay, bc = labelmaker.layout_identifiers("collections-kiosks", ["deadbeef"])
+    pdf = labelmaker.generate_pdf(lay, bc, api="http://labels.test", transport=transport)
+    assert pdf == b"%PDF-fake"
+    assert seen["url"] == "http://labels.test/stickers"
+    assert seen["ct"] == "application/json"
+    assert seen["spec"]["type"] == "LCRY-1100"
+    assert seen["spec"]["labels"][0]["copies"] == 2
 
 
 def test_ann_recall(spark, sf_dir):

@@ -92,6 +92,53 @@ def test_consensus_genome_etl(spark, warehouse, identifiers):
     assert stats2 == stats
 
 
+def test_cascade_delete_reference_semantics(spark):
+    """Full redcap_sync parity: REDCap-provenance samples deleted with their
+    presence_absences, lab samples unlinked with details.note dropped,
+    locations/individuals deleted only when unique to doomed encounters."""
+    frames = {
+        "encounter": spark.createDataFrame(
+            [(1, "enc-1", 10), (2, "enc-2", 11)],
+            "encounter_id long, identifier string, individual_id long"),
+        "encounter_location": spark.createDataFrame(
+            [(1, 100), (1, 101), (2, 101)], "encounter_id long, location_id long"),
+        "location": spark.createDataFrame([(100,), (101,), (102,)], "location_id long"),
+        "sample": spark.createDataFrame(
+            [(1000, 1, '{"coding": [], "note": "x"}'),   # REDCap provenance
+             (1001, 1, '{"note": "x", "lims": true}'),   # lab provenance
+             (1002, 2, '{"note": "y"}')],                # different encounter
+            "sample_id long, encounter_id long, details string"),
+        "presence_absence": spark.createDataFrame(
+            [(1, 1000), (2, 1001)], "pa_id long, sample_id long"),
+        # individual 12 has no encounter at all — pre-existing, must survive
+        "individual": spark.createDataFrame([(10,), (11,), (12,)], "individual_id long"),
+    }
+    doomed = frames["encounter"].filter(F.col("identifier") == "enc-1")
+    out, stats = deletes.cascade_delete_encounters(frames, doomed)
+
+    assert stats["encounter"] == 1
+    # location 100 unique to enc-1 → deleted; 101 shared with enc-2 and 102
+    # never referenced → both survive
+    assert stats["location"] == 1
+    assert {r.location_id for r in out["location"].collect()} == {101, 102}
+    # sample 1000 (details exactly {coding, note}) deleted + its pa rows;
+    # sample 1001 keeps lab results: unlinked, note dropped
+    assert stats["sample"] == 1
+    assert stats["presence_absence"] == 1
+    assert stats["sample_unlinked"] == 1
+    samples = {r.sample_id: r for r in out["sample"].collect()}
+    assert set(samples) == {1001, 1002}
+    assert samples[1001].encounter_id is None
+    assert json.loads(samples[1001].details) == {"lims": True}
+    assert samples[1002].encounter_id == 2
+    assert json.loads(samples[1002].details) == {"note": "y"}
+    assert {r.pa_id for r in out["presence_absence"].collect()} == {2}
+    # individual 10 unique to enc-1 → deleted; 11 still referenced; 12
+    # encounter-less pre-existing → both survive
+    assert stats["individual_orphans"] == 1
+    assert {r.individual_id for r in out["individual"].collect()} == {11, 12}
+
+
 def test_cascade_delete(spark, warehouse, identifiers):
     enrollments.run(
         spark, receiving_df(spark, [json.loads(d) for _, d in fixtures.enrollment_documents()]),

@@ -81,6 +81,20 @@ def test_multi_match_errors(spark):
               update_cols=["collected"])
 
 
+def test_duplicate_update_keys_raise(spark):
+    """Two update rows with the same key would both match one target (or
+    both insert under one surrogate id) — a distributed batch has no 'last
+    row wins' order, so merge refuses instead of writing a duplicate pk."""
+    target = df_of(spark, [(1, "s1", "c1", "2020-01-01", None)], SAMPLE_SCHEMA)
+    updates = df_of(spark, [
+        (None, "s1", None, "2020-01-05", None),
+        (None, "s1", None, "2020-01-06", None),
+    ], SAMPLE_SCHEMA).drop("sample_id")
+    with pytest.raises(MultipleMatchError, match="duplicate update rows"):
+        merge(target, updates, [["identifier"]], id_col="sample_id",
+              update_cols=["collected"])
+
+
 def test_find_or_create(spark):
     target = df_of(spark, [(1, "kiosk", None)], "site_id long, identifier string, details string")
     wanted = df_of(spark, [("kiosk",), ("clinic",)], "identifier string")

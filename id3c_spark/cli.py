@@ -100,9 +100,16 @@ def upload_cmd(file, receiving_dir, table):
 @cli.command("mint")
 @click.option("--n", type=int, required=True)
 @click.option("--set-id", type=int, required=True)
+@click.option("--set-name", default="samples",
+              help="identifier-set name selecting the label layout")
 @click.option("--existing", help="parquet of existing identifiers", default=None)
 @click.option("--seed", default="mint")
-def mint_cmd(n, set_id, existing, seed):
+@click.option("--labels", default=None, type=click.Path(),
+              help="generate barcode labels for the new identifiers and "
+                   "save the PDF to the given file (reference identifier.py:44-46)")
+@click.option("--layout", default="default")
+@click.option("--label-api", default=None, help="Lab Labels service URL")
+def mint_cmd(n, set_id, set_name, existing, seed, labels, layout, label_api):
     from id3c_spark.operators.similarity import mint_identifiers
 
     spark = get_spark("mint")
@@ -112,8 +119,18 @@ def mint_cmd(n, set_id, existing, seed):
         else spark.createDataFrame([], "barcode string")
     )
     minted = mint_identifiers(spark, ex, n, set_id, seed=seed)
-    for r in minted.collect():
+    rows = minted.collect()
+    for r in rows:
         click.echo(json.dumps({"uuid": r.uuid, "barcode": r.barcode}))
+    if labels:
+        from id3c_spark import labelmaker
+
+        lay, barcodes = labelmaker.layout_identifiers(set_name, rows, layout)
+        kwargs = {"api": label_api} if label_api else {}
+        pdf = labelmaker.generate_pdf(lay, barcodes, **kwargs)
+        with open(labels, "wb") as f:
+            f.write(pdf)
+        click.echo(f"wrote {len(pdf)} bytes of labels to {labels}")
 
 
 @cli.command("de-identify")
@@ -168,6 +185,50 @@ def shipping_cmd(warehouse_dir, view, limit):
     shipping_views.create_views(spark, frames)
     for row in spark.sql(f"SELECT * FROM {view} LIMIT {limit}").collect():  # noqa: S608
         click.echo(json.dumps(row.asDict(), default=str))
+
+
+@cli.group("user")
+def user_group():
+    """List and create users (lib/id3c/cli/command/user.py)."""
+
+
+@user_group.command("create")
+@click.argument("name", metavar="<username>")
+@click.option("--registry", required=True, help="user registry JSON path")
+@click.option("--generate-password", is_flag=True)
+@click.option("--role", "roles", metavar="<name>", multiple=True)
+@click.option("--comment", metavar="<text>")
+def user_create(name, registry, generate_password, roles, comment):
+    """Create a new user (user.py:22-58)."""
+    from id3c_spark.users import UserRegistry
+
+    reg = UserRegistry(registry)
+    reg.create_user(name, comment)
+    reg.grant_roles(name, list(roles))
+    if generate_password:
+        click.echo(f"Password is {reg.reset_password(name)}")
+
+
+@user_group.command("reset-password")
+@click.argument("name", metavar="<username>")
+@click.option("--registry", required=True)
+def user_reset_password(name, registry):
+    """Reset a user's password (user.py:61-79)."""
+    from id3c_spark.users import UserRegistry
+
+    click.echo(f"New password is {UserRegistry(registry).reset_password(name)}")
+
+
+@user_group.command("ls")
+@click.option("--registry", required=True)
+def user_ls(registry):
+    """List users with their sorted role lists (user.py:82-110)."""
+    from id3c_spark.users import UserRegistry
+
+    users = UserRegistry(registry).list_users()
+    width = max((len(u["name"]) for u in users), default=0) + 3
+    for u in users:
+        click.echo(f"{u['name']:<{width}}" + ", ".join(u["roles"]))
 
 
 if __name__ == "__main__":

@@ -160,17 +160,30 @@ def _parse_xlsx(path: str, sheet: str | None = None) -> list[list[str | None]]:
         return rows
 
 
-def read_excel_all_strings(spark: SparkSession, path: str, sheet: str | None = None) -> DataFrame:
+def read_excel_all_strings(
+    spark: SparkSession,
+    path: str,
+    sheet: str | None = None,
+    opener=None,
+) -> DataFrame:
     """Excel manifest scan (manifest.py:278-336, io/pandas.py:91-133):
     first row = header, every column StringType, trim + ''/'na' → null —
     identical contract to read_csv_all_strings.
+
+    *path* may be a local path, an ``http(s)://`` URL, or a Google Sheets
+    link (lib/id3c/cli/io/__init__.py:9-54, google.py:37-92) — remote
+    workbooks download to a temp file first (sources/remote.py; *opener*
+    injects the HTTP transport for tests/auth).
 
     The workbook parses driver-side (stdlib zip+XML): a manifest workbook is
     one small file, same locality as the reference's pandas read. A fleet of
     workbooks at scale would instead go through binaryFile + mapInPandas with
     this same parser applied per file.
     """
-    rows = _parse_xlsx(path, sheet)
+    from id3c_spark.sources.remote import fetch_local
+
+    with fetch_local(path, opener=opener) as local_path:
+        rows = _parse_xlsx(local_path, sheet)
     if not rows:
         raise ValueError(f"{path}: empty worksheet")
     header = [h if h else f"col{i}" for i, h in enumerate(rows[0])]

@@ -54,6 +54,152 @@ def test_redcap_det_pipeline(spark):
         redcap_det.run(spark, receiving, URL, 777, api)
 
 
+class _StubRedcap:
+    """In-process REDCap API stub: parses the form-encoded POST contract of
+    lib/id3c/cli/redcap.py:538-563 and serves a 5-record project."""
+
+    def __init__(self):
+        import http.server
+        import threading
+        import urllib.parse
+
+        self.requests: list[dict] = []
+        self.data = {str(i): {"record_id": str(i), "age": str(20 + i)} for i in range(1, 6)}
+        stub = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_POST(self):
+                body = self.rfile.read(int(self.headers["Content-Length"])).decode()
+                form = {k: v[0] for k, v in urllib.parse.parse_qs(body).items()}
+                stub.requests.append(form)
+                content = form.get("content")
+                if form.get("token") != "sekrit":
+                    out, code = {"error": "bad token"}, 403
+                elif content == "project":
+                    out, code = {
+                        "project_id": "123", "project_title": "Stub Study",
+                        "record_autonumbering_enabled": 1, "is_longitudinal": 0,
+                    }, 200
+                elif content == "metadata":
+                    out, code = [{"field_name": "record_id"}, {"field_name": "age"}], 200
+                elif content == "instrument":
+                    out, code = [{"instrument_name": "survey"}], 200
+                elif content == "generateNextRecordName":
+                    out, code = 6, 200
+                elif content == "version":
+                    self.send_response(200)
+                    self.end_headers()
+                    self.wfile.write(b"14.5.10")
+                    return
+                elif content == "log":
+                    out, code = [{"action": "export", "user": form.get("user")}], 200
+                elif content == "record" and "data" in form:
+                    out, code = {"count": len(json.loads(form["data"]))}, 200
+                elif content == "record":
+                    rows = list(stub.data.values())
+                    if "records" in form:
+                        wanted = set(form["records"].split(","))
+                        rows = [r for r in rows if r["record_id"] in wanted]
+                    if "filterLogic" in form:
+                        import re
+                        lo = re.search(r">= (\d+)", form["filterLogic"])
+                        hi = re.search(r"< (\d+)", form["filterLogic"])
+                        rows = [
+                            r for r in rows
+                            if int(r["record_id"]) >= int(lo.group(1))
+                            and (hi is None or int(r["record_id"]) < int(hi.group(1)))
+                        ]
+                    out, code = rows, 200
+                else:
+                    out, code = {"error": f"unknown content {content}"}, 400
+                payload = json.dumps(out).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(payload)
+
+        self.server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=self.server.serve_forever, daemon=True).start()
+        self.url = f"http://127.0.0.1:{self.server.server_address[1]}"
+
+    def close(self):
+        self.server.shutdown()
+
+
+def test_redcap_http_client_paging_and_parity():
+    from id3c_spark.sources.redcap import RedcapProject
+
+    stub = _StubRedcap()
+    try:
+        p = RedcapProject(stub.url, 123, token="sekrit")
+        assert p.title == "Stub Study"
+        assert p.record_id_field == "record_id"
+        assert p.instruments == ["survey"]
+        assert p.events == []                      # not longitudinal
+        assert p.redcap_version == "14.5.10"
+
+        # wrong project id → the reference's token-safety assertion
+        with pytest.raises(AssertionError, match="actually for project"):
+            RedcapProject(stub.url, 999, token="sekrit")
+
+        # paged fetch: next id 6, page_size 2 → pages [1,3) [3,5) [5,∞)
+        rows = list(p.records(page_size=2, raw=True))
+        assert [r["record_id"] for r in rows] == ["1", "2", "3", "4", "5"]
+        filters = [r["filterLogic"] for r in stub.requests if "filterLogic" in r]
+        assert filters == [
+            "[record_id] >= 1 and [record_id] < 3",
+            "[record_id] >= 3 and [record_id] < 5",
+            "[record_id] >= 5",
+        ]
+
+        # id-restricted fetch through the DET-adapter surface, batch parity
+        p.batch_size = 2
+        fetched = p.fetch(["1", "3", "5"])
+        assert [r["record_id"] for r in fetched] == ["1", "3", "5"]
+
+        # logs parameter mapping (redcap.py:141-212)
+        logs = p.logs(log_type="export", user="ada", since_date="2024-01-01 00:00:00")
+        assert logs[0]["user"] == "ada"
+        log_req = stub.requests[-1]
+        assert (log_req["logtype"], log_req["beginTime"]) == ("export", "2024-01-01 00:00:00")
+
+        # update_records: count check + dry_run short-circuit
+        assert p.update_records([{"record_id": "1", "age": "44"}]) == 1
+        p.dry_run = True
+        n_before = len(stub.requests)
+        assert p.update_records([{"record_id": "1"}, {"record_id": "2"}]) == 2
+        assert len(stub.requests) == n_before      # no API call in dry-run
+    finally:
+        stub.close()
+
+
+def test_redcap_http_client_drives_det_etl(spark):
+    """RedcapProject drops in for FakeRedcapApi in the DET pipeline."""
+    from id3c_spark.sources.redcap import RedcapProject
+
+    stub = _StubRedcap()
+    try:
+        api = RedcapProject(stub.url, 123, token="sekrit")
+        docs = [det(1), det(3)]
+        receiving = spark.createDataFrame(
+            [(i + 1, json.dumps(d)) for i, d in enumerate(docs)],
+            "id long, document string",
+        )
+
+        @redcap_det.command_for_project(URL, 123)
+        def my_etl(spark_, records):
+            return sorted(r["record_id"] for r in records)
+
+        stats = redcap_det.run(spark, receiving, URL, 123, api)
+        assert stats["fetched"] == 2
+        assert stats["transform_result"] == ["1", "3"]
+    finally:
+        stub.close()
+
+
 FEATURES = {
     "type": "FeatureCollection",
     "features": [
@@ -91,8 +237,10 @@ def test_location_import_modes(spark, tmp_path):
     h2 = {r.identifier: r.hierarchy for r in wh.read("location").collect()}
     assert h2["53033000100"]["state"] == "or"
 
+    # EPSG:3857 now re-projects (geo.mercator_to_wgs84); a CRS we can't
+    # handle still fails loudly
     with pytest.raises(ValueError):
-        stage_features(spark, {"crs": {"properties": {"name": "EPSG:3857"}}, "features": []})
+        stage_features(spark, {"crs": {"properties": {"name": "EPSG:2926"}}, "features": []})
 
 
 def test_stateful_sessionization(spark, tmp_path):

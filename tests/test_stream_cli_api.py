@@ -83,12 +83,24 @@ def test_api_receiving_and_lookup(spark, tmp_path):
     app = create_app(str(tmp_path / "recv"), idp)
     client = app.test_client()
 
-    ok = client.post("/v1/receiving/presence-absence", data='{"samples": []}')
+    ok = client.post("/v1/receiving/presence-absence", data='{"samples": []}',
+                     content_type="application/json")
     assert ok.status_code == 201
-    bad = client.post("/v1/receiving/presence-absence", data='[1,2]')
+    bad = client.post("/v1/receiving/presence-absence", data='[1,2]',
+                      content_type="application/json")
     assert bad.status_code == 400          # json_typeof object constraint
-    nope = client.post("/v1/receiving/unknown-endpoint", data='{}')
+    nope = client.post("/v1/receiving/unknown-endpoint", data='{}',
+                       content_type="application/json")
     assert nope.status_code == 404
+    # content_types_accepted parity → 415 on a wrong declared type
+    wrong = client.post("/v1/receiving/presence-absence", data='{"x":1}',
+                        content_type="text/csv")
+    assert wrong.status_code == 415
+    # fhir endpoint takes application/fhir+json only (routes.py:136-139)
+    assert client.post("/v1/receiving/fhir", data='{"resourceType":"Bundle"}',
+                       content_type="application/fhir+json").status_code == 201
+    assert client.post("/v1/receiving/fhir", data='{"resourceType":"Bundle"}',
+                       content_type="application/json").status_code == 415
 
     got = client.get("/v1/warehouse/identifier/11112222")
     assert got.status_code == 200
@@ -97,12 +109,81 @@ def test_api_receiving_and_lookup(spark, tmp_path):
     assert client.get("/v1/warehouse/identifier/AabBccDD").status_code == 200
     assert client.get("/v1/warehouse/identifier/zzzzzzzz").status_code == 404
 
-    ver = client.post(
-        "/v1/verification/barcode-uses/verify",
-        json=["11112222", "AABBCCDD", "nope0000"],
-    )
-    assert [v["known"] for v in ver.get_json()] == [True, True, False]
-
     # uploaded document landed in the receiving log verbatim
     log = (tmp_path / "recv" / "presence_absence.ndjson").read_text()
     assert log == '{"samples": []}\n'
+
+
+def test_api_validation_layer(spark, tmp_path):
+    """Schema validation + 4xx mapping (api/schemas.py, routes.py:37-203)."""
+    ids = spark.createDataFrame(
+        fixtures.identifier_rows(), "uuid string, barcode string, identifier_set_id long"
+    )
+    idp = str(tmp_path / "identifiers.parquet")
+    ids.toPandas().to_parquet(idp)
+    sets = {r.identifier_set_id for r in ids.collect()}
+    app = create_app(str(tmp_path / "recv"), idp, set_uses={s: "sample" for s in sets})
+    client = app.test_client()
+
+    # barcode-uses/verify: reference contract with {barcode, use} objects
+    ver = client.post(
+        "/v1/verification/barcode-uses/verify",
+        json=[{"barcode": "11112222", "use": "sample"},
+              {"barcode": "AABBCCDD", "use": "kit"},
+              {"barcode": "nope0000", "use": "sample"}],
+    )
+    rows = ver.get_json()
+    assert [r["barcode_found"] for r in rows] == [True, True, False]
+    assert [r["use_match"] for r in rows] == [True, False, None]
+    # malformed: missing 'use' → 400 with the validation message
+    bad = client.post("/v1/verification/barcode-uses/verify",
+                      json=[{"barcode": "11112222"}])
+    assert bad.status_code == 400 and b"required" in bad.data
+
+    # manifest incident: required field + enum + date format enforced
+    ok = client.post("/v1/receiving/manifest/incident",
+                     json={"collection": "aabbccdd", "swab_type": "np",
+                           "incident_date": "2024-03-01"})
+    assert ok.status_code == 204
+    assert client.post("/v1/receiving/manifest/incident",
+                       json={"swab_type": "np"}).status_code == 400
+    assert client.post("/v1/receiving/manifest/incident",
+                       json={"collection": "aabbccdd",
+                             "swab_type": "nose"}).status_code == 400
+    assert client.post("/v1/receiving/manifest/incident",
+                       json={"collection": "aabbccdd",
+                             "incident_date": "03/01/2024"}).status_code == 400
+
+    # warehouse/sample POST: anyOf key requirement, date + racks/aliquots
+    # normalization (routes.py:325-385)
+    res = client.post("/v1/warehouse/sample",
+                      json={"sample_id": "11112222",
+                            "collection_date": "2024-03-05",
+                            "rack_a": "R1", "rack_b": "R2",
+                            "aliquot_a": "A1"})
+    assert res.status_code == 200
+    stored = res.get_json()["sample"]
+    assert stored["collection_date"] == "03/05/2024"
+    assert stored["racks"] == ["R1", "R2"] and stored["aliquots"] == ["A1"]
+    assert "rack_a" not in stored
+    assert client.post("/v1/warehouse/sample",
+                       json={"notes": "no key"}).status_code == 400  # anyOf
+    assert client.post("/v1/warehouse/sample",
+                       json={"sample_id": "short"}).status_code == 400
+    assert client.post("/v1/warehouse/sample",
+                       json={"sample_id": "11112222",
+                             "bogus_field": "x"}).status_code == 400
+
+    # GET sample barcode-format guard → 400; unknown → 404
+    assert client.get("/v1/warehouse/sample/zzz").status_code == 400
+    assert client.get("/v1/warehouse/sample/ffffffff").status_code == 404
+    assert client.get("/v1/warehouse/sample").status_code == 400
+    assert client.get("/v1/warehouse/sample/11112222").status_code == 200
+
+    # redcap-det: form-encoded in, JSON stored (routes.py:119-133)
+    det = client.post("/v1/receiving/redcap-det",
+                      data={"project_id": "123", "record": "7"},
+                      content_type="application/x-www-form-urlencoded")
+    assert det.status_code == 201
+    line = (tmp_path / "recv" / "redcap_det.ndjson").read_text().strip()
+    assert json.loads(line) == {"project_id": "123", "record": "7"}

@@ -22,19 +22,25 @@ from id3c_spark.etl.warehouse import Warehouse
 from id3c_spark.functions.hstore import hstore_concat, parse_hstore
 
 
-def _geom_to_wkt(geom: dict | None) -> str | None:
+def _geom_to_wkt(geom: dict | None, reproject=None) -> str | None:
+    def pt(p):
+        x, y = p[:2]
+        if reproject:
+            x, y = reproject(x, y)
+        return x, y
+
     if not geom:
         return None
     t = geom.get("type")
     if t == "Point":
-        x, y = geom["coordinates"][:2]
+        x, y = pt(geom["coordinates"])
         return f"POINT ({x} {y})"
     if t == "Polygon":
-        ring = ", ".join(f"{x} {y}" for x, y in (p[:2] for p in geom["coordinates"][0]))
+        ring = ", ".join(f"{x} {y}" for x, y in map(pt, geom["coordinates"][0]))
         return f"POLYGON (({ring}))"
     if t == "MultiPolygon":
         first = geom["coordinates"][0][0]
-        ring = ", ".join(f"{x} {y}" for x, y in (p[:2] for p in first))
+        ring = ", ".join(f"{x} {y}" for x, y in map(pt, first))
         return f"POLYGON (({ring}))"     # outer ring of first polygon
     return None
 
@@ -43,12 +49,23 @@ def stage_features(
     spark: SparkSession, feature_collection: dict, scale: str | None = None
 ) -> DataFrame:
     """GeoJSON FeatureCollection → staged location frame
-    (parse_features parity, location.py:316-352)."""
-    crs = (
+    (parse_features parity, location.py:316-352).
+
+    CRS: EPSG:4326/CRS84 passes through; EPSG:3857 (web mercator, the one
+    non-4326 CRS that shows up in practice) is re-projected with the
+    spherical-mercator inverse (geo.mercator_to_wgs84) — the reference
+    hands this to fiona/PostGIS st_transform. Anything else still raises.
+    """
+    crs = str(
         feature_collection.get("crs", {}).get("properties", {}).get("name", "EPSG:4326")
     )
-    if "4326" not in str(crs) and "CRS84" not in str(crs):
-        raise ValueError(f"expected EPSG:4326 features, got {crs}")
+    reproject = None
+    if "3857" in crs:
+        from id3c_spark.geo import mercator_to_wgs84
+
+        reproject = mercator_to_wgs84
+    elif "4326" not in crs and "CRS84" not in crs:
+        raise ValueError(f"expected EPSG:4326 or EPSG:3857 features, got {crs}")
     rows = []
     for feat in feature_collection.get("features", []):
         props = feat.get("properties", {})
@@ -56,7 +73,7 @@ def stage_features(
             str(feat.get("id") or props.get("id")),
             props.get("scale") or scale,
             props.get("hierarchy"),
-            _geom_to_wkt(feat.get("geometry")),
+            _geom_to_wkt(feat.get("geometry"), reproject),
         ))
     staged = spark.createDataFrame(
         rows, "identifier string, scale string, hierarchy_text string, polygon_wkt string"

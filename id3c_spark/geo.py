@@ -94,6 +94,116 @@ def with_bbox(locations: DataFrame, polygon_col: str = "polygon_wkt") -> DataFra
     return locations.withColumn("__bbox", bbox(F.col(polygon_col)))
 
 
+def ring_centroid(ring: list[tuple[float, float]]) -> tuple[float, float] | None:
+    """Polygon centroid via the shoelace formula (st_centroid for simple
+    rings). Degenerate (zero-area) rings fall back to the vertex mean."""
+    n = len(ring)
+    if n == 0:
+        return None
+    a2 = cx = cy = 0.0
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        cross = x1 * y2 - x2 * y1
+        a2 += cross
+        cx += (x1 + x2) * cross
+        cy += (y1 + y2) * cross
+    if a2 == 0.0:
+        return (sum(p[0] for p in ring) / n, sum(p[1] for p in ring) / n)
+    return (cx / (3.0 * a2), cy / (3.0 * a2))
+
+
+def point_on_surface(ring: list[tuple[float, float]]) -> tuple[float, float] | None:
+    """A point guaranteed interior to the ring (st_pointonsurface):
+    horizontal scanline through the bbox y-bisector (nudged off vertex
+    rows), widest crossing interval's midpoint — the classic JTS
+    InteriorPointArea shape."""
+    if not ring:
+        return None
+    ys = sorted({y for _, y in ring})
+    if len(ys) == 1:
+        xs = [x for x, _ in ring]
+        return ((min(xs) + max(xs)) / 2.0, ys[0])
+    mid = (ys[0] + ys[-1]) / 2.0
+    if mid in ys:
+        # scan through the midpoint of the two vertex rows bracketing mid
+        below = max(y for y in ys if y < mid) if any(y < mid for y in ys) else ys[0]
+        above = min(y for y in ys if y > mid) if any(y > mid for y in ys) else ys[-1]
+        mid = (below + above) / 2.0
+    crossings = []
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        if (y1 > mid) != (y2 > mid):
+            crossings.append((x2 - x1) * (mid - y1) / (y2 - y1) + x1)
+    crossings.sort()
+    best = None
+    for lo, hi in zip(crossings[0::2], crossings[1::2]):
+        if best is None or hi - lo > best[1] - best[0]:
+            best = (lo, hi)
+    if best is None:
+        return ring_centroid(ring)
+    return ((best[0] + best[1]) / 2.0, mid)
+
+
+def default_point_from_polygon(
+    locations: DataFrame,
+    polygon_col: str = "polygon_wkt",
+    point_col: str = "point_wkt",
+) -> DataFrame:
+    """Reference trigger parity (warehouse/location/triggers/
+    point-default-from-polygon.sql:14-23): where *point_col* is null and a
+    polygon exists, default it to the centroid if the polygon covers it,
+    else an interior point-on-surface. Rows with a point keep it."""
+
+    @F.pandas_udf(T.StringType())
+    def derive(wkt: pd.Series) -> pd.Series:
+        out = []
+        for w in wkt:
+            ring = parse_wkt_polygon(w) if w else []
+            if not ring:
+                out.append(None)
+                continue
+            c = ring_centroid(ring)
+            if c is not None and point_in_ring(c[0], c[1], ring):
+                pt = c
+            else:
+                pt = point_on_surface(ring)
+            out.append(f"POINT ({pt[0]} {pt[1]})" if pt else None)
+        return pd.Series(out)
+
+    if point_col not in locations.columns:
+        locations = locations.withColumn(point_col, F.lit(None).cast("string"))
+    # UDF gated to the rows that actually need derivation (trigger WHEN
+    # clause): everything else passes through JVM-side untouched
+    needs = F.col(point_col).isNull() & F.col(polygon_col).isNotNull()
+    untouched = locations.filter(~needs)
+    derived = locations.filter(needs).withColumn(point_col, derive(F.col(polygon_col)))
+    return untouched.unionByName(derived)
+
+
+WEB_MERCATOR_R = 6378137.0  # spherical web-mercator radius (EPSG:3857)
+
+
+def mercator_to_wgs84(x: float, y: float) -> tuple[float, float]:
+    """EPSG:3857 → EPSG:4326 inverse spherical mercator — the common CRS
+    re-projection the reference delegates to PostGIS st_transform."""
+    import math
+
+    lng = math.degrees(x / WEB_MERCATOR_R)
+    lat = math.degrees(2.0 * math.atan(math.exp(y / WEB_MERCATOR_R)) - math.pi / 2.0)
+    return (lng, lat)
+
+
+def wgs84_to_mercator(lng: float, lat: float) -> tuple[float, float]:
+    import math
+
+    x = math.radians(lng) * WEB_MERCATOR_R
+    y = math.log(math.tan(math.pi / 4.0 + math.radians(lat) / 2.0)) * WEB_MERCATOR_R
+    return (x, y)
+
+
 def lookup_tract(
     points: DataFrame,
     locations: DataFrame,

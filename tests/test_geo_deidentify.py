@@ -28,6 +28,26 @@ def test_deidentify_drops_columns(spark):
     assert len(out.collect()[0].hash) == 64
 
 
+def test_deidentify_reference_join_semantics(spark):
+    # reference joins with a single space (de_identify.py:58) and emits a
+    # NULL hash when the joined value is empty (de_identify.py:60) — the
+    # multi-column hash must be byte-identical to ' '.join(values)+secret
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, "1 Main St", "Seattle"), (2, None, None), (3, None, "Seattle")],
+        "id long, street string, city string",
+    )
+    out = {r.id: r.hash for r in deidentify.deidentify(df, ["street", "city"], "s3cret").collect()}
+    assert out[1] == hashlib.sha256("1 Main St Seattle".encode() + b"s3cret").hexdigest()
+    # both empty → joined value is ' ' (truthy in the reference) → hashed
+    assert out[2] == hashlib.sha256(" ".encode() + b"s3cret").hexdigest()
+    assert out[3] == hashlib.sha256(" Seattle".encode() + b"s3cret").hexdigest()
+    # single empty column → joined value '' → null hash
+    single = spark.createDataFrame([(1, None)], "id long, street string")
+    assert deidentify.deidentify(single, ["street"], "s3cret").collect()[0].hash is None
+
+
 SQUARE = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
 FAR_SQUARE = "POLYGON ((20 20, 30 20, 30 30, 20 30, 20 20))"
 
@@ -132,6 +152,110 @@ def test_read_excel_all_strings(spark, tmp_path):
         readers.read_excel_all_strings(spark, str(p), sheet="nope")
 
 
+U_SHAPE = "POLYGON ((0 0, 10 0, 10 10, 7 10, 7 3, 3 3, 3 10, 0 10, 0 0))"
+
+
+def test_default_point_from_polygon(spark):
+    """Trigger parity (point-default-from-polygon.sql:14-23): centroid when
+    covered, else point-on-surface; existing points untouched."""
+    locs = spark.createDataFrame(
+        [("sq", SQUARE, None),
+         ("u", U_SHAPE, None),                      # centroid in the notch
+         ("kept", SQUARE, "POINT (1 1)"),           # point present → untouched
+         ("nopoly", None, None)],
+        "identifier string, polygon_wkt string, point_wkt string",
+    )
+    out = {r.identifier: r.point_wkt for r in geo.default_point_from_polygon(locs).collect()}
+    assert out["sq"] == "POINT (5.0 5.0)"           # centroid, covered
+    assert out["kept"] == "POINT (1 1)"
+    assert out["nopoly"] is None
+    # U-shape: centroid (5, ~5.7) sits in the notch → interior fallback
+    ring = geo.parse_wkt_polygon(U_SHAPE)
+    cx, cy = geo.ring_centroid(ring)
+    assert not geo.point_in_ring(cx, cy, ring)
+    ux, uy = (float(v) for v in out["u"][len("POINT ("):-1].split())
+    assert geo.point_in_ring(ux, uy, ring)
+
+
+def test_mercator_transform_roundtrip():
+    lng, lat = geo.mercator_to_wgs84(0.0, 0.0)
+    assert (lng, lat) == (0.0, 0.0)
+    for p in [(-122.33, 47.61), (2.35, 48.86), (151.21, -33.87)]:
+        x, y = geo.wgs84_to_mercator(*p)
+        back = geo.mercator_to_wgs84(x, y)
+        assert abs(back[0] - p[0]) < 1e-9 and abs(back[1] - p[1]) < 1e-9
+
+
+def test_stage_features_reprojects_3857(spark):
+    from id3c_spark.etl.location_import import stage_features
+
+    x, y = geo.wgs84_to_mercator(-122.0, 47.0)
+    fc = {
+        "type": "FeatureCollection",
+        "crs": {"type": "name", "properties": {"name": "urn:ogc:def:crs:EPSG::3857"}},
+        "features": [{
+            "id": "pt1", "properties": {"scale": "city"},
+            "geometry": {"type": "Point", "coordinates": [x, y]},
+        }],
+    }
+    wkt = stage_features(spark, fc).collect()[0].polygon_wkt
+    px, py = (float(v) for v in wkt[len("POINT ("):-1].split())
+    assert abs(px - -122.0) < 1e-9 and abs(py - 47.0) < 1e-9
+
+
+def test_read_excel_from_http_url(spark, tmp_path):
+    """Remote workbook fetch parity (io/__init__.py:9-54): an http(s)
+    manifest URL downloads to a temp file and parses identically."""
+    import functools
+    import http.server
+    import threading
+
+    _write_minimal_xlsx(tmp_path / "m.xlsx")
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(tmp_path)
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/m.xlsx"
+        df = readers.read_excel_all_strings(spark, url, sheet="Manifest")
+        assert df.columns == ["Sample Barcode", "Notes", "Qty"]
+        assert df.collect()[0]["Sample Barcode"] == "ABC123"
+    finally:
+        srv.shutdown()
+
+
+def test_google_sheets_url_rewrite(spark, tmp_path):
+    """A docs.google.com link resolves to the xlsx export endpoint
+    (google.py:37-92) and reads through the injected transport — offline."""
+    from id3c_spark.sources import remote
+
+    assert (
+        remote.extract_document_id_from_google_url(
+            "https://docs.google.com/spreadsheets/d/1BxiMVs0XRA5nFMdK/edit#gid=0"
+        )
+        == "1BxiMVs0XRA5nFMdK"
+    )
+    assert remote.extract_document_id_from_google_url("s3://bucket/f.xlsx") is None
+
+    p = tmp_path / "m.xlsx"
+    _write_minimal_xlsx(p)
+    seen = {}
+
+    def opener(url):
+        seen["url"] = url
+        return open(p, "rb")
+
+    df = readers.read_excel_all_strings(
+        spark,
+        "https://docs.google.com/spreadsheets/d/DOC-123_abc/edit#gid=0",
+        sheet="Manifest",
+        opener=opener,
+    )
+    assert seen["url"] == "https://docs.google.com/spreadsheets/d/DOC-123_abc/export?format=xlsx"
+    assert df.collect()[0].Qty == "42"
+
+
 def test_fastq_read_sets(spark, tmp_path):
     d = tmp_path / "fastq"
     d.mkdir()
@@ -143,15 +267,69 @@ def test_fastq_read_sets(spark, tmp_path):
     assert len(out["12345"]) == 2 and out["12345"] == sorted(out["12345"])
 
 
+def _make_png(width, height, pixel_rows, color_type=2, palette=None, filters=None):
+    """Hand-built PNG encoder for fixtures: 8-bit, per-row filter bytes."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = b""
+    for i, row in enumerate(pixel_rows):
+        f = filters[i] if filters else 0
+        raw += bytes([f]) + bytes(row)
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0))
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(palette))
+    out += chunk(b"IDAT", zlib.compress(raw))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_png_decode_real():
+    # 2×2 RGB, no filtering: mean over all channel bytes
+    px = [[255, 0, 0, 0, 255, 0], [0, 0, 255, 10, 20, 30]]
+    png = _make_png(2, 2, px)
+    got = multimodal.decode_png(png)
+    assert (got["width"], got["height"]) == (2, 2)
+    assert abs(got["mean"] - (sum(sum(r) for r in px) / 12)) < 1e-9
+
+    # Sub + Up filters round-trip: encode deltas, decoder must reconstruct
+    row0 = [10, 20, 30, 40, 50, 60]          # 2 RGB pixels
+    sub_deltas = [10, 20, 30, (40 - 10) & 0xFF, (50 - 20) & 0xFF, (60 - 30) & 0xFF]
+    up_deltas = [5, 0, 0, 0, 0, 0]           # row1 = row0 + deltas
+    png2 = _make_png(2, 2, [sub_deltas, up_deltas], filters=[1, 2])
+    expect = sum(row0) + sum((a + b) & 0xFF for a, b in zip(row0, up_deltas))
+    assert abs(multimodal.decode_png(png2)["mean"] - expect / 12) < 1e-9
+
+    # palette image: indexes dereference through PLTE for the mean
+    pal_png = _make_png(2, 1, [[0, 1]], color_type=3,
+                        palette=[255, 0, 0, 0, 0, 255])
+    got3 = multimodal.decode_png(pal_png)
+    assert got3["mean"] == (255 + 0 + 0 + 0 + 0 + 255) / 6
+
+
 def test_multimodal_plumbing(spark):
+    png = _make_png(2, 2, [[255, 0, 0, 0, 255, 0], [0, 0, 255, 10, 20, 30]])
     rows = [
-        (1, "image", "image/png", bytes([0, 100, 200]), (None, None, None)),
+        (1, "image", "image/png", png, (None, None, None)),
         (2, "video", "video/mp4", None, (None, None, 2500)),
         (3, "audio", "audio/wav", b"xx", (None, None, 1000)),
+        (4, "image", "image/jpeg", bytes([0, 100, 200]), (None, None, None)),
     ]
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
-    feats = multimodal.extract_image_features(media).collect()
-    assert len(feats) == 1
-    assert feats[0].n_bytes == 3 and abs(feats[0].mean_byte - 100.0) < 1e-9
+    feats = {r.media_id: r for r in multimodal.extract_image_features(media).collect()}
+    assert set(feats) == {1, 4}
+    # PNG: real decode → dimensions + pixel mean
+    assert (feats[1].width, feats[1].height) == (2, 2)
+    assert abs(feats[1].mean_byte - (sum([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30]) / 12)) < 1e-9
+    # non-PNG: stub byte stats, dimensions unknown
+    assert feats[4].width is None and feats[4].n_bytes == 3
+    assert abs(feats[4].mean_byte - 100.0) < 1e-9
     frames = multimodal.sample_video_frames(media, every_ms=1000).collect()
     assert [f.frame_ts_ms for f in frames] == [0, 1000, 2000]

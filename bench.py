@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "simhash_docs",
     "embedding_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "doc_stats",
     "doc_fingerprints",
     "hamming_close_codes",

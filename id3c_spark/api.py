@@ -48,6 +48,15 @@ MAX_CONTENT_LENGTH = 20 * 1024 * 1024  # check_content_length cap
 
 _BARCODE_RE = re.compile(r"[a-fA-F0-9]{8}")
 
+# warehouse.identifier_set_use seed rows (identifier-set-use/data.sql:6-13)
+IDENTIFIER_SET_USES = [
+    {"use": "sample", "description": "Identifiers for samples received and processed by the lab"},
+    {"use": "collection", "description": "Identifiers for collection tubes"},
+    {"use": "clia", "description": "Secondary identifiers for CLIA compliance"},
+    {"use": "kit", "description": "Identifiers for test kits"},
+    {"use": "test-strip", "description": "Identifiers for test strips"},
+]
+
 
 def _content_type_error(allowed: tuple[str, ...]):
     """content_types_accepted parity (utils/routes.py:43-68): reject a
@@ -180,6 +189,66 @@ def create_app(
         if row is None:
             return jsonify(error="not found"), 404
         return jsonify(uuid=row["uuid"], barcode=row["barcode"])
+
+    # --- identifier sets (routes.py:221-283; datastore.py:272-360) ---------
+    sets_path = os.path.join(receiving_dir, "identifier_sets.json")
+
+    def load_sets() -> dict:
+        if os.path.exists(sets_path):
+            with open(sets_path) as f:
+                return json.load(f)
+        return {}
+
+    def save_sets(sets: dict) -> None:
+        with lock:
+            with open(sets_path, "w") as f:
+                json.dump(sets, f, indent=2, sort_keys=True)
+
+    @app.get("/v1/warehouse/identifier-sets")
+    def get_identifier_sets():
+        sets = load_sets()
+        return jsonify([
+            {"name": n, "use": s.get("use"), "description": s.get("description")}
+            for n, s in sorted(sets.items())
+        ])
+
+    @app.get("/v1/warehouse/identifier-sets/<name>")
+    def get_identifier_set(name: str):
+        s = load_sets().get(name)
+        if s is None:
+            return jsonify(error=f"Identifier set {name!r} not found"), 404
+        return jsonify(name=name, use=s.get("use"), description=s.get("description"))
+
+    @app.put("/v1/warehouse/identifier-sets/<name>")
+    def put_identifier_set(name: str):
+        """make_identifier_set semantics (routes.py:249-283): create the set
+        (use required for new sets), update provided fields on existing ones;
+        201 when created or updated, 204 when unchanged."""
+        if err := guarded(("application/x-www-form-urlencoded", "multipart/form-data")):
+            return err
+        fields = {k: v for k, v in request.form.items() if k in ("use", "description")}
+        if "use" in fields and fields["use"] not in {u["use"] for u in IDENTIFIER_SET_USES}:
+            # the use FK constraint → 400 (datastore BadRequestDatabaseError)
+            return jsonify(error=f"unknown use {fields['use']!r}"), 400
+        sets = load_sets()
+        existing = sets.get(name)
+        if existing is None:
+            if "use" not in fields:
+                return jsonify(error="use is required for new identifier sets"), 400
+            sets[name] = {"use": fields["use"],
+                          "description": fields.get("description")}
+            save_sets(sets)
+            return "", 201
+        updated = {**existing, **fields}
+        if updated == existing:
+            return "", 204
+        sets[name] = updated
+        save_sets(sets)
+        return "", 201
+
+    @app.get("/v1/warehouse/identifier-set-uses")
+    def get_identifier_set_uses():
+        return jsonify(IDENTIFIER_SET_USES)
 
     @app.get("/v1/warehouse/identifier/<barcode>")
     def identifier(barcode: str):

@@ -170,6 +170,128 @@ def hyperplanes(dim: int, planes: int, seed: str = "lsh"):
     return w
 
 
+def _score_pairs(cand: DataFrame, qe: DataFrame, ce: DataFrame) -> DataFrame:
+    """Distributed exact-cosine rerank shared by the LSH and IVF paths:
+    join candidate pairs back to the embedding columns (two equi-joins on
+    id — embeddings never leave executors) and score each Arrow batch with
+    vectorized numpy row-dots. *qe* = (query_id, qv), *ce* = (neighbor_id,
+    cv)."""
+    import numpy as np
+    import pandas as pd
+
+    pairs = cand.join(qe, "query_id").join(ce, "neighbor_id")
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qm = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["qv"]])
+            cm = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
+            sims = np.round(
+                (qm * cm).sum(axis=1)
+                / (np.sqrt((qm * qm).sum(axis=1)) * np.sqrt((cm * cm).sum(axis=1))),
+                6,
+            )
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], "neighbor_id": pdf["neighbor_id"], "sim": sims}
+            )
+
+    return pairs.mapInPandas(score, "query_id long, neighbor_id long, sim double")
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer —
+    the production-scale companion to lsh_bucketed_topk.
+
+    Instead of trained k-means centroids (whose Lloyd iterations are not
+    reproducible across engines), the *nlist* coarse cells are anchored on
+    deterministic data pivots: the corpus vectors with the smallest
+    ``md5(vec_id)`` — an order-invariant uniform sample that both Spark and
+    the DuckDB oracle can derive exactly. Each corpus vector joins its
+    nearest pivot's cell (cosine, 6-dp rounded, pivot-id tiebreak); each
+    query probes its *nprobe* nearest cells; candidates are reranked with
+    the shared exact-cosine scorer.
+
+    Scale: pivots are tiny (nlist × dim — broadcast once); cell assignment
+    is one mapInPandas GEMM pass per side; the candidate join shuffles on
+    cell id, so cells are the unit of parallelism. Recall/cost is tuned by
+    (nlist, nprobe) exactly like FAISS IVF.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = queries.sparkSession
+
+    def prep(df: DataFrame) -> DataFrame:
+        return df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+
+    # deterministic pivots: nlist smallest md5(id); sorted by id so that
+    # numpy argmax's first-max == smallest-pivot-id tiebreak
+    piv_rows = (
+        prep(corpus)
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(nlist)
+        .collect()
+    )
+    piv_ids = np.asarray([r.id for r in piv_rows])
+    order = np.argsort(piv_ids)
+    piv_ids = piv_ids[order]
+    piv_mat = np.asarray([np.asarray(piv_rows[i].v, dtype=np.float64) for i in order])
+    piv_mat = piv_mat / np.sqrt((piv_mat * piv_mat).sum(axis=1))[:, None]
+    bp = spark.sparkContext.broadcast((piv_ids, piv_mat))
+
+    def assign(n_cells: int):
+        def gen(batches):
+            ids, mat = bp.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vm = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+                vm = vm / np.sqrt((vm * vm).sum(axis=1))[:, None]
+                sims = np.round(vm @ mat.T, 6)
+                out_id, out_cell = [], []
+                for i, rid in enumerate(pdf["id"].values):
+                    # stable sort: ties broken by pivot id ascending, matching
+                    # the oracle's ORDER BY sim DESC, pivot_id
+                    top = np.argsort(-sims[i], kind="stable")[:n_cells]
+                    out_id.extend([rid] * len(top))
+                    out_cell.extend(ids[top])
+                yield pd.DataFrame({"id": out_id, "cell": out_cell})
+        return gen
+
+    cp = prep(corpus).persist() if queries is corpus else prep(corpus)
+    qp = cp if queries is corpus else prep(queries)
+    cells = cp.mapInPandas(assign(1), "id long, cell long")
+    probes = qp.mapInPandas(assign(nprobe), "id long, cell long")
+
+    # a corpus vector lives in exactly one cell and a query probes nprobe
+    # DISTINCT cells, so each (query, neighbor) pair appears at most once —
+    # no dedup shuffle needed before rerank
+    cand = (
+        probes.alias("q")
+        .join(cells.alias("c"), F.col("q.cell") == F.col("c.cell"))
+        .filter(F.col("q.id") != F.col("c.id"))
+        .select(F.col("q.id").alias("query_id"), F.col("c.id").alias("neighbor_id"))
+    )
+    qe = qp.select(F.col("id").alias("query_id"), F.col("v").alias("qv"))
+    ce = cp.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"))
+    scored = _score_pairs(cand, qe, ce)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -245,35 +367,16 @@ def lsh_bucketed_topk(
         .distinct()
     )
 
-    # rerank: fully distributed — join candidate pairs back to the embedding
-    # columns (two equi-joins on id; the embeddings never leave executors),
-    # then score each Arrow batch with vectorized numpy row-dot. No driver
-    # materialization: this is the path that must survive corpora too big
-    # to broadcast, so nothing here collects.
+    # rerank: fully distributed (_score_pairs) — no driver materialization:
+    # this is the path that must survive corpora too big to broadcast, so
+    # nothing here collects.
     qe = prep(queries).select(F.col("id").alias("query_id"), F.col("v").alias("qv"))
     ce = (
         qe.select(F.col("query_id").alias("neighbor_id"), F.col("qv").alias("cv"))
         if queries is corpus
         else prep(corpus).select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"))
     )
-    pairs = cand.join(qe, "query_id").join(ce, "neighbor_id")
-
-    def score(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            qm = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["qv"]])
-            cm = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
-            sims = np.round(
-                (qm * cm).sum(axis=1)
-                / (np.sqrt((qm * qm).sum(axis=1)) * np.sqrt((cm * cm).sum(axis=1))),
-                6,
-            )
-            yield pd.DataFrame(
-                {"query_id": pdf["query_id"], "neighbor_id": pdf["neighbor_id"], "sim": sims}
-            )
-
-    scored = pairs.mapInPandas(score, "query_id long, neighbor_id long, sim double")
+    scored = _score_pairs(cand, qe, ce)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -772,6 +772,60 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_topk",
+    # Deterministic IVF: coarse cells anchored on the nlist=16 corpus
+    # vectors with smallest md5(vec_id) — both engines derive the same
+    # pivots, cell assignments (6-dp rounded cosine, pivot-id tiebreak),
+    # probes and rerank, so the approximate result is exactly mirrorable.
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings),
+    n AS (
+      SELECT vec_id, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+    piv AS (
+      SELECT v.vec_id AS pid, v.e AS pe, n.nrm AS pnrm
+      FROM v JOIN n ON n.vec_id = v.vec_id
+      ORDER BY md5(CAST(v.vec_id AS VARCHAR)), v.vec_id
+      LIMIT 16),
+    vp AS (
+      SELECT v.vec_id, p.pid,
+             round(list_sum(list_transform(range(1, 65),
+               i -> (v.e[i] / n.nrm) * (p.pe[i] / p.pnrm))), 6) AS sim
+      FROM v JOIN n ON n.vec_id = v.vec_id CROSS JOIN piv p),
+    ranked AS (
+      SELECT vec_id, pid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, pid) AS pr
+      FROM vp),
+    cells AS (SELECT vec_id, pid AS cell FROM ranked WHERE pr = 1),
+    probes AS (SELECT vec_id, pid AS cell FROM ranked WHERE pr <= 2),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM probes q JOIN cells c ON q.cell = c.cell AND q.vec_id != c.vec_id),
+    scored AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             round(list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+                   / (na.nrm * nb.nrm), 6) AS sim
+      FROM cand cd
+      JOIN v a ON a.vec_id = cd.query_id
+      JOIN v b ON b.vec_id = cd.neighbor_id
+      JOIN n na ON na.vec_id = cd.query_id
+      JOIN n nb ON nb.vec_id = cd.neighbor_id),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 3
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (the FAISS-style scale path): nlist cells
+    from deterministic data pivots, nprobe-cell probing, exact rerank."""
+    emb = t(spark, sf_dir, "embeddings")
+    return ann.ivf_topk(emb, emb, k=3, nlist=16, nprobe=2)
+
+
+@query(
     "embedding_dups",
     oracle="""
     WITH v AS (

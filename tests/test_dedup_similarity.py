@@ -180,3 +180,17 @@ def test_ann_recall(spark, sf_dir):
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall > 0.5, recall  # banded LSH recall on clustered embeddings
+
+
+def test_ivf_recall_and_determinism(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    exact = ann.cosine_topk(emb, emb, k=3)
+    ivf = ann.ivf_topk(emb, emb, k=3, nlist=8, nprobe=3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    rows1 = ivf.collect()
+    a = {(r.query_id, r.neighbor_id) for r in rows1}
+    recall = len(e & a) / len(e)
+    assert recall > 0.5, recall  # probing 3 of 8 cells on a 200-vec corpus
+    # deterministic pivots → identical result on re-run
+    rows2 = ann.ivf_topk(emb, emb, k=3, nlist=8, nprobe=3).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))

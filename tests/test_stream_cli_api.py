@@ -180,6 +180,27 @@ def test_api_validation_layer(spark, tmp_path):
     assert client.get("/v1/warehouse/sample").status_code == 400
     assert client.get("/v1/warehouse/sample/11112222").status_code == 200
 
+    # identifier-sets admin surface (routes.py:221-283)
+    assert client.get("/v1/warehouse/identifier-sets").get_json() == []
+    assert client.get("/v1/warehouse/identifier-sets/scan").status_code == 404
+    # new set requires a use; unknown uses hit the FK constraint → 400
+    assert client.put("/v1/warehouse/identifier-sets/scan",
+                      data={}).status_code == 400
+    assert client.put("/v1/warehouse/identifier-sets/scan",
+                      data={"use": "bogus"}).status_code == 400
+    assert client.put("/v1/warehouse/identifier-sets/scan",
+                      data={"use": "collection", "description": "SCAN swabs"}
+                      ).status_code == 201
+    got = client.get("/v1/warehouse/identifier-sets/scan").get_json()
+    assert got == {"name": "scan", "use": "collection", "description": "SCAN swabs"}
+    # idempotent PUT → 204 unchanged; changed field → 201
+    assert client.put("/v1/warehouse/identifier-sets/scan",
+                      data={"use": "collection"}).status_code == 204
+    assert client.put("/v1/warehouse/identifier-sets/scan",
+                      data={"use": "sample"}).status_code == 201
+    uses = {u["use"] for u in client.get("/v1/warehouse/identifier-set-uses").get_json()}
+    assert uses == {"sample", "collection", "clia", "kit", "test-strip"}
+
     # redcap-det: form-encoded in, JSON stored (routes.py:119-133)
     det = client.post("/v1/receiving/redcap-det",
                       data={"project_id": "123", "record": "7"},

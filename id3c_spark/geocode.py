@@ -42,6 +42,57 @@ def fake_geocoder(address: str) -> dict | None:
     }
 
 
+def smartystreets_provider(
+    auth_id: str,
+    auth_token: str,
+    transport: Callable[[str], bytes] | None = None,
+    api: str = "https://us-street.api.smarty.com",
+) -> Callable[[str], dict | None]:
+    """Real SmartyStreets US Street provider (reference geocode.py:313-427
+    via the vendor SDK; this speaks the same documented REST endpoint with
+    stdlib urllib). Mirrors the reference lookup: candidates=1, the most
+    permissive ``match=invalid`` strategy (geocode.py:398-400), and the
+    first-candidate parse — ``delivery_line_1 + ' ' + last_line`` as the
+    canonicalized address, lat/lng from metadata (geocode.py:403-427).
+    *transport* is injectable so tests stay offline."""
+    import json
+    import urllib.parse
+    import urllib.request
+
+    def default_transport(url: str) -> bytes:
+        with urllib.request.urlopen(url) as resp:
+            return resp.read()
+
+    fetch = transport or default_transport
+
+    def provider(address: str) -> dict | None:
+        if not address or not address.strip():
+            return None
+        params = urllib.parse.urlencode({
+            "auth-id": auth_id,
+            "auth-token": auth_token,
+            "street": address,
+            "candidates": 1,
+            "match": "invalid",
+        })
+        results = json.loads(fetch(f"{api}/street-address?{params}"))
+        if not results:
+            return None
+        first = results[0]
+        meta = first.get("metadata", {})
+        canonical = " ".join(
+            p for p in [first.get("delivery_line_1"), first.get("last_line")] if p
+        )
+        return {
+            "std_address": address.strip().upper(),
+            "lat": meta.get("latitude"),
+            "lng": meta.get("longitude"),
+            "canonicalized_address": canonical,
+        }
+
+    return provider
+
+
 class PickleCache:
     """TTL'd pickled cache (command/__init__.py:221-279 parity)."""
 

@@ -45,11 +45,11 @@ _PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → channels
 
 
-def decode_png(content: bytes) -> dict:
-    """Real PNG decode with the stdlib only (zlib inflate + per-scanline
-    unfilter per the PNG spec): returns width, height and the mean decoded
-    pixel-channel value. Supports 8-bit depth, color types 0/2/3/4/6
-    (palette entries dereferenced through PLTE for the mean)."""
+def _png_pixels(content: bytes) -> tuple[int, int, int, bytearray | None]:
+    """Chunk-parse + inflate + unfilter a PNG (stdlib only, per the spec).
+    Returns (width, height, channels, pixel bytes) — palette images come
+    back dereferenced to RGB; unsupported encodings return pixels=None with
+    real dimensions."""
     import struct
     import zlib
 
@@ -76,7 +76,7 @@ def decode_png(content: bytes) -> dict:
         raise ValueError("PNG missing IHDR")
     if bit_depth != 8 or color_type not in _PNG_CHANNELS:
         # header-only metadata for exotic encodings — still real dimensions
-        return {"width": int(width), "height": int(height), "mean": None}
+        return int(width), int(height), 0, None
 
     channels = _PNG_CHANNELS[color_type]
     bpp = channels  # bytes per pixel at depth 8
@@ -114,13 +114,72 @@ def decode_png(content: bytes) -> dict:
         prev = line
 
     if color_type == 3 and palette:
-        # dereference palette indexes → RGB bytes for a true pixel mean
+        # dereference palette indexes → RGB bytes
         rgb = bytearray()
         for idx in out:
             rgb.extend(palette[idx * 3:idx * 3 + 3])
         out = rgb
+        channels = 3
+    return int(width), int(height), channels, out
+
+
+def decode_png(content: bytes) -> dict:
+    """Real PNG decode with the stdlib only: returns width, height and the
+    mean decoded pixel-channel value. Supports 8-bit depth, color types
+    0/2/3/4/6 (palette entries dereferenced through PLTE for the mean)."""
+    width, height, _channels, out = _png_pixels(content)
+    if out is None:
+        return {"width": width, "height": height, "mean": None}
     mean = (sum(out) / len(out)) if out else 0.0
-    return {"width": int(width), "height": int(height), "mean": mean}
+    return {"width": width, "height": height, "mean": mean}
+
+
+def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Minimal stdlib PNG encoder: 8-bit gray/gray+alpha/RGB/RGBA, filter
+    type 0 scanlines, single IDAT."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + bytes(pixels[y * stride:(y + 1) * stride]) for y in range(height)
+    )
+    return (
+        _PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_png(content: bytes, max_width: int, max_height: int) -> bytes:
+    """Nearest-neighbor downscale preserving aspect ratio, re-encoded as
+    PNG. Images already within bounds pass through byte-identical."""
+    width, height, channels, pixels = _png_pixels(content)
+    if pixels is None:
+        raise ValueError("unsupported PNG encoding for resize")
+    if width <= max_width and height <= max_height:
+        return content
+    scale = min(max_width / width, max_height / height)
+    new_w = max(1, int(width * scale))
+    new_h = max(1, int(height * scale))
+    out = bytearray()
+    for y in range(new_h):
+        sy = min(height - 1, int(y / scale))
+        row_off = sy * width * channels
+        for x in range(new_w):
+            sx = min(width - 1, int(x / scale))
+            off = row_off + sx * channels
+            out.extend(pixels[off:off + channels])
+    return encode_png(new_w, new_h, channels, bytes(out))
 
 
 def _decode_image(content: bytes) -> dict:
@@ -160,6 +219,28 @@ def extract_image_features(media: DataFrame, batch_size_hint: int = 256) -> Data
             yield out[["media_id", "width", "height", "n_bytes", "mean_byte"]]
 
     return images.select("media_id", "content").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def resize_images(media: DataFrame, max_width: int, max_height: int) -> DataFrame:
+    """Resize stage over image rows: PNGs downscale for real (nearest-
+    neighbor + stdlib re-encode); other formats pass through untouched
+    (their decoders are the same stub boundary as _decode_image). Arrow-
+    batched; non-image rows never enter the Python stage."""
+    images = media.filter(F.col("kind") == "image")
+    others = media.filter(F.col("kind") != "image")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for content in pdf["content"]:
+                if content is not None and bytes(content[:8]) == _PNG_SIGNATURE:
+                    out.append(resize_png(bytes(content), max_width, max_height))
+                else:
+                    out.append(content)
+            yield pdf.assign(content=out)
+
+    resized = images.mapInPandas(run, media.schema)
+    return resized.unionByName(others)
 
 
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:

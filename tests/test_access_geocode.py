@@ -88,6 +88,40 @@ def test_refresh_atomic(spark, tmp_path):
     assert tbl.read().collect()[0].v == 2              # readers see the new version
 
 
+def test_smartystreets_provider_offline():
+    """US Street REST contract (reference geocode.py:313-427): candidates=1,
+    match=invalid, first-candidate parse, empty result → None."""
+    import json as _json
+    from urllib.parse import parse_qs, urlparse
+
+    seen = {}
+
+    def transport(url):
+        u = urlparse(url)
+        seen.update({k: v[0] for k, v in parse_qs(u.query).items()}, path=u.path)
+        if "EMPTY" in seen["street"]:
+            return b"[]"
+        return _json.dumps([{
+            "delivery_line_1": "123 MAIN ST",
+            "last_line": "SEATTLE WA 98101-0000",
+            "metadata": {"latitude": 47.60358, "longitude": -122.32945},
+        }]).encode()
+
+    provider = geocode.smartystreets_provider("id", "tok", transport=transport)
+    got = provider("123 main st, seattle, wa")
+    assert seen["path"] == "/street-address"
+    assert (seen["candidates"], seen["match"]) == ("1", "invalid")
+    assert (seen["auth-id"], seen["auth-token"]) == ("id", "tok")
+    assert got == {
+        "std_address": "123 MAIN ST, SEATTLE, WA",
+        "lat": 47.60358,
+        "lng": -122.32945,
+        "canonicalized_address": "123 MAIN ST SEATTLE WA 98101-0000",
+    }
+    assert provider("EMPTY st") is None
+    assert provider("") is None
+
+
 def test_geocode_cache(spark, tmp_path):
     df = spark.createDataFrame(
         [("123 Main St", "Seattle", "WA", "x1"),

@@ -314,6 +314,42 @@ def test_png_decode_real():
     assert got3["mean"] == (255 + 0 + 0 + 0 + 0 + 255) / 6
 
 
+def test_png_resize_real(spark):
+    # 4×4 RGB gradient → bounded to 2×2: decode of the re-encoded output
+    # must give the nearest-neighbor-sampled pixels
+    px_rows = [
+        bytes(v for x in range(4) for v in (x * 10 + y * 40, 0, 255 - x * 10))
+        for y in range(4)
+    ]
+    png = _make_png(4, 4, [list(r) for r in px_rows])
+    small = multimodal.resize_png(png, 2, 2)
+    got = multimodal.decode_png(small)
+    assert (got["width"], got["height"]) == (2, 2)
+    w, h, ch, pixels = multimodal._png_pixels(small)
+    # nearest-neighbor with scale 0.5 samples source pixels (0,0),(2,0),(0,2),(2,2)
+    src = multimodal._png_pixels(png)[3]
+    expect = bytearray()
+    for sy in (0, 2):
+        for sx in (0, 2):
+            off = (sy * 4 + sx) * 3
+            expect.extend(src[off:off + 3])
+    assert pixels == expect
+    # within-bounds images pass through byte-identical
+    assert multimodal.resize_png(png, 8, 8) == png
+
+    # Spark stage: PNG rows shrink, non-PNG image rows and non-image rows survive
+    media = spark.createDataFrame(
+        [(1, "image", "image/png", png, (None, None, None)),
+         (2, "image", "image/jpeg", b"\xff\xd8\xff", (None, None, None)),
+         (3, "audio", "audio/wav", b"xx", (None, None, 1000))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in multimodal.resize_images(media, 2, 2).collect()}
+    assert multimodal.decode_png(bytes(out[1].content))["width"] == 2
+    assert bytes(out[2].content) == b"\xff\xd8\xff"
+    assert out[3].kind == "audio"
+
+
 def test_multimodal_plumbing(spark):
     png = _make_png(2, 2, [[255, 0, 0, 0, 255, 0], [0, 0, 255, 10, 20, 30]])
     rows = [

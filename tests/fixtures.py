@@ -85,7 +85,7 @@ def pa_documents():
     barcodes (set 1)."""
     doc1 = {"samples": [
         {"investigatorId": "11112222", "sampleId": 101, "chip": "chip-A1",
-         "sampleFailed": False,
+         "sampleFailed": False, "isCurrentExpressionResult": True,
          "targetResults": [
              {"geneTarget": "Flu_A_pan", "controlStatus": "NotControl", "targetStatus": "Detected"},
              {"geneTarget": "RSV", "controlStatus": "NotControl", "targetStatus": "NotDetected"},
@@ -94,23 +94,38 @@ def pa_documents():
              {"geneTarget": "Adeno", "controlStatus": "NotControl", "targetStatus": "Fail"},      # skipped
          ]},
         {"investigatorId": "33334444", "sampleId": 102, "chip": None,
-         "sampleFailed": False,
+         "sampleFailed": False, "isCurrentExpressionResult": True,
          "targetResults": [
              {"geneTarget": "Flu_A_pan", "controlStatus": "NotControl", "targetStatus": "Negative"},
          ]},
-        {"investigatorId": None, "sampleId": 103, "chip": None, "sampleFailed": False,
+        {"investigatorId": None, "sampleId": 103, "chip": None, "sampleFailed": False, "isCurrentExpressionResult": True,
          "targetResults": [{"geneTarget": "RSV", "controlStatus": "NotControl", "targetStatus": "Detected"}]},
-        {"investigatorId": "UNKNOWN1", "sampleId": 104, "chip": None, "sampleFailed": False,
+        {"investigatorId": "UNKNOWN1", "sampleId": 104, "chip": None, "sampleFailed": False, "isCurrentExpressionResult": True,
          "targetResults": [{"geneTarget": "RSV", "controlStatus": "NotControl", "targetStatus": "Detected"}]},
-        {"investigatorId": "11112222", "sampleId": 105, "chip": None, "sampleFailed": True,  # failed → skip
+        {"investigatorId": "33334444", "sampleId": 106, "chip": None, "sampleFailed": False,
+         # out-of-date (isCurrentExpressionResult missing) → skipped
+         "targetResults": [{"geneTarget": "RSV", "controlStatus": "NotControl", "targetStatus": "Detected"}]},
+        {"investigatorId": "11112222", "sampleId": 105, "chip": None, "sampleFailed": True, "isCurrentExpressionResult": True,  # failed → skip
          "targetResults": [{"geneTarget": "RSV", "controlStatus": "NotControl", "targetStatus": "Detected"}]},
     ]}
     doc2 = {"store": "old-format"}    # skipped wholesale
     doc3 = {"samples": [              # re-test correction: sample 101 Flu_A flips
         {"investigatorId": "11112222", "sampleId": 101, "chip": "chip-A1",
-         "sampleFailed": False,
+         "sampleFailed": False, "isCurrentExpressionResult": True,
          "targetResults": [
              {"geneTarget": "Flu_A_pan", "controlStatus": "NotControl", "targetStatus": "NotDetected"},
          ]},
     ]}
     return [(i + 1, json.dumps(d)) for i, d in enumerate([doc1, doc2, doc3])]
+
+
+TRACT_HIERARCHY = {"country": "us", "state": "wa", "tract": "53033000100"}
+
+
+def seed_tract(warehouse):
+    """Seed the census tract the enrollment fixtures reference — the
+    reference requires tracts to pre-exist (enrollments.py:198-200)."""
+    warehouse.publish("location", warehouse.spark.createDataFrame(
+        [(100, "53033000100", "tract", TRACT_HIERARCHY, None, None, None, None)],
+        warehouse.read("location").schema,
+    ))

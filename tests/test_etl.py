@@ -19,7 +19,9 @@ from tests import fixtures
 
 @pytest.fixture()
 def warehouse(spark, tmp_path):
-    return Warehouse(spark, str(tmp_path / "warehouse"))
+    wh = Warehouse(spark, str(tmp_path / "warehouse"))
+    fixtures.seed_tract(wh)
+    return wh
 
 
 @pytest.fixture()
@@ -65,6 +67,73 @@ def test_enrollment_etl(spark, warehouse, identifiers):
         fixtures.COLLECTION_BARCODES["aabbccdd"],
         fixtures.COLLECTION_BARCODES["bbccddee"],
     }
+
+
+def test_enrollment_details_and_locations(spark, warehouse, identifiers):
+    """Reference long tail (enrollments.py:187-305): encounter details with
+    language + decoded responses, tract/address location attachment."""
+    import json
+
+    doc = {
+        "id": "enc-loc", "schemaVersion": "1.1.0", "participant": "indiv-9",
+        "startTimestamp": "2020-02-02T10:00:00Z",
+        "localeLanguageCode": "es",
+        "site": {"name": "HMC", "type": "clinic"},
+        "age": {"value": 40.0, "ninetyOrAbove": False},
+        "locations": [
+            {"use": "home", "region": "53033000100", "id": "household-7"},
+            {"use": "work", "region": "53033000100"},
+        ],
+        "sampleCodes": [],
+        "responses": [
+            {"question": {"token": "AssignedSexAirport"},
+             "answer": {"type": "Option", "chosenOptions": [1]},
+             "options": [{"token": "male"}, {"token": "female"}]},
+            {"question": {"token": "Symptoms"},
+             "answer": {"type": "Option", "chosenOptions": [0, 2]},
+             "options": [{"token": "cough"}, {"token": "fever"}, {"token": "ache"}]},
+            {"question": {"token": "HowLong"},
+             "answer": {"type": "Number", "value": 3}, "options": []},
+            {"question": {"token": "Private"},
+             "answer": {"type": "Declined"}, "options": []},
+        ],
+    }
+    stats = enrollments.run(
+        spark, receiving_df(spark, [(1, json.dumps(doc))]), warehouse, identifiers
+    )
+    assert stats["encounter_locations"] == 2
+
+    enc = warehouse.read("encounter").collect()[0]
+    assert enc.identifier == "enc-loc"
+    ind = {r.identifier: r.sex for r in warehouse.read("individual").collect()}
+    assert ind["indiv-9"] == "female"                # AssignedSexAirport fallback
+    details = json.loads(enc.details)
+    assert details["language"] == "es"
+    assert details["age"] == {"ninetyOrAbove": False, "value": 40.0}
+    assert details["locations"]["home"]["region"] == "53033000100"
+    assert details["responses"]["Symptoms"] == ["cough", "ache"]
+    assert details["responses"]["HowLong"] == ["3"]
+    assert details["responses"]["Private"] is None   # Declined → null (py:395-396)
+
+    # household address upserted under the tract hierarchy; encounter
+    # locations point at the address for home, the tract for work
+    locs = {(r.scale, r.identifier): r for r in warehouse.read("location").collect()}
+    assert locs[("address", "household-7")].hierarchy == fixtures.TRACT_HIERARCHY
+    els = {r.relation: r.location_id for r in warehouse.read("encounter_location").collect()}
+    assert els["residence"] == locs[("address", "household-7")].location_id
+    assert els["workplace"] == locs[("tract", "53033000100")].location_id
+
+    # unknown tract aborts like the reference's assert (py:198-200)
+    bad = dict(doc, id="enc-bad",
+               locations=[{"use": "home", "region": "99999999999"}])
+    with pytest.raises(AssertionError, match="unknown tract"):
+        enrollments.run(spark, receiving_df(spark, [(2, json.dumps(bad))]),
+                        warehouse, identifiers)
+    # unknown use aborts (relation KeyError, py:222-231)
+    bad2 = dict(doc, id="enc-bad2", locations=[{"use": "vacation"}])
+    with pytest.raises(AssertionError, match="unknown location use"):
+        enrollments.run(spark, receiving_df(spark, [(3, json.dumps(bad2))]),
+                        warehouse, identifiers)
 
 
 def test_manifest_links_sample_to_collection(spark, warehouse, identifiers):
@@ -124,6 +193,98 @@ def test_presence_absence_etl(spark, warehouse, identifiers):
                          warehouse, identifiers)
     after = sorted(map(str, warehouse.read("presence_absence").collect()))
     assert before == after
+
+
+def test_presence_absence_details_and_validation(spark, warehouse, identifiers):
+    """Reference long tail: nwgc_id array union, rich PA details, dated
+    assay-type heuristic, tiny-swab collection matching, hard errors."""
+    import json
+
+    def doc(samples):
+        return receiving_df(spark, [(1, json.dumps({"samples": samples}))])
+
+    base = {"investigatorId": "11112222", "sampleId": 201, "chip": "chip-Z9",
+            "sampleFailed": False, "isCurrentExpressionResult": True,
+            "assayName": "OpenArray", "assayDate": "2021-03-01",
+            "extractionDate": "2021-02-28", "resultTimestamp": "2021-03-02T01:00:00Z",
+            "sampleComment": "ok", "initialProceedToSequencingCall": True,
+            "sampleProceedToSequencing": False,
+            "targetResults": [
+                {"geneTarget": "Flu_A_pan", "controlStatus": "NotControl",
+                 "targetStatus": "Detected", "clinicalStatus": "Clia",
+                 "wellResults": [{"w": "A1"}, {"w": "A2"}]},
+            ]}
+    presence_absence.run(spark, doc([base]), warehouse, identifiers)
+    pa = warehouse.read("presence_absence").collect()
+    assert len(pa) == 1
+    assert pa[0].identifier == "NWGC/201/Flu_A_pan/chip-Z9"
+    details = json.loads(pa[0].details)
+    assert details["device"] == "OpenArray"
+    assert details["assay_type"] == "Clia"                 # per-target clinicalStatus
+    assert details["assay_date"] == "2021-03-01"
+    assert details["replicates"] == [{"w": "A1"}, {"w": "A2"}]
+    assert details["result_timestamp"] == "2021-03-02T01:00:00Z"
+    sample = warehouse.read("sample").collect()[0]
+    sdetails = json.loads(sample.details)
+    assert sdetails["nwgc_id"] == [201]
+    assert sdetails["sequencing_call"] == {"comment": "ok", "final": False, "initial": True}
+
+    # second batch with a new nwgc id → array extends and dedupes
+    base2 = dict(base, sampleId=202)
+    presence_absence.run(spark, doc([base2]), warehouse, identifiers)
+    sample = warehouse.read("sample").collect()[0]
+    assert json.loads(sample.details)["nwgc_id"] == [201, 202]
+
+    # tiny-swab set routes the match through collection_identifier
+    presence_absence.run(
+        spark,
+        doc([dict(base, investigatorId="AABBCCDD", sampleId=300, chip=None)]),
+        warehouse, identifiers,
+        set_names={1: "samples", 2: "collections-uw-tiny-swabs"},
+        valid_sets={"samples", "collections-uw-tiny-swabs"},
+    )
+    rows = {r.collection_identifier: r for r in warehouse.read("sample").collect()
+            if r.collection_identifier}
+    tiny = rows[fixtures.COLLECTION_BARCODES["aabbccdd"]]
+    assert tiny.identifier is None                         # matched as collection
+    assert json.loads(tiny.details)["nwgc_id"] == [300]
+
+    # invalid identifier set aborts (presence_absence.py:158-159)
+    with pytest.raises(AssertionError, match="invalid set"):
+        presence_absence.run(
+            spark, doc([dict(base, sampleId=400)]), warehouse, identifiers,
+            set_names={1: "kits", 2: "collections"}, valid_sets={"collections"},
+        )
+
+    # hard errors: unknown status / control status / bogus chip
+    with pytest.raises(ValueError, match="target presence"):
+        presence_absence.run(
+            spark,
+            doc([dict(base, targetResults=[
+                {"geneTarget": "X", "controlStatus": "NotControl",
+                 "targetStatus": "Maybe"}])]),
+            warehouse, identifiers)
+    with pytest.raises(presence_absence.UnknownControlStatusError):
+        presence_absence.run(
+            spark,
+            doc([dict(base, targetResults=[
+                {"geneTarget": "X", "controlStatus": "NegativeControl",
+                 "targetStatus": "Detected"}])]),
+            warehouse, identifiers)
+    with pytest.raises(ValueError, match="bogus chip"):
+        presence_absence.run(spark, doc([dict(base, chip="")]), warehouse, identifiers)
+
+    # dated assay-type heuristic: no type anywhere + old received date →
+    # 4-well ⇒ Clia; modern date defaults to Research
+    old = receiving_df(spark, [(1, json.dumps({"samples": [
+        dict(base, sampleId=500, chip=None, assayName=None,
+             targetResults=[{"geneTarget": "RSV", "controlStatus": "NotControl",
+                             "targetStatus": "Detected",
+                             "wellResults": [{"w": "1"}, {"w": "2"}, {"w": "3"}, {"w": "4"}]}])
+    ]}))]).withColumn("received", F.lit("2020-06-01").cast("timestamp"))
+    presence_absence.run(spark, old, warehouse, identifiers)
+    by_id = {r.identifier: r for r in warehouse.read("presence_absence").collect()}
+    assert json.loads(by_id["NWGC/500/RSV"].details)["assay_type"] == "Clia"
 
 
 def test_shipping_views_vs_oracle(spark, warehouse, identifiers, tmp_path):

@@ -15,7 +15,9 @@ from tests import fixtures
 
 @pytest.fixture()
 def warehouse(spark, tmp_path):
-    return Warehouse(spark, str(tmp_path / "wh"))
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    fixtures.seed_tract(wh)
+    return wh
 
 
 @pytest.fixture()

@@ -187,6 +187,78 @@ def shipping_cmd(warehouse_dir, view, limit):
         click.echo(json.dumps(row.asDict(), default=str))
 
 
+@cli.group("manifest")
+def manifest_group():
+    """Parse, diff, and upload sample manifests
+    (lib/id3c/cli/command/manifest.py)."""
+
+
+@manifest_group.command("parse")
+@click.argument("workbook", metavar="<filepath-or-url>")
+@click.option("--sheet", default=None)
+@click.option("--sample-column", default=None)
+@click.option("--collection-column", default=None)
+@click.option("--date-column", default=None)
+@click.option("--sample-type", default=None,
+              type=click.Choice(["utm", "rdt"]))
+@click.option("--extra-column", "extra_columns", multiple=True,
+              metavar="<dst>:<src>", help="may contain shell-style wildcards")
+@click.option("--row-filter", default=None, help="pandas query expression")
+@click.option("--output", required=True, help="NDJSON output path")
+def manifest_parse(workbook, sheet, sample_column, collection_column,
+                   date_column, sample_type, extra_columns, row_filter, output):
+    """Parse a workbook into NDJSON manifest records (manifest.py:49-130)."""
+    from id3c_spark.sources.manifest_parse import parse_workbook
+
+    records = parse_workbook(
+        workbook, sheet=sheet, sample_column=sample_column,
+        collection_column=collection_column, date_column=date_column,
+        extra_columns=[tuple(c.split(":", 1)) for c in extra_columns],
+        sample_type=sample_type, row_filter=row_filter,
+    )
+    with open(output, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+    click.echo(f"wrote {len(records)} manifest records to {output}")
+
+
+@manifest_group.command("parse-using-config")
+@click.argument("config_file", type=click.Path(exists=True))
+@click.option("--output", required=True)
+def manifest_parse_config(config_file, output):
+    """Parse via a JSON config document (manifest.py:133-275)."""
+    from id3c_spark.sources.manifest_parse import parse_using_config
+
+    with open(config_file) as f:
+        config = json.load(f)
+    records = parse_using_config(config)
+    with open(output, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+    click.echo(f"wrote {len(records)} manifest records to {output}")
+
+
+@manifest_group.command("diff")
+@click.argument("manifest_a", type=click.Path(exists=True))
+@click.argument("manifest_b", type=click.Path(exists=True))
+@click.option("--ignore-case", is_flag=True)
+@click.option("--output", required=True)
+def manifest_diff(manifest_a, manifest_b, ignore_case, output):
+    """Records in A but not in B by content hash, provenance ignored
+    (manifest.py:396-436)."""
+    from id3c_spark.sources.manifest_parse import diff_manifests
+
+    def load(p):
+        with open(p) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    new = diff_manifests(load(manifest_a), load(manifest_b), ignore_case)
+    with open(output, "w") as f:
+        for r in new:
+            f.write(json.dumps(r) + "\n")
+    click.echo(f"{len(new)} new records")
+
+
 @cli.group("user")
 def user_group():
     """List and create users (lib/id3c/cli/command/user.py)."""

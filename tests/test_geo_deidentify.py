@@ -256,6 +256,97 @@ def test_google_sheets_url_rewrite(spark, tmp_path):
     assert df.collect()[0].Qty == "42"
 
 
+def _write_manifest_xlsx(path):
+    """Workbook with glob-able headers, duplicates and blanks for QC."""
+    import zipfile
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+
+    def inline(v):
+        return f'<is><t>{v}</t></is>'
+
+    header = ["Sample ID", "Collection ID", "Collection date", "Aliquot A", "Aliquot B", "Notes"]
+    rows = [
+        ["AAAA1111", "CCCC1111", "3/1/2020", "a1", "a2", "keep"],
+        ["AAAA2222", "", "3/2/2020", "b1", "", "keep"],
+        ["", "", "", "", "", "no barcodes"],        # dropped: no barcode
+        ["AAAA3333", "CCCC3333", "3/3/2020", "", "", "drop me"],
+        ["AAAA3333", "CCCC4444", "3/4/2020", "", "", "dup sample"],  # dup → both dropped
+    ]
+    body = ""
+    for r, cells in enumerate([header] + rows, start=1):
+        tds = "".join(
+            f'<c r="{chr(65 + i)}{r}" t="inlineStr">{inline(v)}</c>'
+            for i, v in enumerate(cells) if v != ""
+        )
+        body += f'<row r="{r}">{tds}</row>'
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml",
+                   '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>')
+        z.writestr("xl/workbook.xml",
+                   f'<?xml version="1.0"?><workbook {ns} xmlns:r="{rns}">'
+                   '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>')
+        z.writestr("xl/_rels/workbook.xml.rels",
+                   '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+                   f'<Relationship Id="rId1" Target="worksheets/sheet1.xml" Type="{rns}/worksheet"/></Relationships>')
+        z.writestr("xl/worksheets/sheet1.xml",
+                   f'<?xml version="1.0"?><worksheet {ns}><sheetData>{body}</sheetData></worksheet>')
+
+
+def test_manifest_parse_pipeline(tmp_path):
+    """manifest.py:278-395 parity: glob columns, multiple-source aliquots,
+    row filter, QC drops, provenance rows."""
+    from id3c_spark.sources import manifest_parse as mp
+
+    wb = tmp_path / "manifest.xlsx"
+    _write_manifest_xlsx(wb)
+    records = mp.parse_workbook(
+        str(wb), sheet="Sheet1",
+        sample_column="sample id",                   # case-insensitive glob
+        collection_column="Collection ID",
+        date_column="collection date",
+        extra_columns=[("aliquots", {"name": "aliquot *", "multiple": True}),
+                       ("notes", "Notes")],
+        sample_type="utm",
+        row_filter="Notes != 'drop me'",            # raw source columns (py:341-343)
+    )
+    # row 3 (no barcodes) dropped; 'drop me' filtered; AAAA3333 dup rows:
+    # one filtered by row_filter first, so the survivor keeps its barcode
+    by_sample = {r["sample"]: r for r in records}
+    assert set(by_sample) == {"AAAA1111", "AAAA2222", "AAAA3333"}
+    r1 = by_sample["AAAA1111"]
+    assert r1["collection"] == "CCCC1111"
+    assert r1["date"] == "3/1/2020"
+    assert r1["aliquots"] == ["a1", "a2"]
+    assert r1["sample_type"] == "utm"
+    prov = r1[mp.PROVENANCE_KEY]
+    assert prov["row"] == 2 and prov["sheet"] == "Sheet1"
+    assert len(prov["sha1sum"]) == 40
+    assert by_sample["AAAA2222"]["collection"] is None
+    assert by_sample["AAAA2222"]["aliquots"] == ["b1", None]
+
+    # without the row filter, the duplicated sample barcode drops BOTH rows
+    records2 = mp.parse_workbook(
+        str(wb), sheet="Sheet1", sample_column="Sample ID",
+        collection_column="Collection ID",
+    )
+    assert {r["sample"] for r in records2} == {"AAAA1111", "AAAA2222"}
+
+    # diff: content-identical records (provenance ignored) cancel out
+    changed = [dict(r, notes="edited", _provenance={"row": 99}) if r["sample"] == "AAAA1111"
+               else dict(r, _provenance={"row": 99}) for r in records]
+    new = mp.diff_manifests(changed, records)
+    assert [r["sample"] for r in new] == ["AAAA1111"]
+    # reserved destination names are rejected
+    import pytest as _pytest
+    with _pytest.raises(AssertionError, match="reserved"):
+        mp.parse_workbook(str(wb), sample_column="Sample ID",
+                          extra_columns=[("_provenance", "Notes")])
+    with _pytest.raises(ValueError, match="sample_column"):
+        mp.parse_workbook(str(wb))
+
+
 def test_fastq_read_sets(spark, tmp_path):
     d = tmp_path / "fastq"
     d.mkdir()

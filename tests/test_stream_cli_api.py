@@ -73,6 +73,52 @@ def test_cli_upload_and_mint(tmp_path):
         assert row["uuid"].replace("-", "").endswith(row["barcode"])
 
 
+def test_cli_manifest_parse_and_diff(tmp_path):
+    from tests.test_geo_deidentify import _write_manifest_xlsx
+
+    runner = CliRunner()
+    wb = tmp_path / "m.xlsx"
+    _write_manifest_xlsx(wb)
+    out_a = tmp_path / "a.ndjson"
+    res = runner.invoke(cli, [
+        "manifest", "parse", str(wb), "--sheet", "Sheet1",
+        "--sample-column", "Sample ID", "--collection-column", "Collection ID",
+        "--date-column", "collection date", "--sample-type", "utm",
+        "--extra-column", "notes:Notes",
+        "--row-filter", "Notes != 'drop me'",
+        "--output", str(out_a),
+    ])
+    assert res.exit_code == 0, res.output
+    records = [json.loads(l) for l in out_a.read_text().splitlines()]
+    assert {r["sample"] for r in records} == {"AAAA1111", "AAAA2222", "AAAA3333"}
+    assert all(r["sample_type"] == "utm" for r in records)
+
+    # parse-using-config produces the same records (manifest.py:133-275)
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({
+        "workbook": str(wb), "sheet": "Sheet1", "sample_type": "utm",
+        "row_filter": "Notes != 'drop me'",
+        "columns": {"sample": "Sample ID", "collection": "Collection ID",
+                    "date": "collection date", "notes": "Notes"},
+    }))
+    out_b = tmp_path / "b.ndjson"
+    res2 = runner.invoke(cli, ["manifest", "parse-using-config", str(cfg),
+                               "--output", str(out_b)])
+    assert res2.exit_code == 0, res2.output
+    assert out_a.read_text() == out_b.read_text()
+
+    # diff vs an empty manifest returns everything; vs itself, nothing
+    empty = tmp_path / "empty.ndjson"
+    empty.write_text("")
+    out_d = tmp_path / "d.ndjson"
+    res3 = runner.invoke(cli, ["manifest", "diff", str(out_a), str(empty),
+                               "--output", str(out_d)])
+    assert res3.exit_code == 0 and "3 new records" in res3.output
+    res4 = runner.invoke(cli, ["manifest", "diff", str(out_a), str(out_a),
+                               "--output", str(out_d)])
+    assert res4.exit_code == 0 and "0 new records" in res4.output
+
+
 def test_api_receiving_and_lookup(spark, tmp_path):
     ids = spark.createDataFrame(
         fixtures.identifier_rows(), "uuid string, barcode string, identifier_set_id long"

@@ -259,6 +259,107 @@ def manifest_diff(manifest_a, manifest_b, ignore_case, output):
     click.echo(f"{len(new)} new records")
 
 
+@cli.group("sequence-read-set")
+def srs_group():
+    """Parse and upload sequence read sets
+    (lib/id3c/cli/command/sequence_read_set.py)."""
+
+
+@srs_group.command("parse")
+@click.argument("fastq_directory", type=click.Path(exists=True, file_okay=False))
+@click.option("--filename-pattern", default=r".*/(\d+)_[^/]*\.fastq\.gz$",
+              show_default=True,
+              help="regex matching the sample id in FASTQ paths")
+@click.option("--url-prefix", default="", help="base for fully-qualified urls")
+@click.option("--output", required=True, help="NDJSON output path")
+def srs_parse(fastq_directory, filename_pattern, url_prefix, output):
+    """Group *.fastq.gz files into per-sample read sets
+    (sequence_read_set.py:28-79)."""
+    from id3c_spark.sources.readers import fastq_read_sets
+
+    spark = get_spark("srs-parse")
+    sets = fastq_read_sets(spark, fastq_directory, filename_pattern)
+    n = 0
+    with open(output, "w") as f:
+        for r in sets.collect():
+            urls = [url_prefix + u if url_prefix else u for u in r.urls]
+            f.write(json.dumps({"sample": r.sample, "urls": urls}) + "\n")
+            n += 1
+    click.echo(f"wrote {n} sequence read sets to {output}")
+
+
+@srs_group.command("upload")
+@click.argument("srs_file", type=click.Path(exists=True))
+@click.argument("unknown_sample_output", type=click.Path())
+@click.option("--warehouse", "warehouse_dir", required=True)
+def srs_upload(srs_file, unknown_sample_output, warehouse_dir):
+    """Upload read sets; unknown NWGC sample ids go to the side output
+    (sequence_read_set.py:81-155)."""
+    from id3c_spark.etl.consensus_genome import upload_read_sets
+    from id3c_spark.etl.warehouse import Warehouse
+
+    spark = get_spark("srs-upload")
+    read_sets = spark.read.json(srs_file, schema="sample string, urls array<string>")
+    unknown, stats = upload_read_sets(spark, read_sets, Warehouse(spark, warehouse_dir))
+    with open(unknown_sample_output, "w") as f:
+        for r in unknown.collect():
+            f.write(json.dumps({"sample": r.sample, "urls": list(r.urls)}) + "\n")
+    click.echo(json.dumps(stats))
+
+
+@cli.group("redcap-det")
+def redcap_det_group():
+    """Generate and upload REDCap DET notifications
+    (lib/id3c/cli/command/redcap_det.py)."""
+
+
+@redcap_det_group.command("generate")
+@click.argument("record_ids", nargs=-1)
+@click.option("--api-url", required=True)
+@click.option("--project-id", type=int, required=True)
+@click.option("--token", envvar="REDCAP_API_TOKEN", required=True)
+@click.option("--since-date", default=None)
+@click.option("--until-date", default=None)
+@click.option("--instrument", "instruments", multiple=True)
+@click.option("--event", "events", multiple=True)
+@click.option("--include-incomplete", is_flag=True)
+@click.option("--output", required=True, help="NDJSON output path")
+def redcap_det_generate(record_ids, api_url, project_id, token, since_date,
+                        until_date, instruments, events, include_incomplete, output):
+    """Generate DET notifications for REDCap records
+    (redcap_det.py:33-128)."""
+    from id3c_spark.sources.redcap import RedcapProject, generate_dets
+
+    project = RedcapProject(api_url, project_id, token=token)
+    n = 0
+    with open(output, "w") as f:
+        for d in generate_dets(
+            project, record_ids, since_date=since_date, until_date=until_date,
+            instruments=list(instruments) or None, events=list(events) or None,
+            include_incomplete=include_incomplete,
+        ):
+            f.write(json.dumps(d) + "\n")
+            n += 1
+    click.echo(f"wrote {n} DET notifications to {output}")
+
+
+@redcap_det_group.command("upload")
+@click.argument("det_file", type=click.Path(exists=True))
+@click.option("--receiving-dir", required=True)
+def redcap_det_upload(det_file, receiving_dir):
+    """Upload DET notifications into the receiving area
+    (redcap_det.py:155-182) — same NDJSON append as `upload`."""
+    import os
+    import shutil
+
+    os.makedirs(receiving_dir, exist_ok=True)
+    n = sum(1 for line in open(det_file) if line.strip())
+    with open(os.path.join(receiving_dir, "redcap_det.ndjson"), "a") as out:
+        with open(det_file) as f:
+            shutil.copyfileobj(f, out)
+    click.echo(json.dumps({"uploaded": n}))
+
+
 @cli.group("user")
 def user_group():
     """List and create users (lib/id3c/cli/command/user.py)."""

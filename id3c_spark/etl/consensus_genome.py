@@ -64,6 +64,52 @@ def match_organism(organisms: DataFrame, token_col):
     return mapping[F.lower(token_col)]
 
 
+def upload_read_sets(
+    spark: SparkSession,
+    read_sets: DataFrame,
+    warehouse: Warehouse,
+) -> tuple[DataFrame, dict[str, int]]:
+    """sequence-read-set upload (cli/command/sequence_read_set.py:81-155):
+    resolve each set's NWGC sample id against warehouse sample
+    details.nwgc_id (array or legacy scalar), MERGE known sets on
+    (sample_id, urls hash) and return the unknown-sample rows for the
+    side-channel NDJSON the reference writes."""
+    samples = warehouse.read("sample").select(
+        "sample_id",
+        F.coalesce(
+            F.from_json(F.get_json_object("details", "$.nwgc_id"), "array<long>"),
+            F.array(F.get_json_object("details", "$.nwgc_id").cast("long")),
+        ).alias("nwgc_ids"),
+    ).filter(F.col("nwgc_ids").isNotNull())
+
+    rs = read_sets.select(
+        F.col("sample").cast("long").alias("nwgc"),
+        F.array_sort("urls").alias("urls"),
+    )
+    matched = rs.join(
+        samples, F.array_contains(F.col("nwgc_ids"), F.col("nwgc")), "left"
+    )
+    unknown = matched.filter(F.col("sample_id").isNull()).select(
+        F.col("nwgc").cast("string").alias("sample"), "urls"
+    )
+    known = (
+        matched.filter(F.col("sample_id").isNotNull())
+        .select("sample_id", "urls", urls_key(F.col("urls")).alias("urls_hash"))
+        .dropDuplicates(["sample_id", "urls_hash"])
+    )
+    n_known = known.count()
+    if n_known:
+        current = warehouse.read("sequence_read_set").withColumn(
+            "urls_hash", urls_key(F.col("urls"))
+        )
+        srs = merge(
+            current, known, [["sample_id", "urls_hash"]],
+            "sequence_read_set_id", update_cols=["urls"], details_col=None,
+        ).df
+        warehouse.publish("sequence_read_set", srs.drop("urls_hash"))
+    return unknown, {"uploaded": n_known, "unknown": unknown.count()}
+
+
 def run(
     spark: SparkSession,
     receiving: DataFrame,

@@ -280,3 +280,90 @@ class RedcapProject:
 
     def __repr__(self) -> str:
         return f"<RedcapProject {self.id} @ {self.base_url}>"
+
+
+# --- DET generation (redcap.py:680-901, cli/command/redcap_det.py:33-128) ---
+
+COMPLETE_VALUES = {"Complete", 2, "2"}  # InstrumentStatus.Complete (redcap.py:683-690)
+
+
+def completion_status_field(instrument: str) -> str:
+    """REDCap's automatic completion-status field name (redcap.py:725-744)."""
+    return f"{instrument}_complete"
+
+
+def is_complete(instrument: str, data: dict) -> bool | None:
+    """Completion test over a record or DET (redcap.py:693-722):
+    None when the field is absent."""
+    value = data.get(completion_status_field(instrument))
+    if value is None:
+        return None
+    return value in COMPLETE_VALUES
+
+
+def det(project: RedcapProject, record: dict, instrument: str,
+        generated_by: str = "id3c-spark redcap-det generate") -> dict:
+    """A 'fake' DET notification mimicking REDCap's own shape
+    (redcap.py:855-901)."""
+    complete_field = completion_status_field(instrument)
+    det_record = {
+        "redcap_url": project.base_url,
+        "project_id": str(project.id),                  # DETs send these as strings
+        "record": str(record[project.record_id_field]),
+        "instrument": instrument,
+        complete_field: record[complete_field],
+        "redcap_repeat_instance": record.get("redcap_repeat_instance"),
+        "redcap_repeat_instrument": record.get("redcap_repeat_instrument"),
+        "__generated_by__": generated_by,
+    }
+    if "redcap_event_name" in record:
+        det_record["redcap_event_name"] = record["redcap_event_name"]
+    return det_record
+
+
+def generate_dets(
+    project: RedcapProject,
+    record_ids: Sequence[str] = (),
+    *,
+    since_date: str | None = None,
+    until_date: str | None = None,
+    instruments: Sequence[str] | None = None,
+    events: Sequence[str] | None = None,
+    include_incomplete: bool = False,
+) -> Iterator[dict]:
+    """DET notifications for project records
+    (cli/command/redcap_det.py:61-128): complete instruments only unless
+    include_incomplete; instrument/event names validated against the
+    project's metadata."""
+    if (since_date or until_date) and record_ids:
+        raise ValueError(
+            "The REDCap API does not support fetching records filtered by id *and* date."
+        )
+
+    def check_known(values, known, option):
+        if values:
+            if not known:
+                raise ValueError(f"There are no --{option} values in the REDCap project.")
+            unknown = set(values) - set(known)
+            assert not unknown, (
+                f"The following --{option} names aren't in the REDCap project: {unknown}"
+            )
+            return list(values)
+        return list(known)
+
+    events = check_known(events, project.events, "event")
+    instruments = check_known(instruments, project.instruments, "instrument")
+
+    fields = [project.record_id_field, *map(completion_status_field, instruments)]
+    records = project.records(
+        since_date=since_date,
+        until_date=until_date,
+        ids=list(record_ids) or None,
+        fields=fields,
+        events=events or None,
+        raw=True,
+    )
+    for record in records:
+        for instrument in instruments:
+            if include_incomplete or is_complete(instrument, record):
+                yield det(project, record, instrument)

@@ -94,6 +94,34 @@ def test_consensus_genome_etl(spark, warehouse, identifiers):
     assert stats2 == stats
 
 
+def test_sequence_read_set_upload(spark, warehouse):
+    """sequence_read_set.py:81-155 parity: samples resolved through
+    details.nwgc_id, unknown ids surfaced, re-upload idempotent."""
+    warehouse.upsert_sample(spark.createDataFrame(
+        [(fixtures.SAMPLE_BARCODES["11112222"], None, '{"nwgc_id":[101,105]}'),
+         (fixtures.SAMPLE_BARCODES["33334444"], None, '{"nwgc_id":102}')],  # legacy scalar
+        "identifier string, collection_identifier string, details string",
+    ))
+    read_sets = spark.createDataFrame(
+        [("105", ["file:/b/105_R2.fq.gz", "file:/b/105_R1.fq.gz"]),
+         ("102", ["file:/b/102_R1.fq.gz"]),
+         ("999", ["file:/b/999_R1.fq.gz"])],          # unknown NWGC id
+        "sample string, urls array<string>",
+    )
+    from id3c_spark.etl.consensus_genome import upload_read_sets
+
+    unknown, stats = upload_read_sets(spark, read_sets, warehouse)
+    assert stats == {"uploaded": 2, "unknown": 1}
+    assert [r.sample for r in unknown.collect()] == ["999"]
+    srs = {tuple(r.urls) for r in warehouse.read("sequence_read_set").collect()}
+    assert ("file:/b/105_R1.fq.gz", "file:/b/105_R2.fq.gz") in srs  # sorted
+    assert ("file:/b/102_R1.fq.gz",) in srs
+
+    # idempotent re-upload: same sets, no new rows
+    _, stats2 = upload_read_sets(spark, read_sets, warehouse)
+    assert warehouse.read("sequence_read_set").count() == 2
+
+
 def test_cascade_delete_reference_semantics(spark):
     """Full redcap_sync parity: REDCap-provenance samples deleted with their
     presence_absences, lab samples unlinked with details.note dropped,

@@ -64,7 +64,11 @@ class _StubRedcap:
         import urllib.parse
 
         self.requests: list[dict] = []
-        self.data = {str(i): {"record_id": str(i), "age": str(20 + i)} for i in range(1, 6)}
+        self.data = {
+            str(i): {"record_id": str(i), "age": str(20 + i),
+                     "survey_complete": "2" if i % 2 else "0"}
+            for i in range(1, 6)
+        }
         stub = self
 
         class Handler(http.server.BaseHTTPRequestHandler):
@@ -172,6 +176,44 @@ def test_redcap_http_client_paging_and_parity():
         n_before = len(stub.requests)
         assert p.update_records([{"record_id": "1"}, {"record_id": "2"}]) == 2
         assert len(stub.requests) == n_before      # no API call in dry-run
+    finally:
+        stub.close()
+
+
+def test_redcap_det_generation():
+    """DET generation parity (cli/command/redcap_det.py:61-128,
+    redcap.py:680-901): complete-only by default, include-incomplete flag,
+    unknown-instrument assertion, reference DET shape."""
+    from id3c_spark.sources import redcap as rc
+
+    assert rc.is_complete("t", {"t_complete": "Complete"}) is True
+    assert rc.is_complete("t", {"t_complete": 2}) is True
+    assert rc.is_complete("t", {"t_complete": "2"}) is True
+    assert rc.is_complete("t", {"t_complete": "Incomplete"}) is False
+    assert rc.is_complete("t", {}) is None
+
+    stub = _StubRedcap()
+    try:
+        p = rc.RedcapProject(stub.url, 123, token="sekrit")
+        dets = list(rc.generate_dets(p, ["1", "2"]))
+        assert [d["record"] for d in dets] == ["1"]     # record 2 incomplete
+        d = dets[0]
+        assert d["redcap_url"] == p.base_url
+        assert d["project_id"] == "123" and d["instrument"] == "survey"
+        assert d["survey_complete"] == "2"
+        assert "__generated_by__" in d
+
+        both = list(rc.generate_dets(p, ["1", "2"], include_incomplete=True))
+        assert [d["record"] for d in both] == ["1", "2"]
+
+        # all records, no id filter: odd record ids are the complete ones
+        alles = list(rc.generate_dets(p))
+        assert [d["record"] for d in alles] == ["1", "3", "5"]
+
+        with pytest.raises(AssertionError, match="aren't in the REDCap project"):
+            list(rc.generate_dets(p, instruments=["nope"]))
+        with pytest.raises(ValueError, match="id \\*and\\* date"):
+            list(rc.generate_dets(p, ["1"], since_date="2024-01-01 00:00:00"))
     finally:
         stub.close()
 

@@ -53,6 +53,84 @@ def test_kit_defers_until_encounter_exists(spark, warehouse, identifiers):
     assert kits[0].encounter_id is not None
 
 
+def test_kit_enrollment_and_manifest_flows(spark, warehouse):
+    """Reference kit_enrollments + kit_manifests parity (kit.py:49-345)."""
+    ids = spark.createDataFrame(
+        fixtures.identifier_rows() + [
+            ("dddddddd-0000-0000-0000-0000deadbee2", "deadbee2", 3),  # kits set
+            ("eeeeeeee-0000-0000-0000-0000feedbca1", "feedbca1", 4),  # test-strips set
+        ],
+        "uuid string, barcode string, identifier_set_id long",
+    )
+    set_names = {1: "samples", 2: "collections-fluathome.org",
+                 3: "kits-fluathome.org", 4: "test-strips-fluathome.org"}
+
+    # seed encounters: one at a self-test site, one at a clinic
+    warehouse.publish("site", spark.createDataFrame(
+        [(1, "self-test", None), (2, "clinic", None)], warehouse.read("site").schema))
+    import datetime as dt
+
+    warehouse.publish("encounter", spark.createDataFrame(
+        [(10, "enc-st", 100, 1, dt.datetime(2020, 5, 1), None, None),
+         (11, "enc-cl", 101, 2, dt.datetime(2020, 5, 2), None, None)],
+        "encounter_id long, identifier string, individual_id long, site_id long, "
+        "encountered timestamp, age_months int, details string"))
+
+    def enr(doc_id, codes):
+        return {"id": doc_id, "sampleCodes": codes}
+
+    docs = [
+        enr("enc-st", [{"type": "ScannedSelfSwab", "code": "DEADBEE2"},
+                       {"type": "ClinicSwab", "code": "11112222"}]),   # type skipped
+        enr("enc-cl", [{"type": "ScannedSelfSwab", "code": "DEADBEE2"}]),  # not self-test
+        enr("enc-missing", [{"type": "ManualSelfSwab", "code": "DEADBEE2"}]),  # deferred
+    ]
+    res = kit.run_enrollments(spark, receiving_df(spark, docs), warehouse, ids, set_names)
+    assert res.stats["deferred"] == 1
+    assert res.stats["non_self_test"] == 1
+    assert res.stats["kits"] == 1
+    assert [r.id for r in res.deferred_ids.collect()] == [3]
+    kits = warehouse.read("kit").collect()
+    assert len(kits) == 1
+    assert kits[0].identifier == "dddddddd-0000-0000-0000-0000deadbee2"
+    assert kits[0].encounter_id == 10
+    assert json.loads(kits[0].details) == {"type": "ScannedSelfSwab"}
+
+    # manifest flow: rdt sample slots into the kit with test-strip details
+    warehouse.upsert_sample(spark.createDataFrame(
+        [(fixtures.SAMPLE_BARCODES["11112222"], None, '{"sample_type":"rdt"}')],
+        "identifier string, collection_identifier string, details string"))
+    manifest_docs = [
+        {"kit": "DEADBEE2", "sample": "11112222", "sample_type": "rdt",
+         "test_strip": "FEEDBCA1", "fluathome_batch": "B7",
+         "aliquots": ["a1"]},
+        {"sample": "33334444"},                        # no kit key → skipped
+        {"kit": "DEADBEE2", "sample": "99990000"},     # unknown barcode → skipped
+    ]
+    res2 = kit.run_manifests(
+        spark, receiving_df(spark, manifest_docs), warehouse, ids, set_names)
+    assert res2.stats["with_kit"] == 2
+    assert res2.stats["kits"] == 1
+    k = warehouse.read("kit").collect()[0]
+    sample_row = warehouse.read("sample").filter(
+        F.col("identifier") == fixtures.SAMPLE_BARCODES["11112222"]).collect()[0]
+    assert k.rdt_sample_id == sample_row.sample_id
+    details = json.loads(k.details)
+    assert details["type"] == "ScannedSelfSwab"        # enrollment detail kept
+    assert details["fluathome_batch"] == "B7"          # manifest extras kept
+    assert "aliquots" not in details                   # bookkeeping keys dropped
+    assert details["test_strip"] == {
+        "barcode": "feedbca1", "uuid": "eeeeeeee-0000-0000-0000-0000feedbca1"}
+    # the slotted sample inherited the kit's encounter (update_kit_samples)
+    assert sample_row.encounter_id == 10
+
+    # known sample barcode whose warehouse row is missing → deferred
+    res3 = kit.run_manifests(
+        spark, receiving_df(spark, [{"kit": "DEADBEE2", "sample": "33334444"}]),
+        warehouse, ids, set_names)
+    assert res3.stats["deferred"] == 1
+
+
 ORGANISMS = [
     (1, "Influenza.A.H1N1", None, None),
     (2, "Influenza.A.H3N2", None, None),

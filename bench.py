@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "deidentified_docs",
     "urgent_customers",
     "embedding_dups",
+    "embedding_dup_clusters",
     "json_containment_events",
     "order_date_labels",
 ]

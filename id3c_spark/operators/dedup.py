@@ -232,6 +232,74 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Near-duplicate CLUSTER assignment: connected components over a
+    dup-pair relation, labeling every member with the minimum id in its
+    component — the step that turns pairwise near-dup evidence into a
+    keep-one-canonical-document decision (keep rows where id == cluster).
+
+    Algorithm: iterative min-label propagation to fixpoint (the classic
+    Spark/Pregel connected-components shape). Each round is one
+    shuffle-join + aggregate; convergence takes O(component diameter)
+    rounds — near-dup clusters are shallow (dups of dups), so this is a
+    handful of rounds in practice, with *max_iter* as the runaway guard.
+    Deterministic given the pair set, so the DuckDB oracle can replay it
+    as a recursive reachability query.
+
+    Scale: never materializes components on the driver; per-round state is
+    (node, label) pairs, shuffled on node id. For planet-scale graphs
+    you'd switch to the large-star/small-star variant (fewer rounds),
+    same per-round plan shape.
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # localCheckpoint (not persist): iterative plans grow a level of
+    # lineage per round, and Spark's plan stringification alone OOMs past
+    # ~15 rounds — checkpointing truncates the logical plan so every round
+    # starts from a LogicalRDD of constant depth
+    edges = (
+        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnsRenamed({"node": "b", "label": "nl"}), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("nmin"))
+            .withColumnsRenamed({"a": "node"})
+        )
+        # the changed flag rides in the checkpointed frame, so convergence
+        # detection is a count over materialized data — one job per round,
+        # not two
+        new_label = F.least(F.col("label"), F.coalesce("nmin", F.col("label")))
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                new_label.alias("label"),
+                (new_label != F.col("label")).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter("changed").limit(1).count()
+        labels = new_labels.drop("changed")
+        if not changed:
+            break
+    return labels.select(F.col("node").alias("id"), F.col("label").alias("cluster"))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """32-bit SimHash over word tokens (md5-derived token hashes).
 

@@ -852,6 +852,44 @@ def embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.cosine_pairs_above(emb, threshold=0.35)
 
 
+@query(
+    "embedding_dup_clusters",
+    # Connected components over the near-dup pair relation: the oracle
+    # replays min-label propagation as recursive reachability (min id
+    # reachable from each node == the component's canonical id).
+    oracle="""
+    WITH RECURSIVE
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE round(
+               list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i])))),
+               6) >= 0.35),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM p
+      UNION
+      SELECT id_b, id_a FROM p),
+    reach(node, r) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r)
+    SELECT node AS id, CAST(min(r) AS BIGINT) AS cluster
+    FROM reach GROUP BY node
+    """,
+)
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters over embedding-cosine pairs — the keep-one-
+    canonical-document decision (keep rows where id == cluster)."""
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = ann.cosine_pairs_above(emb, threshold=0.35)
+    return dedup.dedup_clusters(pairs)
+
+
 # ---------------------------------------------------------------------------
 # text analysis: language-ID, quality, token counts, fingerprints
 # ---------------------------------------------------------------------------

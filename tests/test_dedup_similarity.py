@@ -80,6 +80,27 @@ def test_simhash_pairs_vs_bruteforce(spark):
     assert got == brute  # byte-band blocking is complete for distance ≤ 3
 
 
+def test_dedup_clusters(spark):
+    # two components: {1,2,4} (chain 1-2, 2-4) and {7,9}; singleton 5 absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 4), (7, 9)], "id_a long, id_b long"
+    )
+    got = {r.id: r.cluster for r in dedup.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 4: 1, 7: 7, 9: 7}
+
+    # chains longer than one hop converge (label walks the diameter)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 16)], "id_a long, id_b long"
+    )
+    got2 = {r.id: r.cluster for r in dedup.dedup_clusters(chain).collect()}
+    assert set(got2.values()) == {10}
+
+    # end-to-end with a real pair source: the near-dup doc family {1,2,4}
+    doc_pairs = dedup.ngram_jaccard_pairs(docs_df(spark), "doc_id", "text", k=3, threshold=0.5)
+    got3 = {r.id: r.cluster for r in dedup.dedup_clusters(doc_pairs).collect()}
+    assert got3 == {1: 1, 2: 1, 4: 1}
+
+
 def test_hamming_close_pairs_complete(spark):
     codes = ["aaaaaaaa", "aaaaaaab", "aaaaabbb", "bbbbbbbb", "aabbaabb"]
     df = spark.createDataFrame([(c,) for c in codes], "barcode string")

@@ -49,6 +49,10 @@ BENCH_QUERIES = [
     "embedding_dup_clusters",
     "json_containment_events",
     "order_date_labels",
+    "doc_repetition_filters",
+    "decontaminate_docs",
+    "stratified_sample_docs",
+    "asof_last_click",
 ]
 
 

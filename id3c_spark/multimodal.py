@@ -2,9 +2,11 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata
 structs; decode / feature-extract / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` stages. PNG decodes FOR REAL (stdlib zlib
-inflate + scanline unfilter — decode_png below); other formats keep an
-honestly-marked byte-statistics stub (no PIL/av in this image).
+Arrow-batched ``mapInPandas`` stages. PNG (stdlib zlib inflate + scanline
+unfilter), BMP (struct header + raw rows) and WAV (RIFF walk + PCM
+samples → RMS / zero-crossings) decode FOR REAL; remaining formats
+(JPEG/WebP/mp3/video codecs) keep an honestly-marked byte-statistics stub
+(no PIL/av in this image).
 Everything Spark-side is real: schemas, batching, partitioning, UDF
 signatures.
 
@@ -182,8 +184,53 @@ def resize_png(content: bytes, max_width: int, max_height: int) -> bytes:
     return encode_png(new_w, new_h, channels, bytes(out))
 
 
+def decode_bmp(content: bytes) -> dict:
+    """Real BMP decode (stdlib struct): BITMAPINFOHEADER, uncompressed
+    8/24/32-bit. Rows are 4-byte aligned and stored bottom-up (negative
+    height = top-down); mean is over pixel channel bytes only, padding
+    excluded."""
+    import struct
+
+    if content[:2] != b"BM" or len(content) < 54:
+        raise ValueError("not a BMP")
+    pixel_off = struct.unpack("<I", content[10:14])[0]
+    width, height = struct.unpack("<ii", content[18:26])
+    bits = struct.unpack("<H", content[28:30])[0]
+    compression = struct.unpack("<I", content[30:34])[0]
+    height = abs(height)
+    if compression != 0 or bits not in (8, 24, 32):
+        return {"width": int(width), "height": int(height), "mean": None}
+    bpp = bits // 8
+    stride = ((width * bpp + 3) // 4) * 4
+    total = 0
+    count = 0
+    for y in range(height):
+        row = content[pixel_off + y * stride: pixel_off + y * stride + width * bpp]
+        total += sum(row)
+        count += len(row)
+    return {
+        "width": int(width),
+        "height": int(height),
+        "mean": (total / count) if count else 0.0,
+    }
+
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal 24-bit BMP encoder (test fixtures; bottom-up rows, padded)."""
+    import struct
+
+    stride = ((width * 3 + 3) // 4) * 4
+    rows = b"".join(
+        pixels[y * width * 3:(y + 1) * width * 3].ljust(stride, b"\x00")
+        for y in range(height)
+    )
+    header = b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    return header + info + rows
+
+
 def _decode_image(content: bytes) -> dict:
-    """PNG decodes for real (decode_png, stdlib zlib); other formats keep
+    """PNG and BMP decode for real (stdlib zlib/struct); other formats keep
     the STUB byte-statistics path — JPEG/WebP need libs absent from this
     image. Swap the fallback for PIL/libvips in production; the Spark-side
     plumbing (schema, batching, pushdown) is identical either way."""
@@ -197,6 +244,14 @@ def _decode_image(content: bytes) -> dict:
             "height": png["height"],
             "n_bytes": n,
             "mean_byte": png["mean"] if png["mean"] is not None else ((sum(content) / n) if n else 0.0),
+        }
+    if content[:2] == b"BM" and n >= 54:
+        bmp = decode_bmp(content)
+        return {
+            "width": bmp["width"],
+            "height": bmp["height"],
+            "n_bytes": n,
+            "mean_byte": bmp["mean"] if bmp["mean"] is not None else ((sum(content) / n) if n else 0.0),
         }
     return {
         "width": None,          # unknown without a real decoder for this format
@@ -241,6 +296,104 @@ def resize_images(media: DataFrame, max_width: int, max_height: int) -> DataFram
 
     resized = images.mapInPandas(run, media.schema)
     return resized.unionByName(others)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, sample_rate int, channels int, n_samples long, "
+    "duration_ms int, rms double, zero_crossing_rate double"
+)
+
+
+def decode_wav(content: bytes) -> dict:
+    """Real WAV decode (stdlib struct + numpy): RIFF chunk walk, PCM
+    8/16/32-bit integer samples. Returns format metadata plus RMS (over
+    samples normalized to [-1, 1]) and zero-crossing rate — the two
+    classic cheap audio-quality signals (silence / clipping screens in a
+    training-data pipeline)."""
+    import struct
+
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(content):
+        cid = content[pos:pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4:pos + 8])
+        body = content[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, _byte_rate, block_align, bits = fmt
+    base = {
+        "sample_rate": int(sample_rate),
+        "channels": int(channels),
+        "n_samples": int(len(data) // block_align) if block_align else 0,
+        "duration_ms": int(len(data) // block_align * 1000 // sample_rate)
+        if block_align and sample_rate else 0,
+    }
+    if audio_format != 1 or bits not in (8, 16, 32):  # PCM only
+        return {**base, "rms": None, "zero_crossing_rate": None}
+    dtype, scale = {8: (np.uint8, 128.0), 16: (np.int16, 32768.0), 32: (np.int32, 2147483648.0)}[bits]
+    usable = (len(data) // block_align) * block_align
+    x = np.frombuffer(data[:usable], dtype=dtype).astype(np.float64)
+    if bits == 8:
+        x -= 128.0  # 8-bit WAV is unsigned
+    x /= scale
+    if channels > 1:
+        x = x.reshape(-1, channels).mean(axis=1)
+    if not len(x):
+        return {**base, "rms": 0.0, "zero_crossing_rate": 0.0}
+    rms = float(np.sqrt((x * x).mean()))
+    zc = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) if len(x) > 1 else 0.0
+    return {**base, "rms": rms, "zero_crossing_rate": zc}
+
+
+def encode_wav(samples, sample_rate: int = 8000, channels: int = 1) -> bytes:
+    """Minimal PCM16 WAV encoder (test fixtures)."""
+    import struct
+
+    import numpy as np
+
+    pcm = (np.asarray(samples, dtype=np.float64).clip(-1, 1) * 32767).astype("<i2").tobytes()
+    block_align = 2 * channels
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """decode → feature-extract over audio rows: WAV decodes for real
+    (decode_wav); other containers (mp3/ogg/flac) would need codec libs
+    absent from this image and yield null features through the same
+    boundary. Arrow-batched mapInPandas; only audio rows enter Python."""
+    audio = media.filter(F.col("kind") == "audio")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for content in pdf["content"]:
+                try:
+                    feats.append(decode_wav(bytes(content)))
+                except (ValueError, TypeError):
+                    feats.append({
+                        "sample_rate": None, "channels": None, "n_samples": None,
+                        "duration_ms": None, "rms": None, "zero_crossing_rate": None,
+                    })
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return audio.select("media_id", "content").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:

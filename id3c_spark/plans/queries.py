@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 
 from id3c_spark.functions.strings import iso_week_label
 from id3c_spark.functions.text import LANG_MARKERS, TOKEN_REGEX
-from id3c_spark.operators import ann, dedup, merge as merge_op, similarity
+from id3c_spark.operators import ann, corpus, dedup, merge as merge_op, similarity
+from id3c_spark.operators.asof import asof_join, asof_lag_us
 from id3c_spark.operators.range_join import range_containment_join
 from id3c_spark.operators.topk import distinct_on
 
@@ -46,7 +47,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # nanos; convert to microsecond timestamps (identical to DuckDB's
     # ns→µs truncation) so timestamp semantics line up everywhere.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        # integer `div`, NOT floor(ts / 1000): double division of ~1.7e18 ns
+        # has ulp ≈ 256, so the float floor lands ±1 µs off on ~half the
+        # rows (DuckDB truncates ns→µs exactly; observed via asof lag_us).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
@@ -1228,6 +1232,161 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
         F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# north star: corpus curation (repetition QC, decontamination, sampling)
+# and the as-of join operator
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_repetition_filters",
+    # Gopher-style repetition metrics; HUGEINT sums cast to BIGINT
+    oracle=f"""
+    WITH {_WORDS_CTE},
+    wc AS (
+      SELECT doc_id, unnest(ws) AS word FROM w),
+    cnt AS (
+      SELECT doc_id, word, count(*) AS c, sum(length(word)) AS chars
+      FROM wc GROUP BY 1, 2),
+    stats AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_words,
+             count(*) AS n_distinct,
+             max(c) AS top_c,
+             CAST(sum(chars) AS BIGINT) AS n_chars
+      FROM cnt GROUP BY doc_id),
+    bg AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 2
+               THEN list_transform(range(1, len(ws)),
+                                   i -> array_to_string(ws[i:i+1], ' '))
+               ELSE []::VARCHAR[] END AS b
+      FROM w),
+    bgs AS (
+      SELECT doc_id, len(b) AS n_bigrams, len(list_distinct(b)) AS n_dbg
+      FROM bg)
+    SELECT s.doc_id,
+           n_words,
+           round(n_distinct::DOUBLE / n_words, 6) AS distinct_ratio,
+           round(top_c::DOUBLE / n_words, 6) AS top_word_frac,
+           CASE WHEN n_bigrams > 0
+                THEN round(1 - n_dbg::DOUBLE / n_bigrams, 6)
+                ELSE 0.0 END AS dup_bigram_frac,
+           round(n_chars::DOUBLE / n_words, 6) AS mean_word_len,
+           (round(top_c::DOUBLE / n_words, 6) <= 0.2
+            AND round(n_distinct::DOUBLE / n_words, 6) >= 0.3) AS keep
+    FROM stats s JOIN bgs USING (doc_id)
+    """,
+)
+def doc_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return corpus.repetition_metrics(
+        docs, "doc_id", "text", max_top_word_frac=0.2, min_distinct_ratio=0.3
+    ).withColumnRenamed("id", "doc_id")
+
+
+@query(
+    "decontaminate_docs",
+    # benchmark = doc_id % 97 == 0 (stand-in eval set); 5-gram overlap
+    oracle=f"""
+    WITH {_WORDS_CTE},
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(ws) >= 5
+               THEN list_transform(range(1, len(ws) - 3),
+                                   i -> array_to_string(ws[i:i+4], ' '))
+               ELSE []::VARCHAR[] END) AS s
+      FROM w),
+    ds AS (SELECT DISTINCT doc_id, s FROM sh),
+    bench AS (SELECT DISTINCT s FROM ds WHERE doc_id % 97 = 0)
+    SELECT doc_id, count(*) AS n_hits
+    FROM ds JOIN bench USING (s)
+    WHERE doc_id % 97 <> 0
+    GROUP BY doc_id
+    """,
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    rest = docs.filter(F.col("doc_id") % 97 != 0)
+    return corpus.decontaminate(rest, bench, "doc_id", "text", k=5).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@query(
+    "stratified_sample_docs",
+    # rates are exact binary fractions so floor(rate * 1e6) is engine-stable
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 1000000
+          < CAST(floor(CASE source WHEN 'src1' THEN 0.5
+                                   WHEN 'src2' THEN 0.25
+                                   WHEN 'src3' THEN 0.125
+                                   ELSE 0.0625 END * 1000000) AS BIGINT)
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return corpus.stratified_sample(
+        docs,
+        "doc_id",
+        "source",
+        rates={"src1": 0.5, "src2": 0.25, "src3": 0.125},
+        default_rate=0.0625,
+    ).select("doc_id", "source")
+
+
+@query(
+    "asof_last_click",
+    # last click at-or-before each purchase per user; ties (none in this
+    # data, but defined) break to the largest click event_id. Exact integer
+    # µs on both sides: DuckDB truncates parquet ns→µs at read, Spark's t()
+    # truncates with integer div (see t()'s precision note).
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           c.click_id, c.click_value,
+           epoch_ns(p.ts) // 1000 - epoch_ns(c.click_ts) // 1000 AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+      SELECT e.event_id AS click_id, e."value" AS click_value, e.ts AS click_ts
+      FROM events e
+      WHERE e.event_type = 'click' AND e.user_id = p.user_id AND e.ts <= p.ts
+      ORDER BY e.ts DESC, e.event_id DESC
+      LIMIT 1
+    ) c ON true
+    """,
+)
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_seq="click_id",
+        payload=["click_id", "click_value", "ts"],
+        prefix="click_",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.col("click_click_id").alias("click_id"),
+        F.col("click_click_value").alias("click_value"),
+        asof_lag_us(F.col("ts"), F.col("click_ts")).alias("lag_us"),
     )
 
 

@@ -1,0 +1,163 @@
+"""Unit tests: as-of join semantics, corpus curation operators, and the
+real WAV/BMP decode kernels (catalog-level oracle checks for the same
+operators live in test_queries.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from id3c_spark import multimodal
+from id3c_spark.operators import corpus
+from id3c_spark.operators.asof import asof_join
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+def _trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [(1, 10, "t1"), (1, 20, "t2"), (2, 15, "t3"), (3, 5, "t4")],
+        "key int, ts int, trade string",
+    )
+    quotes = spark.createDataFrame(
+        [(1, 5, 100, 1.0), (1, 20, 101, 2.0), (1, 20, 102, 3.0),
+         (2, 14, 103, 4.0), (2, 16, 104, 5.0)],
+        "key int, ts int, qid int, px double",
+    )
+    return trades, quotes
+
+
+def test_asof_join_latest_at_or_before(spark):
+    trades, quotes = _trades_quotes(spark)
+    out = asof_join(trades, quotes, on="key", left_ts="ts", right_ts="ts",
+                    right_seq="qid", payload=["qid", "px"])
+    got = {r.trade: (r.r_qid, r.r_px) for r in out.collect()}
+    assert got["t1"] == (100, 1.0)          # only the ts=5 quote precedes
+    assert got["t2"] == (102, 3.0)          # equal-ts visible; tie → max qid
+    assert got["t3"] == (103, 4.0)          # ts=16 quote is in the future
+    assert got["t4"] == (None, None)        # no quote for key 3 at all
+
+
+def test_asof_join_strict_excludes_equal_ts(spark):
+    trades, quotes = _trades_quotes(spark)
+    out = asof_join(trades, quotes, on="key", right_seq="qid",
+                    payload=["qid"], strict=True)
+    got = {r.trade: r.r_qid for r in out.collect()}
+    assert got["t2"] == 100                 # ts=20 quotes no longer visible
+
+
+def test_asof_join_row_count_preserved(spark):
+    trades, quotes = _trades_quotes(spark)
+    out = asof_join(trades, quotes, on="key", right_seq="qid", payload=["qid"])
+    assert out.count() == trades.count()
+
+
+# ---------------------------------------------------------------------------
+# corpus curation
+# ---------------------------------------------------------------------------
+
+def test_repetition_metrics_flags_degenerate_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam spam spam"),
+         (2, "the quick brown fox jumps over a lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    rows = {r.id: r for r in corpus.repetition_metrics(docs, "doc_id", "text").collect()}
+    spammy, clean = rows[1], rows[2]
+    assert spammy.n_words == 8
+    assert spammy.top_word_frac == 1.0
+    assert spammy.dup_bigram_frac == 1.0 - 1.0 / 7.0 or abs(spammy.dup_bigram_frac - (1 - 1 / 7)) < 1e-6
+    assert not spammy.keep
+    assert clean.distinct_ratio == 1.0
+    assert clean.dup_bigram_frac == 0.0
+    assert clean.keep
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "noise words then alpha beta gamma delta epsilon appears here"),
+         (2, "completely unrelated text with no shared five gram at all")],
+        "doc_id long, text string",
+    )
+    out = corpus.decontaminate(docs, bench, "doc_id", "text", k=5).collect()
+    assert {(r.id, r.n_hits) for r in out} == {(1, 1)}
+
+
+def test_stratified_sample_deterministic_and_nested(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lo = corpus.stratified_sample(docs, "doc_id", "source", {}, default_rate=0.25)
+    hi = corpus.stratified_sample(docs, "doc_id", "source", {}, default_rate=0.5)
+    lo_ids = {r.doc_id for r in lo.select("doc_id").collect()}
+    hi_ids = {r.doc_id for r in hi.select("doc_id").collect()}
+    assert lo_ids == {r.doc_id for r in lo.select("doc_id").collect()}  # rerun-stable
+    assert lo_ids <= hi_ids                                             # nested samples
+    n = docs.count()
+    assert 0.1 * n < len(lo_ids) < 0.4 * n                              # ~rate
+
+
+def test_stratified_sample_rate_zero_and_one(spark):
+    df = spark.createDataFrame([(i, "s") for i in range(50)], "id long, src string")
+    assert corpus.stratified_sample(df, "id", "src", {"s": 1.0}).count() == 50
+    assert corpus.stratified_sample(df, "id", "src", {"s": 0.0}).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# WAV / BMP kernels
+# ---------------------------------------------------------------------------
+
+def test_wav_decode_sine_rms_and_zcr():
+    sr = 8000
+    n = sr  # 1 second
+    samples = [0.5 * math.sin(2 * math.pi * 440 * i / sr) for i in range(n)]
+    wav = multimodal.encode_wav(samples, sample_rate=sr)
+    got = multimodal.decode_wav(wav)
+    assert got["sample_rate"] == sr
+    assert got["channels"] == 1
+    assert got["n_samples"] == n
+    assert got["duration_ms"] == 1000
+    assert abs(got["rms"] - 0.5 / math.sqrt(2)) < 1e-3
+    # a 440 Hz tone crosses zero 880 times/s → rate ≈ 880/8000
+    assert abs(got["zero_crossing_rate"] - 880 / sr) < 0.01
+
+
+def test_wav_decode_silence():
+    wav = multimodal.encode_wav([0.0] * 100, sample_rate=1000)
+    got = multimodal.decode_wav(wav)
+    assert got["rms"] == 0.0
+    assert got["zero_crossing_rate"] == 0.0
+    assert got["duration_ms"] == 100
+
+
+def test_bmp_roundtrip_via_image_features():
+    # 2x2 24-bit BMP, all channels = 10
+    bmp = multimodal.encode_bmp(2, 2, bytes([10] * 12))
+    got = multimodal.decode_bmp(bmp)
+    assert (got["width"], got["height"]) == (2, 2)
+    assert got["mean"] == 10.0
+
+
+def test_audio_and_bmp_features_through_spark(spark):
+    wav = multimodal.encode_wav([0.25, -0.25] * 200, sample_rate=400)
+    bmp = multimodal.encode_bmp(3, 1, bytes([0, 0, 0, 90, 90, 90, 180, 180, 180]))
+    media = spark.createDataFrame(
+        [(1, "audio", "audio/wav", bytearray(wav), (None, None, None)),
+         (2, "image", "image/bmp", bytearray(bmp), (None, None, None)),
+         (3, "audio", "audio/mpeg", bytearray(b"ID3\x04not-a-wav"), (None, None, None))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    audio = {r.media_id: r for r in multimodal.extract_audio_features(media).collect()}
+    assert audio[1].sample_rate == 400
+    assert audio[1].n_samples == 400
+    assert abs(audio[1].rms - 0.25) < 1e-3
+    assert audio[1].zero_crossing_rate > 0.9      # alternating signs
+    assert audio[3].rms is None                   # honest stub boundary for mp3
+    image = {r.media_id: r for r in multimodal.extract_image_features(media).collect()}
+    assert (image[2].width, image[2].height) == (3, 1)
+    assert abs(image[2].mean_byte - 90.0) < 1e-9
+    assert 3 not in image                         # only image rows decode

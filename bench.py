@@ -70,6 +70,10 @@ def main() -> None:
         start = time.perf_counter()
         catalog[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
+        # isolation hygiene: several operators persist() intermediates that
+        # outlive their action; drop them so later queries aren't measured
+        # against accumulated executor storage
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

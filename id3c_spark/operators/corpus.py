@@ -16,6 +16,10 @@ and tokenization, built Spark-first:
     (md5(id) mod M < rate*M). Reproducible across runs/engines (no RNG
     state), embarrassingly parallel, no shuffle at all: the predicate is
     a pushable scan filter.
+  - shuffle_shards      — deterministic global shuffle into training
+    shards (md5 permutation; shard-keyed shuffle, no global sort).
+  - pack_sequences      — greedy next-fit token-budget packing in
+    hash-bucketed parallel streams (fixed-token training batches).
 
 All hashing is md5-derived so DuckDB oracles can mirror it bit-for-bit
 (same trick as operators/dedup.py).
@@ -23,7 +27,7 @@ All hashing is md5-derived so DuckDB oracles can mirror it bit-for-bit
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from id3c_spark.functions.text import word_shingles, words_array
@@ -135,6 +139,86 @@ def hash_bucket(col: Column, buckets: int = 1000000) -> Column:
     return (
         F.conv(F.substring(F.md5(col.cast("string")), 1, 12), 16, 10)
         .cast("bigint") % F.lit(buckets)
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: order by
+    md5(id) (a reproducible pseudorandom permutation — no RNG state, no
+    partitioning dependence), shard = md5-bucket mod n_shards, pos =
+    rank within shard.
+
+    The export step before training: every engine/run derives the same
+    (shard, pos) for a given id, so a resumed or re-run export is
+    byte-stable. Scale shape: the shard assignment is a pure row
+    expression; only the within-shard position needs a shuffle, keyed by
+    shard — n_shards-way parallel, no global sort."""
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy("shard").orderBy("h")
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            h.alias("h"),
+            (hash_bucket(F.col(id_col)) % n_shards).cast("int").alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select("id", "shard", "pos")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Greedy next-fit sequence packing: assign each document to a bin so
+    every bin's token total stays ≤ budget (a document larger than the
+    budget gets a bin of its own) — the batch-construction step that turns
+    variable-length documents into fixed-token training batches.
+
+    Scale shape: documents are hash-bucketed into *n_buckets* independent
+    streams (deterministic md5 buckets), each stream packs sequentially in
+    id order inside one applyInPandas group. Packing quality is within-
+    stream next-fit (bounded waste), parallelism is n_buckets, and the
+    result is reproducible regardless of cluster partitioning. Bin ids are
+    globally unique: bucket * 2^32 + local bin ordinal."""
+    import pandas as pd
+
+    prepared = df.select(
+        F.col(id_col).alias("id"),
+        F.col(n_tokens_col).cast("long").alias("n_tokens"),
+        (hash_bucket(F.col(id_col)) % n_buckets).cast("int").alias("bucket"),
+    )
+
+    def pack(key, pdf: pd.DataFrame):
+        (bucket,) = key
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        bins, fills, positions = [], [], []
+        bin_no, fill, pos = 0, 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill > 0 and fill + n > budget:
+                bin_no, fill, pos = bin_no + 1, 0, 0
+            bins.append(bucket * (1 << 32) + bin_no)
+            positions.append(pos)
+            fill += n
+            fills.append(fill)
+            pos += 1
+        return pd.DataFrame({
+            "id": pdf["id"],
+            "bin": bins,
+            "pos_in_bin": positions,
+            "bin_fill": fills,
+        })
+
+    return prepared.groupBy("bucket").applyInPandas(
+        pack, "id long, bin long, pos_in_bin int, bin_fill long"
     )
 
 

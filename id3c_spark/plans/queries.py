@@ -1391,6 +1391,82 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "shuffled_shards_docs",
+    # deterministic md5 permutation → shard + in-shard position
+    oracle="""
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                % 1000000 % 8 AS INTEGER) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                          % 1000000 % 8
+             ORDER BY md5(CAST(doc_id AS VARCHAR))) AS INTEGER) AS pos
+    FROM documents
+    """,
+)
+def shuffled_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return corpus.shuffle_shards(docs, "doc_id", n_shards=8).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@query(
+    "pack_docs_by_chars",
+    # next-fit packing replayed as a recursive CTE: each bucket's rows
+    # advance in lockstep, carrying (bin, fill, pos) state exactly like
+    # the Python loop in corpus.pack_sequences
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             n_chars::BIGINT AS n,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                  % 1000000 % 8 AS INTEGER) AS bucket,
+             row_number() OVER (
+               PARTITION BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                            % 1000000 % 8
+               ORDER BY doc_id) AS rn
+      FROM documents),
+    step AS (
+      SELECT bucket, rn, doc_id, n, 0::BIGINT AS bin, n AS fill, 0 AS pos
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT nxt.bucket, nxt.rn, nxt.doc_id, nxt.n,
+             CASE WHEN s.fill > 0 AND s.fill + nxt.n > 2000 THEN s.bin + 1 ELSE s.bin END,
+             CASE WHEN s.fill > 0 AND s.fill + nxt.n > 2000 THEN nxt.n ELSE s.fill + nxt.n END,
+             CASE WHEN s.fill > 0 AND s.fill + nxt.n > 2000 THEN 0 ELSE s.pos + 1 END
+      FROM step s JOIN d nxt ON nxt.bucket = s.bucket AND nxt.rn = s.rn + 1)
+    SELECT doc_id, bucket::BIGINT * 4294967296 + bin AS bin,
+           pos AS pos_in_bin, fill AS bin_fill
+    FROM step
+    """,
+)
+def pack_docs_by_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return corpus.pack_sequences(
+        docs, "doc_id", "n_chars", budget=2000, n_buckets=8
+    ).withColumnRenamed("id", "doc_id")
+
+
+@query("bpe_tokenize_docs")  # rows-only: BPE training is iterative (non-SQL)
+def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE: merges learned from the distributed word-frequency
+    table (driver-side merge loop over the compressed vocab — the standard
+    scalable shape), tokenization distributed via broadcast merge ranks.
+    Deterministic (lexicographic tie-break) but not expressible in SQL;
+    correctness is covered by unit tests against the classic Sennrich
+    examples."""
+    from id3c_spark.operators import bpe
+
+    docs = t(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(docs, "text", num_merges=50)
+    return (
+        bpe.tokenize(docs, "doc_id", "text", merges)
+        .select(F.col("id").alias("doc_id"), "n_tokens")
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -107,6 +107,72 @@ def test_stratified_sample_rate_zero_and_one(spark):
     assert corpus.stratified_sample(df, "id", "src", {"s": 0.0}).count() == 0
 
 
+def test_bpe_learns_frequent_words_as_single_tokens(spark):
+    from id3c_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(i, "hello world " * 5) for i in range(10)] + [(99, "rare words here")],
+        "doc_id long, text string",
+    )
+    merges = bpe.train_bpe(docs, "text", num_merges=20)
+    assert merges == bpe.train_bpe(docs, "text", num_merges=20)  # deterministic
+    ranks = {m: i for i, m in enumerate(merges)}
+    assert bpe.encode_word("hello", ranks) == ["hello" + bpe.END]
+    assert bpe.encode_word("world", ranks) == ["world" + bpe.END]
+    # unseen word falls back to smaller units but round-trips
+    toks = bpe.encode_word("helloworld", ranks)
+    assert "".join(toks) == "helloworld" + bpe.END
+
+
+def test_bpe_tokenize_matches_driver_side(spark):
+    from id3c_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat ran")],
+        "doc_id long, text string",
+    )
+    merges = bpe.train_bpe(docs, "text", num_merges=30)
+    ranks = {m: i for i, m in enumerate(merges)}
+    out = {r.id: r for r in bpe.tokenize(docs, "doc_id", "text", merges).collect()}
+    expect1 = [t for w in ["the", "cat", "ran"] for t in bpe.encode_word(w, ranks)]
+    assert list(out[2].tokens) == expect1
+    assert out[2].n_tokens == len(expect1)
+    assert out[1].n_tokens == len(list(out[1].tokens))
+
+
+def test_pack_sequences_respects_budget(spark):
+    rows = [(i, 300 + (i * 97) % 900) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = corpus.pack_sequences(df, "doc_id", "n_tokens", budget=2000, n_buckets=4).toPandas()
+    assert len(out) == 200 and out["id"].nunique() == 200
+    per_bin = out.groupby("bin")["bin_fill"].max()
+    assert (per_bin <= 2000).all()
+    # deterministic across reruns
+    again = corpus.pack_sequences(df, "doc_id", "n_tokens", budget=2000, n_buckets=4).toPandas()
+    assert out.sort_values("id").reset_index(drop=True).equals(
+        again.sort_values("id").reset_index(drop=True)
+    )
+
+
+def test_pack_sequences_oversized_doc_gets_own_bin(spark):
+    df = spark.createDataFrame(
+        [(1, 50), (2, 5000), (3, 60)], "doc_id long, n_tokens long"
+    )
+    out = corpus.pack_sequences(df, "doc_id", "n_tokens", budget=100, n_buckets=1).toPandas()
+    big = out[out["id"] == 2].iloc[0]
+    others = out[out["id"] != 2]
+    assert big["pos_in_bin"] == 0                  # oversize opens its own bin
+    assert not (others["bin"] == big["bin"]).any() or (others["pos_in_bin"] > 0).all()
+
+
+def test_shuffle_shards_contiguous_positions(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus.shuffle_shards(docs, "doc_id", n_shards=4).toPandas()
+    assert len(out) == docs.count()
+    for shard, grp in out.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(1, len(grp) + 1))
+
+
 # ---------------------------------------------------------------------------
 # WAV / BMP kernels
 # ---------------------------------------------------------------------------

@@ -1,0 +1,85 @@
+"""End-to-end training-corpus curation pipeline — the composition proof
+for the north-star operator family: every stage is one of the catalog
+operators, chained as a single declarative DataFrame flow.
+
+    raw docs
+      → quality gate        (corpus.repetition_metrics keep flag)
+      → decontamination     (corpus.decontaminate anti-join)
+      → exact dedup         (dedup.exact_dedup keep-lowest-id)
+      → near-dup dedup      (dedup.minhash_lsh_pairs → dedup_clusters,
+                             keep each cluster's canonical doc)
+      → stratified sample   (corpus.stratified_sample)
+      → shard + pack        (corpus.shuffle_shards / corpus.pack_sequences
+                             on token counts)
+
+Everything stays lazy until the caller acts; the only driver-side
+materialization anywhere in the flow is dedup_clusters' bounded
+convergence loop. Each stage's semantics are oracle-verified
+individually by the catalog (see plans/queries.py); this module is about
+their composition, tested in test_corpus_asof_multimodal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from id3c_spark.functions.text import token_count
+from id3c_spark.operators import corpus, dedup
+
+
+def curate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stratum_col: str = "source",
+    sample_rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    jaccard_threshold: float = 0.8,
+    token_budget: int = 2048,
+    n_shards: int = 8,
+) -> dict[str, DataFrame]:
+    """Run the full curation flow; returns each stage's output keyed by
+    stage name (callers act on ``packed``/``shards``, or inspect
+    intermediate stages for audit counts)."""
+    metrics = corpus.repetition_metrics(docs, id_col, text_col)
+    quality = docs.join(
+        metrics.filter("keep").select(F.col("id").alias(id_col)), id_col, "left_semi"
+    )
+
+    contaminated = corpus.decontaminate(quality, benchmark, id_col, text_col).select(
+        F.col("id").alias(id_col)
+    )
+    clean = quality.join(contaminated, id_col, "left_anti")
+
+    exact_keep = dedup.exact_dedup(clean, text_col, id_col).select(id_col)
+    exact = clean.join(exact_keep, id_col, "left_semi")
+
+    pairs = dedup.minhash_lsh_pairs(
+        exact, id_col, text_col, threshold=jaccard_threshold
+    )
+    clusters = dedup.dedup_clusters(pairs)
+    non_canonical = clusters.filter(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias(id_col)
+    )
+    unique = exact.join(non_canonical, id_col, "left_anti")
+
+    sampled = corpus.stratified_sample(
+        unique, id_col, stratum_col, sample_rates or {}, default_rate
+    )
+
+    with_tokens = sampled.withColumn("n_tokens", token_count(F.col(text_col)))
+    packed = corpus.pack_sequences(with_tokens, id_col, "n_tokens", token_budget)
+    shards = corpus.shuffle_shards(sampled, id_col, n_shards)
+
+    return {
+        "metrics": metrics,
+        "quality": quality,
+        "clean": clean,
+        "exact": exact,
+        "unique": unique,
+        "sampled": sampled,
+        "packed": packed,
+        "shards": shards,
+    }

@@ -2,6 +2,7 @@
 capability SURVEY §2.10 notes the reference never needed).
 
   - streaming_event_counts: watermarked tumbling-window aggregation.
+  - streaming_dedup: watermarked exact dedup with bounded state.
   - sessionize_stateful: per-user session assembly with
     applyInPandasWithState — the custom-stateful-operator escape hatch
     for semantics window functions can't express incrementally (open
@@ -34,6 +35,25 @@ def streaming_event_counts(
         .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first arrival of each key wins, re-deliveries
+    within the watermark horizon are dropped, and the per-key state is
+    evicted once the watermark passes (bounded state — the property that
+    lets this run forever; an unwatermarked dropDuplicates grows state
+    without bound).
+
+    This is the streaming face of operators/dedup.exact_dedup: the
+    at-least-once receiving feed (SURVEY §2.10 — the reference dedupes by
+    inserting documents keyed on content hash) becomes exactly-once
+    downstream. Key by the content hash column for document feeds."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
 
 
 SESSION_OUTPUT_SCHEMA = (

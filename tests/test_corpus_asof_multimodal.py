@@ -173,6 +173,36 @@ def test_shuffle_shards_contiguous_positions(spark, sf_dir):
         assert sorted(grp["pos"]) == list(range(1, len(grp) + 1))
 
 
+def test_curation_pipeline_end_to_end(spark):
+    from id3c_spark.plans.curation import curate
+
+    good = "the quick brown fox jumps over a lazy dog near the quiet river tonight"
+    rows = [
+        (1, "spam " * 30, "src1"),                       # repetition-filtered
+        (2, good, "src1"),                               # survives
+        (3, good, "src1"),                               # exact dup of 2 → dropped
+        (4, good + " extra tail words", "src1"),         # near-dup of 2 → dropped
+        (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "src2"),  # contaminated
+        (6, "completely different clean content about mountains and weather patterns today", "src2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    out = curate(docs, bench, jaccard_threshold=0.5, token_budget=64, n_shards=2)
+    assert {r.doc_id for r in out["quality"].collect()} == {2, 3, 4, 5, 6}
+    assert {r.doc_id for r in out["clean"].collect()} == {2, 3, 4, 6}
+    assert {r.doc_id for r in out["exact"].collect()} == {2, 4, 6}
+    assert {r.doc_id for r in out["unique"].collect()} == {2, 6}
+    sampled = {r.doc_id for r in out["sampled"].collect()}
+    assert sampled == {2, 6}                              # default_rate=1.0
+    packed = out["packed"].toPandas()
+    assert sorted(packed["id"]) == [2, 6]
+    assert (packed["bin_fill"] <= 64).all()
+    shards = out["shards"].toPandas()
+    assert sorted(shards["id"]) == [2, 6]
+
+
 # ---------------------------------------------------------------------------
 # WAV / BMP kernels
 # ---------------------------------------------------------------------------

@@ -80,6 +80,52 @@ def test_point_in_ring_consistent_with_winding(ring_pts, px, py):
     assert point_in_ring(px, py, ring) == point_in_ring(px, py, rotated)
 
 
+@given(
+    st.lists(  # left events: (key, ts)
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=12
+    ),
+    st.lists(  # right events: (key, ts, seq)
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 99)),
+        min_size=0, max_size=12, unique_by=lambda t: t[2],
+    ),
+)
+@settings(max_examples=12, deadline=None)
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    """asof_join equals the quadratic reference: latest right (ts, seq) with
+    ts <= left ts per key, for arbitrary keys/timestamps including ties."""
+    from id3c_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(lefts)], "key int, ts int, lid int"
+    )
+    rdf = spark.createDataFrame(rights, "key int, ts int, seq int")
+    out = {
+        r.lid: r.r_seq
+        for r in asof_join(ldf, rdf, on="key", right_seq="seq", payload=["seq"]).collect()
+    }
+    for i, (k, ts) in enumerate(lefts):
+        matches = [(rts, seq) for (rk, rts, seq) in rights if rk == k and rts <= ts]
+        expect = max(matches)[1] if matches else None
+        assert out[i] == expect, (i, k, ts, matches)
+
+
+@given(st.lists(st.integers(1, 500), min_size=1, max_size=30))
+@settings(max_examples=10, deadline=None)
+def test_pack_sequences_budget_property(spark, sizes):
+    """Next-fit packing never overfills a bin (oversized docs excepted) and
+    assigns every document exactly once."""
+    from id3c_spark.operators.corpus import pack_sequences
+
+    budget = 600
+    df = spark.createDataFrame(list(enumerate(sizes)), "doc_id int, n int")
+    out = pack_sequences(df, "doc_id", "n", budget=budget, n_buckets=2).toPandas()
+    assert sorted(out["id"]) == list(range(len(sizes)))
+    fills = out.groupby("bin")["bin_fill"].max()
+    singletons = out.groupby("bin").size()
+    for b, fill in fills.items():
+        assert fill <= budget or singletons[b] == 1
+
+
 def test_wkt_roundtrip():
     ring = parse_wkt_polygon("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
     assert ring == [(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]

@@ -325,6 +325,48 @@ def test_stateful_sessionization(spark, tmp_path):
     assert str(rows[0].session_end).startswith("2024-01-01 00:10")
 
 
+def test_streaming_dedup_drops_redelivery(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a re-delivered document (same content
+    hash) inside the watermark horizon is emitted once."""
+    from id3c_spark.streaming.stateful import streaming_dedup
+
+    src = tmp_path / "stream"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        '{"doc_hash": "aaa", "payload": "v1", "ts": "2024-01-01T00:00:00Z"}\n'
+        '{"doc_hash": "bbb", "payload": "v2", "ts": "2024-01-01T00:01:00Z"}\n'
+    )
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "doc_hash string, payload string, ts timestamp"
+        ).json(str(src))
+        q = (
+            streaming_dedup(stream, ["doc_hash"], watermark="1 hour")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # batch 2: re-delivery of aaa (within watermark) + one new doc
+    (src / "b2.json").write_text(
+        '{"doc_hash": "aaa", "payload": "v1-redelivered", "ts": "2024-01-01T00:05:00Z"}\n'
+        '{"doc_hash": "ccc", "payload": "v3", "ts": "2024-01-01T00:06:00Z"}\n'
+    )
+    run_once()
+    rows = spark.read.parquet(out_dir).collect()
+    assert {r.doc_hash for r in rows} == {"aaa", "bbb", "ccc"}
+    assert len(rows) == 3                      # aaa emitted exactly once
+    by_hash = {r.doc_hash: r.payload for r in rows}
+    assert by_hash["aaa"] == "v1"              # first arrival won
+
+
 def test_select_columns_glob(spark):
     df = spark.createDataFrame([(1, 2, 3, 4)], "Barcode_ID int, Aliquot_A int, Aliquot_B int, Notes int")
     out = select_columns_glob(df, "barcode*", "aliquot*")

@@ -56,6 +56,10 @@ BENCH_QUERIES = [
     "shuffled_shards_docs",
     "pack_docs_by_chars",
     "bpe_tokenize_docs",
+    "pii_scrub_docs",
+    "bm25_search_docs",
+    "shared_span_docs",
+    "semantic_dedup_docs",
 ]
 
 

@@ -404,5 +404,84 @@ def user_ls(registry):
         click.echo(f"{u['name']:<{width}}" + ", ".join(u["roles"]))
 
 
+@cli.command("geocode")
+@click.option("--input", "input_path", required=True, help="CSV with address columns")
+@click.option("--cache", "cache_path", required=True, help="pickled TTL cache path")
+@click.option("--address-columns", default=None, help="comma-separated, default Street,Street2,City,State,ZipCode")
+@click.option("--smarty-auth-id", envvar="SMARTYSTREETS_AUTH_ID", default=None)
+@click.option("--smarty-auth-token", envvar="SMARTYSTREETS_AUTH_TOKEN", default=None)
+@click.option("--output", required=True)
+def geocode_cmd(input_path, cache_path, address_columns, smarty_auth_id, smarty_auth_token, output):
+    """Geocode addresses (reference: `id3c geocode using-options`,
+    lib/id3c/cli/command/geocode.py). Uses the real SmartyStreets
+    provider when credentials are supplied, else the deterministic
+    offline stand-in."""
+    from id3c_spark.geocode import fake_geocoder, geocode, smartystreets_provider
+    from id3c_spark.sources.readers import read_csv_all_strings
+
+    provider = (
+        smartystreets_provider(smarty_auth_id, smarty_auth_token)
+        if smarty_auth_id and smarty_auth_token
+        else fake_geocoder
+    )
+    spark = get_spark("geocode")
+    df = read_csv_all_strings(spark, input_path)
+    cols = address_columns.split(",") if address_columns else None
+    geocode(df, cache_path, provider, cols).write.mode("overwrite").csv(output, header=True)
+    click.echo(json.dumps({"output": output}))
+
+
+@cli.group("location")
+def location_group():
+    """Warehouse location management (lib/id3c/cli/command/location.py)."""
+
+
+@location_group.command("import")
+@click.argument("features_path")
+@click.option("--warehouse", "warehouse_dir", required=True)
+@click.option("--scale", default=None)
+@click.option("--simplified", "simplified_path", default=None, help="GeoJSON of simplified polygons")
+@click.option("--if-exists", "mode", type=click.Choice(["update", "nothing"]), default="update")
+def location_import_cmd(features_path, warehouse_dir, scale, simplified_path, mode):
+    """Import a GeoJSON FeatureCollection into warehouse.location
+    (location.py:316-352 parity: CRS check/reproject, hstore hierarchy,
+    conflict-mode switch, import stats)."""
+    from id3c_spark.etl.location_import import import_locations, stage_features
+    from id3c_spark.etl.warehouse import Warehouse
+
+    spark = get_spark("location-import")
+    with open(features_path) as f:
+        staged = stage_features(spark, json.load(f), scale)
+    simplified = None
+    if simplified_path:
+        with open(simplified_path) as f:
+            simplified = stage_features(spark, json.load(f), scale)
+    stats = import_locations(spark, Warehouse(spark, warehouse_dir), staged, simplified, mode)
+    click.echo(json.dumps(stats))
+
+
+@cli.command("refresh-materialized-view")
+@click.argument("view_name")
+@click.option("--warehouse", "warehouse_dir", required=True)
+@click.option("--gold", "gold_root", required=True, help="gold table root dir")
+def refresh_cmd(view_name, warehouse_dir, gold_root):
+    """Recompute + atomically publish one shipping view as a gold table
+    (refresh_materialized_view.py:24-35 parity: readers never observe a
+    partial refresh)."""
+    from id3c_spark.etl.warehouse import Warehouse
+    from id3c_spark.plans import shipping as shipping_views
+    from id3c_spark.refresh import refresh_materialized_view
+
+    spark = get_spark("refresh")
+    wh = Warehouse(spark, warehouse_dir)
+    frames = {n: wh.read(n) for n in ("sample", "presence_absence", "target",
+                                      "encounter", "individual", "site")}
+    shipping_views.create_views(spark, frames)
+    version = refresh_materialized_view(
+        spark, view_name, gold_root, lambda: spark.table(view_name)
+    )
+    click.echo(json.dumps({"view": view_name, "version": version}))
+
+
 if __name__ == "__main__":
     cli()

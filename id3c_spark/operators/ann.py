@@ -199,6 +199,55 @@ def _score_pairs(cand: DataFrame, qe: DataFrame, ce: DataFrame) -> DataFrame:
     return pairs.mapInPandas(score, "query_id long, neighbor_id long, sim double")
 
 
+def _prep(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+
+
+def _ivf_pivots(cp: DataFrame, nlist: int):
+    """Deterministic coarse-quantizer pivots: the *nlist* corpus vectors
+    with the smallest md5(id) — an order-invariant uniform sample both
+    Spark and the DuckDB oracle derive exactly. Returns a broadcast of
+    (pivot_ids sorted asc, row-normalized pivot matrix), tiny
+    (nlist × dim)."""
+    import numpy as np
+
+    piv_rows = (
+        cp.orderBy(F.md5(F.col("id").cast("string")), F.col("id")).limit(nlist).collect()
+    )
+    piv_ids = np.asarray([r.id for r in piv_rows])
+    order = np.argsort(piv_ids)
+    piv_ids = piv_ids[order]
+    piv_mat = np.asarray([np.asarray(piv_rows[i].v, dtype=np.float64) for i in order])
+    piv_mat = piv_mat / np.sqrt((piv_mat * piv_mat).sum(axis=1))[:, None]
+    return cp.sparkSession.sparkContext.broadcast((piv_ids, piv_mat))
+
+
+def _ivf_assign(df: DataFrame, bp, n_cells: int) -> DataFrame:
+    """(id, cell) rows: each vector's *n_cells* nearest pivots (cosine,
+    6-dp rounded, pivot-id tiebreak) — one Arrow GEMM pass, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        ids, mat = bp.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            vm = vm / np.sqrt((vm * vm).sum(axis=1))[:, None]
+            sims = np.round(vm @ mat.T, 6)
+            out_id, out_cell = [], []
+            for i, rid in enumerate(pdf["id"].values):
+                # stable sort: ties broken by pivot id ascending, matching
+                # the oracle's ORDER BY sim DESC, pivot_id
+                top = np.argsort(-sims[i], kind="stable")[:n_cells]
+                out_id.extend([rid] * len(top))
+                out_cell.extend(ids[top])
+            yield pd.DataFrame({"id": out_id, "cell": out_cell})
+
+    return df.mapInPandas(gen, "id long, cell long")
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -225,52 +274,11 @@ def ivf_topk(
     cell id, so cells are the unit of parallelism. Recall/cost is tuned by
     (nlist, nprobe) exactly like FAISS IVF.
     """
-    import numpy as np
-    import pandas as pd
-
-    spark = queries.sparkSession
-
-    def prep(df: DataFrame) -> DataFrame:
-        return df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
-
-    # deterministic pivots: nlist smallest md5(id); sorted by id so that
-    # numpy argmax's first-max == smallest-pivot-id tiebreak
-    piv_rows = (
-        prep(corpus)
-        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
-        .limit(nlist)
-        .collect()
-    )
-    piv_ids = np.asarray([r.id for r in piv_rows])
-    order = np.argsort(piv_ids)
-    piv_ids = piv_ids[order]
-    piv_mat = np.asarray([np.asarray(piv_rows[i].v, dtype=np.float64) for i in order])
-    piv_mat = piv_mat / np.sqrt((piv_mat * piv_mat).sum(axis=1))[:, None]
-    bp = spark.sparkContext.broadcast((piv_ids, piv_mat))
-
-    def assign(n_cells: int):
-        def gen(batches):
-            ids, mat = bp.value
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                vm = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-                vm = vm / np.sqrt((vm * vm).sum(axis=1))[:, None]
-                sims = np.round(vm @ mat.T, 6)
-                out_id, out_cell = [], []
-                for i, rid in enumerate(pdf["id"].values):
-                    # stable sort: ties broken by pivot id ascending, matching
-                    # the oracle's ORDER BY sim DESC, pivot_id
-                    top = np.argsort(-sims[i], kind="stable")[:n_cells]
-                    out_id.extend([rid] * len(top))
-                    out_cell.extend(ids[top])
-                yield pd.DataFrame({"id": out_id, "cell": out_cell})
-        return gen
-
-    cp = prep(corpus).persist() if queries is corpus else prep(corpus)
-    qp = cp if queries is corpus else prep(queries)
-    cells = cp.mapInPandas(assign(1), "id long, cell long")
-    probes = qp.mapInPandas(assign(nprobe), "id long, cell long")
+    cp = _prep(corpus, id_col, vec_col).persist() if queries is corpus else _prep(corpus, id_col, vec_col)
+    qp = cp if queries is corpus else _prep(queries, id_col, vec_col)
+    bp = _ivf_pivots(cp, nlist)
+    cells = _ivf_assign(cp, bp, 1)
+    probes = _ivf_assign(qp, bp, nprobe)
 
     # a corpus vector lives in exactly one cell and a query probes nprobe
     # DISTINCT cells, so each (query, neighbor) pair appears at most once —
@@ -383,3 +391,55 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic (embedding-space) deduplication: cluster near-identical
+    embeddings and keep one canonical document per cluster — the
+    SemDeDup recipe (Abbas et al. 2023): k-cluster the corpus coarsely,
+    compare pairs only WITHIN a cluster, union-find the pairs above the
+    cosine threshold, keep each component's minimum id.
+
+    Returns (id_col, cluster, keep): cluster = min id of the member's
+    duplicate component (its own id if unique), keep = (id == cluster).
+
+    Approximation contract: near-dup pairs split across coarse cells are
+    missed — the standard SemDeDup trade; raise *nlist* resolution or run
+    lsh/ivf candidates instead when recall matters more than cost.
+    Deterministic end to end (md5-sampled pivots, 6-dp rounded cosines,
+    min-label components), so the DuckDB oracle replays it exactly.
+
+    Scale: cell assignment is one Arrow GEMM pass; the pair join shuffles
+    on cell id so cells bound the quadratic term (cell size ~N/nlist);
+    rerank and clustering reuse the distributed _score_pairs /
+    dedup_clusters paths — nothing driver-side but the nlist pivot rows.
+    """
+    from id3c_spark.operators.dedup import dedup_clusters
+
+    cp = _prep(corpus, id_col, vec_col).persist()
+    cells = _ivf_assign(cp, _ivf_pivots(cp, nlist), 1)
+    cand = (
+        cells.alias("a")
+        .join(cells.alias("b"), F.col("a.cell") == F.col("b.cell"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("query_id"), F.col("b.id").alias("neighbor_id"))
+    )
+    qe = cp.select(F.col("id").alias("query_id"), F.col("v").alias("qv"))
+    ce = cp.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"))
+    dups = _score_pairs(cand, qe, ce).filter(F.col("sim") >= threshold)
+
+    clusters = dedup_clusters(dups, "query_id", "neighbor_id")
+    ids = cp.select("id")
+    out = (
+        ids.join(clusters, "id", "left")
+        .withColumn("cluster", F.coalesce(F.col("cluster"), F.col("id")))
+        .withColumn("keep", F.col("id") == F.col("cluster"))
+        .select(F.col("id").alias(id_col), "cluster", "keep")
+    )
+    return out

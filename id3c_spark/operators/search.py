@@ -1,0 +1,101 @@
+"""BM25 keyword search over a document corpus (north-star family).
+
+Training-data pipelines need lexical retrieval for quality audits,
+targeted subset extraction, and contamination triage; BM25 (Robertson &
+Spärck Jones probabilistic relevance, the Okapi BM25 formulation) is the
+standard. The reference's closest analogue is barcode/identifier lookup
+(point queries); this generalizes to ranked full-text retrieval.
+
+Scale shape (100 TB):
+  - One tokenization scan builds (doc, term, tf) — the inverted-index
+    relation. On a real deployment this is materialized once, bucketed
+    by term, and queries touch only their terms' buckets.
+  - Query terms are a literal IN-list, so the term filter is pushed into
+    the scan / index lookup; everything downstream (df, idf, scoring,
+    top-k) runs over candidate postings only — no corpus-wide shuffle.
+  - Corpus stats (N, avgdl) join in via a broadcast single-row frame,
+    never a driver collect.
+
+Determinism for the DuckDB oracle: per-term scores are rounded to 8 dp
+and summed as DECIMAL (exact, order-independent), the final score
+rounded to 6 dp before ranking with doc-id tiebreak — both engines agree
+bit-for-bit (see plans/queries.py discipline note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from id3c_spark.functions.text import words_array
+
+
+def term_frequencies(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tf, dl): the posting-list relation. dl = document length
+    in tokens, carried on every posting so scoring needs no second join."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(words_array(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("id").agg(F.count("*").alias("dl"))
+    return tf.join(dl, "id")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents by BM25 score for a bag-of-words query.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5))  (Robertson/Okapi, always > 0)
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    """
+    postings = term_frequencies(docs, id_col, text_col)
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+    ).crossJoin(
+        postings.agg((F.sum("tf") / F.countDistinct("id")).alias("avgdl_raw"))
+    )
+    # avgdl over docs that HAVE tokens; empty docs score 0 anyway.
+    matched = postings.filter(F.col("term").isin(query_terms))
+    df_by_term = matched.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    scored = (
+        matched.join(F.broadcast(df_by_term), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl_raw"))
+                ),
+                8,
+            ).cast("decimal(18,8)"),
+        )
+    )
+    by_doc = scored.groupBy("id").agg(
+        F.round(F.sum("term_score").cast("double"), 6).alias("score"),
+        F.count("*").alias("n_terms_matched"),
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition heaps,
+    # driver merges k rows) — no global single-partition sort; the window
+    # rank is then computed over k rows only.
+    top = by_doc.orderBy(F.col("score").desc(), F.col("id")).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        F.col("id").alias(id_col), "score", "n_terms_matched", "rank"
+    )

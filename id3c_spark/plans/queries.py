@@ -1467,6 +1467,225 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# PII scrub: detection counts + redaction (operators/pii.py)
+# ---------------------------------------------------------------------------
+
+# Seed deterministic PII into the synthetic docs (both engines build the
+# same derived text) so detection/redaction is exercised on real matches.
+# ({cast} differs: STRING in Spark SQL, VARCHAR in DuckDB.)
+_PII_SEED_TMPL = (
+    "concat('contact user', doc_id, '@example', doc_id % 10, '.com "
+    "or call 206-555-', lpad(CAST(doc_id % 10000 AS {cast}), 4, '0'), "
+    "' ssn 123-45-', lpad(CAST(doc_id % 10000 AS {cast}), 4, '0'), "
+    "' from 10.0.', doc_id % 256, '.7 :: ', text)"
+)
+_PII_SEED_SQL = _PII_SEED_TMPL.format(cast="VARCHAR")
+_PII_SEED_SPARK = _PII_SEED_TMPL.format(cast="STRING")
+
+def _pii_oracle() -> str:
+    from id3c_spark.operators.pii import PII_PATTERNS
+
+    redacted = "text"
+    for kind, pattern in PII_PATTERNS:
+        redacted = (
+            "regexp_replace(" + redacted + ", '" + pattern + "', '<"
+            + kind.upper() + ">', 'g')"
+        )
+    counts = ", ".join(
+        "len(regexp_extract_all(text, '" + pattern + "')) AS n_" + kind
+        for kind, pattern in PII_PATTERNS
+    )
+    total = " + ".join(
+        "len(regexp_extract_all(text, '" + pattern + "'))"
+        for _, pattern in PII_PATTERNS
+    )
+    return (
+        "WITH seeded AS (SELECT doc_id, " + _PII_SEED_SQL + " AS text FROM documents) "
+        "SELECT doc_id, " + redacted + " AS text, " + counts + ", "
+        "CAST(" + total + " AS BIGINT) AS n_pii FROM seeded"
+    )
+
+@query("pii_scrub_docs", oracle=_pii_oracle())
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (operators/pii.py): pure regexp
+    expressions, one pushdown-friendly projection — no shuffle, no UDF."""
+    from id3c_spark.operators.pii import scrub_documents
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PII_SEED_SPARK).alias("text")
+    )
+    out = scrub_documents(docs)
+    return out.withColumn("n_pii", F.col("n_pii").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search (operators/search.py)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "join", "merge", "window"]
+
+@query(
+    "bm25_search_docs",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> x != '') AS ws
+      FROM documents),
+    tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (
+      SELECT (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT count(*) FROM tok)::DOUBLE
+               / (SELECT count(DISTINCT doc_id) FROM tok) AS avgdl),
+    m AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dl.dl
+      FROM tf JOIN dl USING (doc_id)
+      WHERE term IN ('spark', 'join', 'merge', 'window')),
+    dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM m GROUP BY term),
+    sc AS (
+      SELECT m.doc_id,
+             CAST(round(
+               ln(1 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+               * (m.tf * 2.2)
+               / (m.tf + 1.2 * (1 - 0.75 + 0.75 * m.dl / s.avgdl)),
+             8) AS DECIMAL(18,8)) AS ts
+      FROM m JOIN dfx USING (term) CROSS JOIN stats s),
+    agg AS (
+      SELECT doc_id, round(CAST(sum(ts) AS DOUBLE), 6) AS score,
+             count(*) AS n_terms_matched
+      FROM sc GROUP BY doc_id)
+    SELECT doc_id, score, n_terms_matched,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+    FROM agg
+    QUALIFY rank <= 10
+    """,
+)
+def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (operators/search.py): postings built in
+    one scan, query-term filter pushed down, broadcast stats, TakeOrdered
+    top-k."""
+    from id3c_spark.operators.search import bm25_topk
+
+    docs = t(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=10)
+
+
+# ---------------------------------------------------------------------------
+# shared-substring spans (operators/spans.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "shared_span_docs",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> x != '') AS ws
+      FROM documents),
+    sh AS (
+      SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+             md5(array_to_string(ws[u.i:u.i+2], ' ')) AS h
+      FROM w, unnest(range(1, len(ws) - 1)) AS u(i)
+      WHERE len(ws) >= 3),
+    hot AS (
+      SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) > 500),
+    shc AS (SELECT * FROM sh WHERE h NOT IN (SELECT h FROM hot)),
+    hits AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS d
+      FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id),
+    runs AS (
+      SELECT *, pos_a - row_number() OVER (
+        PARTITION BY id_a, id_b, d ORDER BY pos_a) AS grp
+      FROM hits)
+    SELECT id_a, id_b,
+           CAST(min(pos_a) AS INTEGER) AS start_a,
+           CAST(min(pos_b) AS INTEGER) AS start_b,
+           CAST(count(*) + 2 AS INTEGER) AS len_words
+    FROM runs
+    GROUP BY id_a, id_b, d, grp
+    HAVING count(*) + 2 >= 8
+    """,
+)
+def shared_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal shared word spans (substring-level dedup,
+    operators/spans.py): positional-shingle self-join + islands window."""
+    from id3c_spark.operators.spans import shared_span_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    return shared_span_pairs(docs, k=3, min_words=8, max_df=500)
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style, operators/ann.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "semantic_dedup_docs",
+    # IVF cells (deterministic md5 pivots, as ann_ivf_topk) → within-cell
+    # cosine pairs ≥ 0.35 → connected components (recursive reachability)
+    # → keep the min id of each component.
+    oracle="""
+    WITH RECURSIVE
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings),
+    n AS (
+      SELECT vec_id, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+    piv AS (
+      SELECT v.vec_id AS pid, v.e AS pe, n.nrm AS pnrm
+      FROM v JOIN n ON n.vec_id = v.vec_id
+      ORDER BY md5(CAST(v.vec_id AS VARCHAR)), v.vec_id
+      LIMIT 16),
+    vp AS (
+      SELECT v.vec_id, p.pid,
+             round(list_sum(list_transform(range(1, 65),
+               i -> (v.e[i] / n.nrm) * (p.pe[i] / p.pnrm))), 6) AS sim
+      FROM v JOIN n ON n.vec_id = v.vec_id CROSS JOIN piv p),
+    ranked AS (
+      SELECT vec_id, pid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, pid) AS pr
+      FROM vp),
+    cells AS (SELECT vec_id, pid AS cell FROM ranked WHERE pr = 1),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+    p AS (
+      SELECT cd.id_a, cd.id_b
+      FROM cand cd
+      JOIN v a ON a.vec_id = cd.id_a
+      JOIN v b ON b.vec_id = cd.id_b
+      JOIN n na ON na.vec_id = cd.id_a
+      JOIN n nb ON nb.vec_id = cd.id_b
+      WHERE round(list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+                  / (na.nrm * nb.nrm), 6) >= 0.35),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM p
+      UNION
+      SELECT id_b, id_a FROM p),
+    reach(node, r) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r),
+    comp AS (
+      SELECT node AS id, CAST(min(r) AS BIGINT) AS cluster
+      FROM reach GROUP BY node)
+    SELECT emb.vec_id,
+           coalesce(c.cluster, emb.vec_id) AS cluster,
+           coalesce(c.cluster, emb.vec_id) = emb.vec_id AS keep
+    FROM embeddings emb LEFT JOIN comp c ON c.id = emb.vec_id
+    """,
+)
+def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (ann.semantic_dedup): IVF cells bound
+    the pairwise term; components keep one canonical doc per cluster."""
+    emb = t(spark, sf_dir, "embeddings")
+    return ann.semantic_dedup(emb, threshold=0.35, nlist=16)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -229,11 +229,54 @@ def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
     return header + info + rows
 
 
+def jpeg_dimensions(content: bytes) -> tuple[int, int] | None:
+    """Real JPEG header parse (no codec needed for dimensions): walk the
+    marker stream to the first SOFn segment (baseline/progressive/
+    lossless frame headers all carry height,width big-endian at offsets
+    +5/+7). Pixel decode would need libjpeg — dimensions don't."""
+    import struct
+
+    if content[:2] != b"\xff\xd8":  # SOI
+        return None
+    pos = 2
+    n = len(content)
+    while pos + 4 <= n:
+        if content[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = content[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
+            pos += 2
+            continue
+        if pos + 4 > n:
+            return None
+        (seglen,) = struct.unpack(">H", content[pos + 2:pos + 4])
+        # SOFn frame headers: C0-CF except C4 (DHT), C8 (JPG), CC (DAC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 > n:
+                return None
+            height, width = struct.unpack(">HH", content[pos + 5:pos + 9])
+            return (width, height)
+        pos += 2 + seglen
+    return None
+
+
+def gif_dimensions(content: bytes) -> tuple[int, int] | None:
+    """GIF87a/89a logical-screen dimensions (little-endian at offset 6)."""
+    import struct
+
+    if content[:6] not in (b"GIF87a", b"GIF89a") or len(content) < 10:
+        return None
+    width, height = struct.unpack("<HH", content[6:10])
+    return (width, height)
+
+
 def _decode_image(content: bytes) -> dict:
-    """PNG and BMP decode for real (stdlib zlib/struct); other formats keep
-    the STUB byte-statistics path — JPEG/WebP need libs absent from this
-    image. Swap the fallback for PIL/libvips in production; the Spark-side
-    plumbing (schema, batching, pushdown) is identical either way."""
+    """PNG and BMP decode for real (stdlib zlib/struct); JPEG and GIF
+    parse real dimensions from their headers (pixel decode for those
+    would need libs absent from this image — swap in PIL/libvips in
+    production, the Spark-side plumbing is identical); anything else
+    keeps the honestly-marked byte-statistics fallback."""
     if content is None:
         raise NotImplementedError("no content to decode")
     n = len(content)
@@ -252,6 +295,14 @@ def _decode_image(content: bytes) -> dict:
             "height": bmp["height"],
             "n_bytes": n,
             "mean_byte": bmp["mean"] if bmp["mean"] is not None else ((sum(content) / n) if n else 0.0),
+        }
+    dims = jpeg_dimensions(content) or gif_dimensions(content)
+    if dims:
+        return {
+            "width": dims[0],
+            "height": dims[1],
+            "n_bytes": n,
+            "mean_byte": (sum(content) / n) if n else 0.0,
         }
     return {
         "width": None,          # unknown without a real decoder for this format
@@ -371,11 +422,61 @@ def encode_wav(samples, sample_rate: int = 8000, channels: int = 1) -> bytes:
     )
 
 
+# MPEG-1 Layer III tables (the ubiquitous 44.1/48 kHz case; V2/V2.5 rows
+# included for the header math) — public ISO 11172-3 constants.
+_MP3_BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_BITRATES_V2L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
+
+
+def mp3_frame_info(content: bytes) -> dict | None:
+    """Real MP3 frame-header parse (no codec needed for the format
+    metadata): find the first frame sync (11 set bits), decode version/
+    layer/bitrate/samplerate/channel-mode, and estimate duration from the
+    stream size at that bitrate (exact for CBR, the common archive case).
+    PCM decode would need a codec lib; the header math doesn't."""
+    n = len(content)
+    start = 0
+    if content[:3] == b"ID3" and n >= 10:  # skip ID3v2 tag (syncsafe size)
+        size = ((content[6] & 0x7F) << 21 | (content[7] & 0x7F) << 14
+                | (content[8] & 0x7F) << 7 | (content[9] & 0x7F))
+        start = 10 + size
+    for pos in range(start, min(n - 4, start + 4096)):
+        b0, b1, b2, b3 = content[pos:pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            continue
+        version = (b1 >> 3) & 0x03          # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (b1 >> 1) & 0x03            # 1 = Layer III
+        if version == 1 or layer != 1:
+            continue
+        bitrate_idx = (b2 >> 4) & 0x0F
+        rate_idx = (b2 >> 2) & 0x03
+        if bitrate_idx in (0, 15) or rate_idx == 3:
+            continue
+        table = _MP3_BITRATES_V1L3 if version == 3 else _MP3_BITRATES_V2L3
+        bitrate_kbps = table[bitrate_idx]
+        sample_rate = _MP3_RATES[version][rate_idx]
+        channels = 1 if ((b3 >> 6) & 0x03) == 3 else 2
+        duration_ms = int((n - pos) * 8 * 1000 // (bitrate_kbps * 1000))
+        samples_per_frame = 1152 if version == 3 else 576
+        return {
+            "sample_rate": sample_rate,
+            "channels": channels,
+            "n_samples": duration_ms * sample_rate // 1000,
+            "duration_ms": duration_ms,
+            "bitrate_kbps": bitrate_kbps,
+            "samples_per_frame": samples_per_frame,
+        }
+    return None
+
+
 def extract_audio_features(media: DataFrame) -> DataFrame:
     """decode → feature-extract over audio rows: WAV decodes for real
-    (decode_wav); other containers (mp3/ogg/flac) would need codec libs
-    absent from this image and yield null features through the same
-    boundary. Arrow-batched mapInPandas; only audio rows enter Python."""
+    (decode_wav: PCM → RMS / zero-crossings); MP3 parses real format
+    metadata from the frame header (mp3_frame_info — sample decode would
+    need codec libs absent from this image, so signal features stay null
+    through the same boundary); other containers (ogg/flac) yield null
+    features. Arrow-batched mapInPandas; only audio rows enter Python."""
     audio = media.filter(F.col("kind") == "audio")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -384,7 +485,19 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             for content in pdf["content"]:
                 try:
                     feats.append(decode_wav(bytes(content)))
+                    continue
                 except (ValueError, TypeError):
+                    pass
+                info = mp3_frame_info(bytes(content)) if content is not None else None
+                if info:
+                    feats.append({
+                        "sample_rate": info["sample_rate"],
+                        "channels": info["channels"],
+                        "n_samples": info["n_samples"],
+                        "duration_ms": info["duration_ms"],
+                        "rms": None, "zero_crossing_rate": None,
+                    })
+                else:
                     feats.append({
                         "sample_rate": None, "channels": None, "n_samples": None,
                         "duration_ms": None, "rms": None, "zero_crossing_rate": None,

@@ -257,3 +257,54 @@ def test_audio_and_bmp_features_through_spark(spark):
     assert (image[2].width, image[2].height) == (3, 1)
     assert abs(image[2].mean_byte - 90.0) < 1e-9
     assert 3 not in image                         # only image rows decode
+
+
+def test_jpeg_and_gif_header_dimensions():
+    import struct
+
+    # minimal JPEG: SOI + APP0 + SOF0(640x480, 3 components) + EOI
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 480, 640) \
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    jpeg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    assert multimodal.jpeg_dimensions(jpeg) == (640, 480)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert multimodal.gif_dimensions(gif) == (320, 200)
+    assert multimodal.jpeg_dimensions(gif) is None
+    assert multimodal.gif_dimensions(jpeg) is None
+
+    feats = multimodal._decode_image(jpeg)
+    assert (feats["width"], feats["height"]) == (640, 480)
+    feats = multimodal._decode_image(gif)
+    assert (feats["width"], feats["height"]) == (320, 200)
+
+
+def test_mp3_frame_header_parse():
+    # MPEG1 Layer III, 128 kbps, 44100 Hz, stereo; 4000 bytes of stream
+    frame = b"\xff\xfb\x90\x00" + b"\x00" * 3996
+    info = multimodal.mp3_frame_info(frame)
+    assert info["sample_rate"] == 44100
+    assert info["channels"] == 2
+    assert info["bitrate_kbps"] == 128
+    assert info["duration_ms"] == 4000 * 8 * 1000 // 128000
+
+    # ID3v2-tagged stream: 10-byte header + 100-byte tag, then the frame
+    tagged = b"ID3\x04\x00\x00\x00\x00\x00\x64" + b"\x00" * 100 + frame
+    info2 = multimodal.mp3_frame_info(tagged)
+    assert info2 is not None and info2["sample_rate"] == 44100
+    assert info2["duration_ms"] == info["duration_ms"]
+
+    assert multimodal.mp3_frame_info(b"not audio at all") is None
+
+
+def test_mp3_metadata_through_spark(spark):
+    frame = b"\xff\xfb\x90\x00" + b"\x00" * 3996
+    media = spark.createDataFrame(
+        [(1, "audio", "audio/mpeg", bytearray(frame), (None, None, None))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.extract_audio_features(media).collect()[0]
+    assert row.sample_rate == 44100 and row.channels == 2
+    assert row.duration_ms == 250
+    assert row.rms is None                        # sample decode needs a codec

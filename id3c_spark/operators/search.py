@@ -31,13 +31,14 @@ from id3c_spark.functions.text import words_array
 
 
 def term_frequencies(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, term, tf, dl): the posting-list relation. dl = document length
-    in tokens, carried on every posting so scoring needs no second join."""
+    """(id, term, tf, dl): the posting-list relation. Tokenizes ONCE —
+    dl (document length in tokens) is re-aggregated from the tf relation
+    (sum of a doc's term counts), not from a second tokens scan."""
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(words_array(F.col(text_col))).alias("term")
     )
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("id").agg(F.count("*").alias("dl"))
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
     return tf.join(dl, "id")
 
 
@@ -54,18 +55,31 @@ def bm25_topk(
 
     idf = ln(1 + (N - df + 0.5)/(df + 0.5))  (Robertson/Okapi, always > 0)
     score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    The corpus is scanned and tokenized exactly once: the tf relation is
+    persisted and dl / avgdl / df all derive from it (a naive spelling
+    re-reads and re-explodes the corpus per statistic — 6 scans at 100 TB).
+    The only other corpus touch is a column-pruned count(*) for n_docs
+    (parquet metadata read).
     """
-    postings = term_frequencies(docs, id_col, text_col)
-    stats = docs.agg(
-        F.count("*").alias("n_docs"),
-    ).crossJoin(
-        postings.agg((F.sum("tf") / F.countDistinct("id")).alias("avgdl_raw"))
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(words_array(F.col(text_col))).alias("term")
     )
-    # avgdl over docs that HAVE tokens; empty docs score 0 anyway.
-    matched = postings.filter(F.col("term").isin(query_terms))
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf")).persist()
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    # avgdl over docs that HAVE tokens (empty docs score 0 anyway); n_docs
+    # over all of them, per Okapi.
+    stats = (
+        dl.agg(
+            (F.sum("dl") / F.count("*")).alias("avgdl_raw"),
+        )
+        .crossJoin(F.broadcast(docs.agg(F.count("*").alias("n_docs"))))
+    )
+    matched = tf.filter(F.col("term").isin(query_terms))
     df_by_term = matched.groupBy("term").agg(F.countDistinct("id").alias("df"))
     scored = (
-        matched.join(F.broadcast(df_by_term), "term")
+        matched.join(dl, "id")
+        .join(F.broadcast(df_by_term), "term")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",

@@ -58,7 +58,10 @@ def shared_span_pairs(
     Returns (id_a, id_b, start_a, start_b, len_words) with
     len_words >= min_words; start positions are 1-based word offsets.
     """
-    sh = positional_shingles(docs, id_col, text_col, k)
+    # Persist the shingle relation: it feeds the df-cap aggregate AND both
+    # sides of the self-join — without this the k-word zip_with + md5
+    # expression (the dominant per-row cost) re-evaluates 3×.
+    sh = positional_shingles(docs, id_col, text_col, k).persist()
     if max_df is not None:
         hot = sh.groupBy("h").agg(F.countDistinct("id").alias("df")).filter(
             F.col("df") > max_df

@@ -1587,9 +1587,9 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     sh AS (
       SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
-             md5(array_to_string(ws[u.i:u.i+2], ' ')) AS h
-      FROM w, unnest(range(1, len(ws) - 1)) AS u(i)
-      WHERE len(ws) >= 3),
+             md5(array_to_string(ws[u.i:u.i+4], ' ')) AS h
+      FROM w, unnest(range(1, len(ws) - 3)) AS u(i)
+      WHERE len(ws) >= 5),
     hot AS (
       SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) > 500),
     shc AS (SELECT * FROM sh WHERE h NOT IN (SELECT h FROM hot)),
@@ -1604,19 +1604,24 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id_a, id_b,
            CAST(min(pos_a) AS INTEGER) AS start_a,
            CAST(min(pos_b) AS INTEGER) AS start_b,
-           CAST(count(*) + 2 AS INTEGER) AS len_words
+           CAST(count(*) + 4 AS INTEGER) AS len_words
     FROM runs
     GROUP BY id_a, id_b, d, grp
-    HAVING count(*) + 2 >= 8
+    HAVING count(*) + 4 >= 8
     """,
 )
 def shared_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal shared word spans (substring-level dedup,
-    operators/spans.py): positional-shingle self-join + islands window."""
+    operators/spans.py): positional-shingle self-join + islands window.
+
+    k=5 shingles: the collision unit is 5 consecutive words, so random
+    word soup essentially never collides (hit volume stays linear in true
+    duplication) while any real ≥8-word shared span still yields ≥4
+    consecutive diagonal hits."""
     from id3c_spark.operators.spans import shared_span_pairs
 
     docs = t(spark, sf_dir, "documents")
-    return shared_span_pairs(docs, k=3, min_words=8, max_df=500)
+    return shared_span_pairs(docs, k=5, min_words=8, max_df=500)
 
 
 # ---------------------------------------------------------------------------

@@ -101,5 +101,11 @@ def asof_lag_us(left_ts: Column, right_ts: Column) -> Column:
     """Elapsed whole microseconds left-minus-right (bigint) — exact integer
     arithmetic, so every engine produces the identical value (a rounded
     seconds double diverges in the last decimal between DuckDB's
-    multiply-round and Spark's BigDecimal HALF_UP on ~20% of rows)."""
-    return F.unix_micros(left_ts) - F.unix_micros(right_ts)
+    multiply-round and Spark's BigDecimal HALF_UP on ~20% of rows).
+
+    Defensive cast: ``unix_micros`` rejects TIMESTAMP_NTZ, which leaks in
+    when a caller reads the driver's timestamp[us] parquet directly; with
+    the session TZ pinned UTC the cast is wall-clock-preserving."""
+    return F.unix_micros(left_ts.cast("timestamp")) - F.unix_micros(
+        right_ts.cast("timestamp")
+    )

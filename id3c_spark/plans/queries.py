@@ -43,14 +43,22 @@ def query(name: str, oracle: str | None = None):
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # nanosAsLong (session.py) surfaces TIMESTAMP(NANOS) columns as bigint
-    # nanos; convert to microsecond timestamps (identical to DuckDB's
-    # ns→µs truncation) so timestamp semantics line up everywhere.
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer `div`, NOT floor(ts / 1000): double division of ~1.7e18 ns
-        # has ulp ≈ 256, so the float floor lands ±1 µs off on ~half the
-        # rows (DuckDB truncates ns→µs exactly; observed via asof lag_us).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Normalize events.ts to session-TZ TIMESTAMP whatever the physical
+    # parquet encoding — the driver has shipped it as TIMESTAMP(NANOS)
+    # (surfaced as bigint nanos under the nanosAsLong legacy flag),
+    # timestamp[us] with no TZ (surfaced as TIMESTAMP_NTZ), and plain
+    # TIMESTAMP at different times. Session TZ is pinned UTC (session.py),
+    # so the NTZ→TIMESTAMP cast preserves the wall-clock instant and every
+    # downstream unix_micros/cast-to-long matches the DuckDB oracle.
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer `div`, NOT floor(ts / 1000): double division of
+            # ~1.7e18 ns has ulp ≈ 256, so the float floor lands ±1 µs off
+            # on ~half the rows (DuckDB truncates ns→µs exactly).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

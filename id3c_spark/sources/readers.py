@@ -24,19 +24,45 @@ from pyspark.sql import functions as F
 def read_ndjson_receiving(spark: SparkSession, path: str) -> DataFrame:
     """One JSON document per line → (id, document, received). Document text
     is kept verbatim (receiving tables use ``json`` not ``jsonb`` to
-    preserve the exact text, receiving/enrollment.sql:11-13).
+    preserve the exact text, receiving/enrollment.sql:11-13), and ids are
+    sequential 1..N in (file path, line) order — the Postgres-sequence
+    parity the FIFO processors rely on (lib/id3c/db/session.py:157-188).
 
-    Scale note: row_number over a global window is a single-partition
-    bottleneck; ids only need to be unique + monotone per file, so at scale
-    switch to (file offset, partition id) keys — kept simple here because
-    receiving appends are batched small.
+    Scale design: no global window. Each file *split* gets a local
+    ``row_number`` (window keyed by split → parallel across splits, so even
+    one huge file fans out), and split-level cumulative offsets come from a
+    tiny per-split count aggregate (one row per ~128 MB split) that is
+    collected and broadcast back. Two passes over the text, but both are
+    full-parallel scans; nothing funnels through one partition.
     """
-    w = Window.orderBy(F.monotonically_increasing_id())
-    return (
+    raw = (
         spark.read.text(path)
-        .filter(F.trim("value") != "")
         .select(
-            F.row_number().over(w).cast("long").alias("id"),
+            F.col("value"),
+            F.col("_metadata.file_path").alias("__file"),
+            F.col("_metadata.file_block_start").alias("__start"),
+            F.monotonically_increasing_id().alias("__m"),
+        )
+        .filter(F.trim("value") != "")
+    )
+    splits = sorted(
+        ((r["__file"], r["__start"], r["count"])
+         for r in raw.groupBy("__file", "__start").count().collect()),
+    )
+    offsets, acc = [], 0
+    for file, start, n in splits:
+        offsets.append((file, start, acc))
+        acc += n
+    if not offsets:  # empty input: keep the schema without a scan
+        offsets = [("", -1, 0)]
+    offmap = spark.createDataFrame(
+        offsets, "__file string, __start long, __off long"
+    )
+    w = Window.partitionBy("__file", "__start").orderBy("__m")
+    return (
+        raw.join(F.broadcast(offmap), ["__file", "__start"])
+        .select(
+            (F.col("__off") + F.row_number().over(w)).cast("long").alias("id"),
             F.col("value").alias("document"),
             F.current_timestamp().alias("received"),
         )

@@ -84,6 +84,28 @@ def test_ndjson_reader(spark, tmp_path):
     assert rows[0].document == '{"a": 1}'     # exact text preserved
 
 
+def test_ndjson_reader_multifile_order(spark, tmp_path):
+    """Ids are sequential 1..N in (file path, line) order across files, with
+    no global single-partition window (split-local row_number + broadcast
+    offsets)."""
+    import json
+
+    (tmp_path / "a.ndjson").write_text(
+        "".join(json.dumps({"f": "a", "n": i}) + "\n" for i in range(40))
+    )
+    (tmp_path / "b.ndjson").write_text(
+        "".join(json.dumps({"f": "b", "n": i}) + "\n" for i in range(25))
+    )
+    df = readers.read_ndjson_receiving(spark, str(tmp_path))
+    rows = df.orderBy("id").collect()
+    assert [r.id for r in rows] == list(range(1, 66))
+    docs = [json.loads(r.document) for r in rows]
+    assert docs[:40] == [{"f": "a", "n": i} for i in range(40)]
+    assert docs[40:] == [{"f": "b", "n": i} for i in range(25)]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan or "windowspecdefinition(__file" in plan
+
+
 def test_csv_all_strings_null_normalization(spark, tmp_path):
     p = tmp_path / "m.csv"
     p.write_text("barcode,notes\n ABC , na \nxyz,\n")

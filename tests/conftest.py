@@ -20,4 +20,7 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir():
+    # Lazily generated oracles (VALUES-literal mirrors) must read the same
+    # fixture the queries run against.
+    os.environ["ID3C_ORACLE_SF_DIR"] = SF_SMALL
     return SF_SMALL

@@ -63,6 +63,10 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # Lazily generated oracles (VALUES-literal mirrors) must read the same
+    # fixture the queries run against.
+    import os
+    os.environ["ID3C_ORACLE_SF_DIR"] = sf_dir
     spark = get_spark("verify_local")
     con = duckdb.connect()
     for tbl in TABLES:

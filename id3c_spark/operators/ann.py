@@ -41,67 +41,102 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _packed_blocks(
+    df: DataFrame, id_col: str, vec_col: str, n_blocks: int, label: str
+) -> DataFrame:
+    """Pack vectors into *n_blocks* rows of (block, [struct(id, v)]) keyed
+    by hash(id) — the unit of the blocked cross-GEMM below. struct keeps
+    ids and vectors aligned (two parallel collect_lists have no mutual
+    order guarantee)."""
+    return (
+        df.select(
+            F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias(label),
+            F.struct(
+                F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+            ).alias("rec"),
+        )
+        .groupBy(label)
+        .agg(F.collect_list("rec").alias("recs"))
+    )
+
+
+def _unpack(recs) -> tuple:
+    import numpy as np
+
+    ids = np.asarray([r["id"] for r in recs])
+    mat = np.asarray([np.asarray(r["v"], dtype=np.float64) for r in recs])
+    return ids, mat
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_shards: int = 8,
+    query_blocks: int = 8,
 ) -> DataFrame:
     """Exact top-k cosine neighbors (excluding self) per query vector.
 
-    Arrow-batched numpy matmul over partitioned queries × broadcast corpus:
-    the corpus matrix ships to every executor once; each query batch does
-    one BLAS GEMM + argpartition — orders of magnitude faster than a
-    per-pair expression dot (measured 70s → <2s at 2k×2k×64 locally).
-    The dot itself is computed with a sequential-order einsum-equivalent on
-    float64, and similarity is rounded to 6 dp before ranking with an id
-    tiebreak, so results are stable and oracle-matching.
+    Fully distributed blocked GEMM — nothing is collected to the driver:
+    queries pack into B block-rows and the corpus into S shard-rows (both
+    by id hash), the B×S crossJoin gives one task per block pair, and each
+    task runs one BLAS matmul + partial top-k over its (query block,
+    corpus shard). The global exact top-k per query is the top-k of the
+    ≤ k·S partial candidates, taken with a window over rows that number
+    |Q|·S·k — never the full |Q|·|C| similarity matrix.
 
-    Scale: valid while the corpus matrix fits in executor memory
-    (~100M × 64 floats = 25 GB does not — use lsh_bucketed_topk or an IVF
-    coarse quantizer to shard the corpus, same GEMM per shard).
+    Communication cost is the classic block-matmul bound S·|Q| + B·|C|
+    rows shuffled; pick shard counts so one shard (~|C|/S·dim·8 bytes)
+    fits a task comfortably — at 100 M × 64-dim that is S ≈ 800 for
+    32 MB shards, with FLOPs unchanged (exact search is O(|Q|·|C|·dim)
+    whatever the layout; past that scale use lsh/ivf_topk).
+
+    Similarity is rounded to 6 dp before ranking with an id tiebreak (both
+    in the partial and final ranking), so results are deterministic and
+    oracle-matching regardless of block boundaries.
     """
     import numpy as np
     import pandas as pd
 
-    spark = queries.sparkSession
-    c_pdf = corpus.select(
-        F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("v")
-    ).toPandas()
-    c_ids = np.asarray(c_pdf["nid"].values)
-    c_mat = np.asarray([np.asarray(v, dtype=np.float64) for v in c_pdf["v"]])
-    c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
+    q = _packed_blocks(queries, id_col, vec_col, query_blocks, "qb").withColumnRenamed(
+        "recs", "recs_q"
+    )
+    c = _packed_blocks(corpus, id_col, vec_col, corpus_shards, "cb").withColumnRenamed(
+        "recs", "recs_c"
+    )
+    pairs = q.crossJoin(c).repartition(query_blocks * corpus_shards, "qb", "cb")
 
-    q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
-
-    def topk_batches(batches):
-        ids, mat, normc = bc.value
+    def partial_topk(batches):
         for pdf in batches:
-            if not len(pdf):
-                continue
-            qids = pdf["query_id"].values
-            qmat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["qv"]])
-            qnorm = np.sqrt((qmat * qmat).sum(axis=1))
-            sims = (qmat @ mat.T) / np.outer(qnorm, normc)
-            sims = np.round(sims, 6)
-            out_q, out_n, out_s, out_r = [], [], [], []
-            for row_i in range(len(qids)):
-                mask = ids != qids[row_i]
-                cand_ids = ids[mask]
-                cand_sims = sims[row_i][mask]
-                order = np.lexsort((cand_ids, -cand_sims))[:k]
-                out_q.extend([qids[row_i]] * len(order))
-                out_n.extend(cand_ids[order])
-                out_s.extend(cand_sims[order])
-                out_r.extend(range(1, len(order) + 1))
-            yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "sim": out_s, "rank": out_r}
-            )
+            for _, row in pdf.iterrows():
+                qids, qmat = _unpack(row["recs_q"])
+                cids, cmat = _unpack(row["recs_c"])
+                qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+                cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+                sims = np.round((qmat @ cmat.T) / np.outer(qnorm, cnorm), 6)
+                out_q, out_n, out_s = [], [], []
+                for i in range(len(qids)):
+                    mask = cids != qids[i]
+                    cand_ids = cids[mask]
+                    cand_sims = sims[i][mask]
+                    order = np.lexsort((cand_ids, -cand_sims))[:k]
+                    out_q.extend([qids[i]] * len(order))
+                    out_n.extend(cand_ids[order])
+                    out_s.extend(cand_sims[order])
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
+                )
 
-    return q.mapInPandas(
-        topk_batches, schema="query_id long, neighbor_id long, sim double, rank int"
+    partial = pairs.mapInPandas(
+        partial_topk, schema="query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rank").cast("int"))
     )
 
 
@@ -110,48 +145,46 @@ def cosine_pairs_above(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_shards: int = 8,
 ) -> DataFrame:
     """All unordered pairs (id_a < id_b) with cosine ≥ threshold —
-    embedding-based near-dup detection. Same broadcast-GEMM shape as
-    cosine_topk; per query-batch row the neighbor scan is one matmul and
-    a boolean mask, so cost is O(|corpus|²/batches) FLOPs with no
-    quadratic row materialization before the threshold filter.
+    embedding-based near-dup detection. Same blocked cross-GEMM shape as
+    cosine_topk (no driver collect, no broadcast): S×S shard pairs, one
+    matmul + boolean mask per pair, threshold applied before any
+    quadratic row materialization.
 
-    Scale: for corpora past broadcast size, run lsh_bucketed_topk first
-    and threshold-filter its rerank output instead.
+    Scale: for corpora past exact-search size, run lsh_bucketed_topk
+    first and threshold-filter its rerank output instead.
     """
     import numpy as np
     import pandas as pd
 
-    spark = corpus.sparkSession
-    c_pdf = corpus.select(
-        F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("v")
-    ).toPandas()
-    c_ids = np.asarray(c_pdf["nid"].values)
-    c_mat = np.asarray([np.asarray(v, dtype=np.float64) for v in c_pdf["v"]])
-    c_mat = c_mat / np.sqrt((c_mat * c_mat).sum(axis=1))[:, None]
-    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+    blocks = _packed_blocks(corpus, id_col, vec_col, corpus_shards, "qb")
+    pairs = (
+        blocks.withColumnRenamed("recs", "recs_a")
+        .crossJoin(
+            blocks.withColumnRenamed("qb", "cb").withColumnRenamed("recs", "recs_c")
+        )
+        .repartition(corpus_shards * corpus_shards, "qb", "cb")
+    )
 
-    q = corpus.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("qv"))
-
-    def pairs(batches):
-        ids, mat = bc.value
+    def shard_pairs(batches):
         for pdf in batches:
-            if not len(pdf):
-                continue
-            qids = pdf["id_a"].values
-            qmat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["qv"]])
-            qmat = qmat / np.sqrt((qmat * qmat).sum(axis=1))[:, None]
-            sims = np.round(qmat @ mat.T, 6)
-            out_a, out_b, out_s = [], [], []
-            for i in range(len(qids)):
-                mask = (ids > qids[i]) & (sims[i] >= threshold)
-                out_a.extend([qids[i]] * int(mask.sum()))
-                out_b.extend(ids[mask])
-                out_s.extend(sims[i][mask])
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
+            for _, row in pdf.iterrows():
+                aids, amat = _unpack(row["recs_a"])
+                cids, cmat = _unpack(row["recs_c"])
+                amat = amat / np.sqrt((amat * amat).sum(axis=1))[:, None]
+                cmat = cmat / np.sqrt((cmat * cmat).sum(axis=1))[:, None]
+                sims = np.round(amat @ cmat.T, 6)
+                out_a, out_b, out_s = [], [], []
+                for i in range(len(aids)):
+                    mask = (cids > aids[i]) & (sims[i] >= threshold)
+                    out_a.extend([aids[i]] * int(mask.sum()))
+                    out_b.extend(cids[mask])
+                    out_s.extend(sims[i][mask])
+                yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
 
-    return q.mapInPandas(pairs, schema="id_a long, id_b long, sim double")
+    return pairs.mapInPandas(shard_pairs, schema="id_a long, id_b long, sim double")
 
 
 def hyperplanes(dim: int, planes: int, seed: str = "lsh"):

@@ -51,21 +51,24 @@ def stage_features(
     """GeoJSON FeatureCollection → staged location frame
     (parse_features parity, location.py:316-352).
 
-    CRS: EPSG:4326/CRS84 passes through; EPSG:3857 (web mercator, the one
-    non-4326 CRS that shows up in practice) is re-projected with the
-    spherical-mercator inverse (geo.mercator_to_wgs84) — the reference
-    hands this to fiona/PostGIS st_transform. Anything else still raises.
+    CRS: any EPSG code resolvable by geo.to_wgs84_transform — 4326/CRS84
+    pass through, 3857 (spherical mercator) and the WGS84 UTM zones
+    (326xx/327xx) are built in, and callers can inject other codes with
+    geo.register_crs_transform (the fiona/PROJ role in the reference).
+    Unknown codes raise, matching the reference's unsupported-CRS error.
     """
+    from id3c_spark.geo import to_wgs84_transform
+
     crs = str(
         feature_collection.get("crs", {}).get("properties", {}).get("name", "EPSG:4326")
     )
-    reproject = None
-    if "3857" in crs:
-        from id3c_spark.geo import mercator_to_wgs84
-
-        reproject = mercator_to_wgs84
-    elif "4326" not in crs and "CRS84" not in crs:
-        raise ValueError(f"expected EPSG:4326 or EPSG:3857 features, got {crs}")
+    if "CRS84" in crs:
+        reproject = None
+    else:
+        digits = "".join(ch for ch in crs if ch.isdigit())
+        if not digits:
+            raise ValueError(f"cannot parse an EPSG code out of CRS {crs!r}")
+        reproject = to_wgs84_transform(int(digits))
     rows = []
     for feat in feature_collection.get("features", []):
         props = feat.get("properties", {})

@@ -204,6 +204,136 @@ def wgs84_to_mercator(lng: float, lat: float) -> tuple[float, float]:
     return (x, y)
 
 
+# --- general CRS → WGS84 (reference: cli/command/location.py:316-352 reads
+# any fiona-supported EPSG and re-projects; here the common codes are
+# built in — 4326/CRS84 identity, 3857 spherical mercator, 326xx/327xx
+# WGS84 UTM — and anything else is injectable via register_crs_transform,
+# the same "bring a transformer" contract fiona fulfills with PROJ.)
+
+# WGS84 ellipsoid + UTM constants
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_UTM_K0 = 0.9996
+_UTM_E0 = 500000.0
+
+CRS_TRANSFORMS: dict[int, object] = {}
+
+
+def register_crs_transform(epsg: int, fn) -> None:
+    """Install a custom (x, y) → (lng, lat) transform for an EPSG code."""
+    CRS_TRANSFORMS[epsg] = fn
+
+
+def utm_to_wgs84(zone: int, northern: bool = True):
+    """Inverse Transverse Mercator on the WGS84 ellipsoid (Snyder,
+    'Map Projections — A Working Manual', USGS PP 1395, eqs. 8-11 ff.) —
+    sub-mm accurate across a UTM zone's extent, no external geo deps."""
+    import math
+
+    a, f, k0 = _WGS84_A, _WGS84_F, _UTM_K0
+    e2 = f * (2.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    e1 = (1.0 - math.sqrt(1.0 - e2)) / (1.0 + math.sqrt(1.0 - e2))
+    lng0 = math.radians(zone * 6.0 - 183.0)
+    n0 = 0.0 if northern else 10000000.0
+
+    def inverse(x: float, y: float) -> tuple[float, float]:
+        m = (y - n0) / k0
+        mu = m / (a * (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256))
+        phi1 = (
+            mu
+            + (3 * e1 / 2 - 27 * e1**3 / 32) * math.sin(2 * mu)
+            + (21 * e1**2 / 16 - 55 * e1**4 / 32) * math.sin(4 * mu)
+            + (151 * e1**3 / 96) * math.sin(6 * mu)
+            + (1097 * e1**4 / 512) * math.sin(8 * mu)
+        )
+        sin1, cos1, tan1 = math.sin(phi1), math.cos(phi1), math.tan(phi1)
+        c1 = ep2 * cos1**2
+        t1 = tan1**2
+        n1 = a / math.sqrt(1 - e2 * sin1**2)
+        r1 = a * (1 - e2) / (1 - e2 * sin1**2) ** 1.5
+        d = (x - _UTM_E0) / (n1 * k0)
+        lat = phi1 - (n1 * tan1 / r1) * (
+            d**2 / 2
+            - (5 + 3 * t1 + 10 * c1 - 4 * c1**2 - 9 * ep2) * d**4 / 24
+            + (61 + 90 * t1 + 298 * c1 + 45 * t1**2 - 252 * ep2 - 3 * c1**2)
+            * d**6 / 720
+        )
+        lng = lng0 + (
+            d
+            - (1 + 2 * t1 + c1) * d**3 / 6
+            + (5 - 2 * c1 + 28 * t1 - 3 * c1**2 + 8 * ep2 + 24 * t1**2)
+            * d**5 / 120
+        ) / cos1
+        return (math.degrees(lng), math.degrees(lat))
+
+    return inverse
+
+
+def wgs84_to_utm(zone: int, northern: bool = True):
+    """Forward Transverse Mercator (Snyder eqs. 8-9 ff.) — used for
+    round-trip validation and for exporting back to a source CRS."""
+    import math
+
+    a, f, k0 = _WGS84_A, _WGS84_F, _UTM_K0
+    e2 = f * (2.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    lng0 = math.radians(zone * 6.0 - 183.0)
+    n0 = 0.0 if northern else 10000000.0
+
+    def forward(lng: float, lat: float) -> tuple[float, float]:
+        phi = math.radians(lat)
+        lam = math.radians(lng)
+        sinp, cosp, tanp = math.sin(phi), math.cos(phi), math.tan(phi)
+        n = a / math.sqrt(1 - e2 * sinp**2)
+        t = tanp**2
+        c = ep2 * cosp**2
+        big_a = (lam - lng0) * cosp
+        m = a * (
+            (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * phi
+            - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024) * math.sin(2 * phi)
+            + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * math.sin(4 * phi)
+            - (35 * e2**3 / 3072) * math.sin(6 * phi)
+        )
+        x = _UTM_E0 + k0 * n * (
+            big_a
+            + (1 - t + c) * big_a**3 / 6
+            + (5 - 18 * t + t**2 + 72 * c - 58 * ep2) * big_a**5 / 120
+        )
+        y = n0 + k0 * (
+            m
+            + n * tanp * (
+                big_a**2 / 2
+                + (5 - t + 9 * c + 4 * c**2) * big_a**4 / 24
+                + (61 - 58 * t + t**2 + 600 * c - 330 * ep2) * big_a**6 / 720
+            )
+        )
+        return (x, y)
+
+    return forward
+
+
+def to_wgs84_transform(epsg: int):
+    """(x, y) → (lng, lat) transform for *epsg*, or None for the identity
+    (4326). Built-ins: 3857, UTM north 32601-32660, UTM south 32701-32760;
+    anything else must be injected via register_crs_transform — unknown
+    codes raise, matching the reference's unsupported-CRS error."""
+    if epsg == 4326:
+        return None
+    if epsg in CRS_TRANSFORMS:
+        return CRS_TRANSFORMS[epsg]
+    if epsg == 3857:
+        return mercator_to_wgs84
+    if 32601 <= epsg <= 32660:
+        return utm_to_wgs84(epsg - 32600, northern=True)
+    if 32701 <= epsg <= 32760:
+        return utm_to_wgs84(epsg - 32700, northern=False)
+    raise ValueError(
+        f"Unsupported CRS EPSG:{epsg}; register one with "
+        "id3c_spark.geo.register_crs_transform"
+    )
+
+
 def lookup_tract(
     points: DataFrame,
     locations: DataFrame,

@@ -5,6 +5,7 @@ from __future__ import annotations
 import gzip
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from id3c_spark import deidentify, geo, multimodal
@@ -82,6 +83,38 @@ def test_ndjson_reader(spark, tmp_path):
     rows = df.orderBy("id").collect()
     assert [r.id for r in rows] == [1, 2]
     assert rows[0].document == '{"a": 1}'     # exact text preserved
+
+
+def test_utm_transform_roundtrip():
+    """Forward/inverse WGS84 UTM agree to ~1e-9 degrees over the zone's
+    usable extent, the central meridian maps to easting 500 km exactly,
+    and a known city lands in the plausible coordinate band."""
+    from id3c_spark.geo import to_wgs84_transform, utm_to_wgs84, wgs84_to_utm
+
+    fwd, inv = wgs84_to_utm(10), utm_to_wgs84(10)
+    for lat in (-0.5, 10.0, 35.0, 47.6, 60.0, 75.0):
+        for dlng in (-2.9, -1.0, 0.0, 1.7, 2.9):   # zone 10 spans 126°W-120°W
+            lng = -123.0 + dlng
+            x, y = fwd(lng, lat)
+            lng2, lat2 = inv(x, y)
+            assert abs(lng2 - lng) < 1e-8 and abs(lat2 - lat) < 1e-8
+
+    x, _ = fwd(-123.0, 45.0)                       # central meridian
+    assert abs(x - 500000.0) < 1e-6
+
+    e, n = fwd(-122.3321, 47.6062)                 # Seattle: ~550 km E, ~5273 km N
+    assert 540000 < e < 560000 and 5260000 < n < 5290000
+
+    # southern hemisphere: false northing keeps coordinates positive
+    es, ns = wgs84_to_utm(56, northern=False)(153.0, -27.5)   # Brisbane, 56S
+    lngs, lats = utm_to_wgs84(56, northern=False)(es, ns)
+    assert ns > 0 and abs(lngs - 153.0) < 1e-8 and abs(lats - -27.5) < 1e-8
+
+    # EPSG dispatch: 32610 = 10N, 32756 = 56S, unknown raises
+    assert to_wgs84_transform(32610)(e, n)[1] == pytest.approx(47.6062, abs=1e-6)
+    assert to_wgs84_transform(32756)(es, ns)[0] == pytest.approx(153.0, abs=1e-6)
+    with pytest.raises(ValueError):
+        to_wgs84_transform(2926)
 
 
 def test_ndjson_reader_multifile_order(spark, tmp_path):

@@ -285,6 +285,39 @@ def test_location_import_modes(spark, tmp_path):
         stage_features(spark, {"crs": {"properties": {"name": "EPSG:2926"}}, "features": []})
 
 
+def test_stage_features_utm_reprojection(spark):
+    """A UTM zone 10N (EPSG:32610) feature stages as WGS84 lng/lat — the
+    general-CRS path the reference covers with fiona/PROJ."""
+    from id3c_spark.geo import register_crs_transform, wgs84_to_utm
+
+    lng, lat = -122.3321, 47.6062  # Seattle, squarely in UTM zone 10
+    e, n = wgs84_to_utm(10)(lng, lat)
+    fc = {
+        "crs": {"properties": {"name": "urn:ogc:def:crs:EPSG::32610"}},
+        "features": [{
+            "id": "seattle",
+            "properties": {"scale": "city", "hierarchy": None},
+            "geometry": {"type": "Point", "coordinates": [e, n]},
+        }],
+    }
+    staged = stage_features(spark, fc).collect()
+    x, y = map(float, staged[0].polygon_wkt[len("POINT ("):-1].split())
+    assert abs(x - lng) < 1e-6 and abs(y - lat) < 1e-6
+
+    # injectable transform: a made-up EPSG code works once registered
+    register_crs_transform(999001, lambda x, y: (x / 10.0, y / 10.0))
+    fc2 = {
+        "crs": {"properties": {"name": "EPSG:999001"}},
+        "features": [{
+            "id": "p",
+            "properties": {},
+            "geometry": {"type": "Point", "coordinates": [-1223.3, 476.1]},
+        }],
+    }
+    out = stage_features(spark, fc2).collect()[0].polygon_wkt
+    assert out == "POINT (-122.33 47.61)"
+
+
 def test_stateful_sessionization(spark, tmp_path):
     """applyInPandasWithState sessionization driven by a rate-free memory
     stream: two batches; a session stays open across batches, closes on gap."""

@@ -24,6 +24,7 @@ and stay distributed (see multimodal.py).
 
 from __future__ import annotations
 
+import os
 import re
 import shutil
 import tempfile
@@ -70,7 +71,13 @@ def resolve_url(path_or_url: str) -> str:
 
 
 @contextmanager
-def fetch_local(path_or_url: str, opener: Opener | None = None) -> Iterator[str]:
+def fetch_local(
+    path_or_url: str,
+    opener: Opener | None = None,
+    google_token: str | None = None,
+    google_token_provider=None,
+    google_transport=None,
+) -> Iterator[str]:
     """Yield a local filesystem path for *path_or_url*.
 
     Local paths (and file:// URIs) yield as-is; http(s) URLs (including
@@ -78,7 +85,36 @@ def fetch_local(path_or_url: str, opener: Opener | None = None) -> Iterator[str]
     NamedTemporaryFile that is removed on exit. Unknown remote schemes
     raise — distributed schemes (s3a, hdfs) belong to Spark's readers, not
     this driver-side path.
+
+    Google Docs URLs: with credentials available (an explicit token /
+    provider / transport argument, or GOOGLE_OAUTH_ACCESS_TOKEN in the
+    environment) the workbook is exported through the authenticated Drive
+    API (sources/google_drive.py — private sheets, the reference's
+    io/google.py flow); otherwise through the public link-share export
+    endpoint as before.
     """
+    doc_id = extract_document_id_from_google_url(path_or_url)
+    if doc_id and (
+        google_token or google_token_provider or google_transport
+        or os.environ.get("GOOGLE_OAUTH_ACCESS_TOKEN")
+    ):
+        from id3c_spark.sources.google_drive import (
+            GoogleDriveExportFormat,
+            export_file_from_google_drive,
+        )
+
+        buf = export_file_from_google_drive(
+            doc_id,
+            GoogleDriveExportFormat.EXCEL,
+            token=google_token,
+            token_provider=google_token_provider,
+            transport=google_transport,
+        )
+        with tempfile.NamedTemporaryFile(suffix=".xlsx") as tmp:
+            shutil.copyfileobj(buf, tmp)
+            tmp.flush()
+            yield tmp.name
+        return
     url = resolve_url(path_or_url)
     scheme = urlparse(url).scheme if "://" in url else ""
     if scheme in ("", "file"):

@@ -311,6 +311,67 @@ def test_google_sheets_url_rewrite(spark, tmp_path):
     assert df.collect()[0].Qty == "42"
 
 
+def test_google_drive_authenticated_export(spark, tmp_path):
+    """A 'private' workbook fetches through the credentialed Drive hook:
+    the stub transport rejects requests without the Bearer token (like the
+    real API does for non-link-shared docs) and serves xlsx bytes when the
+    injected token is presented — reference io/google.py:37-92 parity,
+    fully offline."""
+    import io
+    import urllib.error
+
+    from id3c_spark.sources import google_drive, remote
+
+    p = tmp_path / "m.xlsx"
+    _write_minimal_xlsx(p)
+    seen = {}
+
+    def transport(req):
+        seen["url"] = req.full_url
+        if req.headers.get("Authorization") != "Bearer tok-123":
+            raise urllib.error.HTTPError(req.full_url, 403, "forbidden", {}, None)
+        return io.BytesIO(p.read_bytes())
+
+    # no credentials → clear error naming the hook
+    with pytest.raises(RuntimeError, match="GOOGLE_OAUTH_ACCESS_TOKEN"):
+        google_drive.export_file_from_google_drive(
+            "DOC-123", google_drive.GoogleDriveExportFormat.EXCEL
+        )
+
+    # wrong token → the API's 403 propagates
+    with pytest.raises(urllib.error.HTTPError):
+        google_drive.export_file_from_google_drive(
+            "DOC-123",
+            google_drive.GoogleDriveExportFormat.EXCEL,
+            token="bad",
+            transport=transport,
+        )
+
+    # fetch_local end-to-end with the injected credentialed transport
+    with remote.fetch_local(
+        "https://docs.google.com/spreadsheets/d/DOC-123/edit#gid=0",
+        google_token="tok-123",
+        google_transport=transport,
+    ) as local:
+        df = readers.read_excel_all_strings(spark, local, sheet="Manifest")
+        assert df.collect()[0].Qty == "42"
+    assert seen["url"].startswith(
+        "https://www.googleapis.com/drive/v3/files/DOC-123/export?mimeType="
+    )
+
+    # etag freshness check through the same transport contract
+    def meta_transport(req):
+        assert req.headers.get("Authorization") == "Bearer tok-123"
+        return io.BytesIO(
+            b'{"modifiedTime": "2026-08-13T00:00:00Z", "md5Checksum": "abc"}'
+        )
+
+    etag = google_drive.get_document_etag(
+        "DOC-123", token="tok-123", transport=meta_transport
+    )
+    assert etag == "2026-08-13T00:00:00Z/abc"
+
+
 def _write_manifest_xlsx(path):
     """Workbook with glob-able headers, duplicates and blanks for QC."""
     import zipfile

@@ -49,8 +49,26 @@ def _register_etls() -> None:
 @click.option("--input", "input_path", required=True, help="NDJSON receiving file/glob")
 @click.option("--warehouse", "warehouse_dir", required=True)
 @click.option("--identifiers", "identifiers_path", required=True, help="identifier parquet")
-@click.option("--commit/--dry-run", default=False, help="default: dry-run (no publish)")
-def etl_cmd(name, input_path, warehouse_dir, identifiers_path, commit):
+@click.option(
+    "--dry-run", "action", flag_value="rollback", default=True,
+    help="Only go through the motions of changing the warehouse (default)",
+)
+@click.option(
+    "--prompt", "action", flag_value="prompt",
+    help="Ask if changes to the warehouse should be saved",
+)
+@click.option(
+    "--commit", "action", flag_value="commit",
+    help="Save changes to the warehouse",
+)
+def etl_cmd(name, input_path, warehouse_dir, identifiers_path, action):
+    """Transaction policy parity (reference cli/command/__init__.py:57-162):
+    three-way --dry-run/--prompt/--commit. dry-run and prompt both run the
+    full ETL against a scratch copy; prompt then asks (click.confirm, the
+    reference's interactive question) and on yes promotes every scratch
+    table into the real warehouse through the store's atomic pointer
+    flips — so an aborted promotion still never leaves readers a partial
+    state."""
     from id3c_spark.etl.warehouse import Warehouse
     from id3c_spark.sources.readers import read_ndjson_receiving
 
@@ -58,17 +76,30 @@ def etl_cmd(name, input_path, warehouse_dir, identifiers_path, commit):
     spark = get_spark(f"etl-{name}")
     target_dir = warehouse_dir
     scratch = None
-    if not commit:
+    if action != "commit":
         scratch = tempfile.mkdtemp(prefix="id3c-dryrun-")
         shutil.rmtree(scratch)
         shutil.copytree(warehouse_dir, scratch, dirs_exist_ok=False) if _exists(warehouse_dir) else None
         target_dir = scratch
     receiving = read_ndjson_receiving(spark, input_path)
     wh = Warehouse(spark, target_dir)
-    stats = ETLS[name](spark, receiving, wh, _load_identifiers(spark, identifiers_path))
-    click.echo(json.dumps({"etl": name, "committed": commit, **stats}))
-    if scratch:
-        shutil.rmtree(scratch, ignore_errors=True)
+    committed = action == "commit"
+    try:
+        stats = ETLS[name](spark, receiving, wh, _load_identifiers(spark, identifiers_path))
+        if scratch and action == "prompt" and CONFIRM("Commit all changes?"):
+            real = Warehouse(spark, warehouse_dir)
+            for tbl_name, tbl in wh.tables.items():
+                if tbl.exists():
+                    real.publish(tbl_name, tbl.read())
+            committed = True
+        click.echo(json.dumps({"etl": name, "committed": committed, **stats}))
+    finally:
+        if scratch:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+
+#: Interactive confirmation hook for --prompt mode; swap out in tests.
+CONFIRM = click.confirm
 
 
 def _exists(path: str) -> bool:

@@ -54,6 +54,50 @@ def test_streaming_etl_checkpointed(spark, tmp_path):
     assert any(r.present is False for r in flu)
 
 
+def test_cli_etl_dry_run_prompt_commit(spark, tmp_path, monkeypatch):
+    """Three-way transaction policy (reference cli/command/__init__.py:57-162):
+    dry-run publishes nothing, prompt+no publishes nothing, prompt+yes and
+    commit publish — prompt promotes scratch tables via atomic pointer flips."""
+    import id3c_spark.cli as cli_module
+
+    src = tmp_path / "pa.ndjson"
+    src.write_text(fixtures.pa_documents()[0][1] + "\n")
+    ids_path = str(tmp_path / "ids.parquet")
+    spark.createDataFrame(
+        fixtures.identifier_rows(), "uuid string, barcode string, identifier_set_id long"
+    ).write.parquet(ids_path)
+    wh_dir = str(tmp_path / "wh")
+    runner = CliRunner()
+
+    def run(*flags):
+        res = runner.invoke(cli_module.cli, [
+            "etl", "presence-absence", "--input", str(src),
+            "--warehouse", wh_dir, "--identifiers", ids_path, *flags,
+        ])
+        assert res.exit_code == 0, res.output
+        return json.loads(res.output.strip().splitlines()[-1])
+
+    def published() -> int:
+        wh = Warehouse(spark, wh_dir)
+        return wh.read("presence_absence").count()
+
+    assert run()["committed"] is False                   # default = dry-run
+    assert published() == 0
+
+    monkeypatch.setattr(cli_module, "CONFIRM", lambda msg: False)
+    assert run("--prompt")["committed"] is False          # prompt, answer no
+    assert published() == 0
+
+    monkeypatch.setattr(cli_module, "CONFIRM", lambda msg: True)
+    out = run("--prompt")                                 # prompt, answer yes
+    assert out["committed"] is True
+    n = published()
+    assert n > 0
+
+    assert run("--commit")["committed"] is True           # plain commit
+    assert published() == n                               # idempotent upsert
+
+
 def test_cli_upload_and_mint(tmp_path):
     runner = CliRunner()
     src = tmp_path / "up.ndjson"

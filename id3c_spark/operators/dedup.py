@@ -237,24 +237,29 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 30,
+    driver_cutoff: int = 1_000_000,
 ) -> DataFrame:
     """Near-duplicate CLUSTER assignment: connected components over a
     dup-pair relation, labeling every member with the minimum id in its
     component — the step that turns pairwise near-dup evidence into a
     keep-one-canonical-document decision (keep rows where id == cluster).
 
-    Algorithm: iterative min-label propagation to fixpoint (the classic
-    Spark/Pregel connected-components shape). Each round is one
-    shuffle-join + aggregate; convergence takes O(component diameter)
-    rounds — near-dup clusters are shallow (dups of dups), so this is a
-    handful of rounds in practice, with *max_iter* as the runaway guard.
-    Deterministic given the pair set, so the DuckDB oracle can replay it
-    as a recursive reachability query.
+    Two regimes, picked by the EXACT edge count (free — the deduped edge
+    relation is materialized by the checkpoint either way):
 
-    Scale: never materializes components on the driver; per-round state is
-    (node, label) pairs, shuffled on node id. For planet-scale graphs
-    you'd switch to the large-star/small-star variant (fewer rounds),
-    same per-round plan shape.
+      - edges ≤ *driver_cutoff*: min-root union-find on the driver. The
+        dup-pair graph is the output of heavy distributed filtering and is
+        typically orders smaller than the corpus; when it provably fits,
+        one linear pass replaces O(diameter) Spark rounds whose per-round
+        job overhead dwarfs the work (the same materialization-boundary
+        argument as the BPE merge table).
+      - larger graphs: iterative min-label propagation WITH pointer
+        jumping (label ← label[label] each round), the Pregel-style
+        connected-components shape at O(log diameter) rounds; per-round
+        state is (node, label) pairs shuffled on node id, never collected.
+
+    Both regimes produce identical min-label components, so the DuckDB
+    oracle's recursive reachability replay matches either path.
     """
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     # localCheckpoint (not persist): iterative plans grow a level of
@@ -266,6 +271,28 @@ def dedup_clusters(
         .distinct()
         .localCheckpoint()
     )
+    if edges.count() <= driver_cutoff:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:       # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        rows = edges.collect()
+        for row in rows:
+            ra, rb = find(row["a"]), find(row["b"])
+            if ra != rb:                       # min root wins → min labels
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        nodes = {r["a"] for r in rows}         # edges hold both directions
+        out = [(int(n), int(find(n))) for n in sorted(nodes)]
+        return pairs.sparkSession.createDataFrame(out, "id long, cluster long")
+
     labels = (
         edges.select(F.col("a").alias("node")).distinct()
         .withColumn("label", F.col("node"))
@@ -280,16 +307,25 @@ def dedup_clusters(
             .agg(F.min("nl").alias("nmin"))
             .withColumnsRenamed({"a": "node"})
         )
+        hop = F.least(F.col("label"), F.coalesce("nmin", F.col("label")))
+        hopped = labels.join(neighbor_min, "node", "left").select(
+            "node", F.col("label").alias("old"), hop.alias("label")
+        )
+        # pointer jump: every label is itself a node, so one self-join
+        # rewrites label → label[label]; combined with the hop above the
+        # distance to the component minimum shrinks superlinearly per round
+        mapping = hopped.select(
+            F.col("node").alias("label"), F.col("label").alias("ll")
+        )
+        jumped_label = F.coalesce("ll", F.col("label"))
         # the changed flag rides in the checkpointed frame, so convergence
-        # detection is a count over materialized data — one job per round,
-        # not two
-        new_label = F.least(F.col("label"), F.coalesce("nmin", F.col("label")))
+        # detection is a count over materialized data — one job per round
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            hopped.join(mapping, "label", "left")
             .select(
                 "node",
-                new_label.alias("label"),
-                (new_label != F.col("label")).alias("changed"),
+                jumped_label.alias("label"),
+                (jumped_label != F.col("old")).alias("changed"),
             )
             .localCheckpoint()
         )

@@ -100,6 +100,15 @@ def test_dedup_clusters(spark):
     got3 = {r.id: r.cluster for r in dedup.dedup_clusters(doc_pairs).collect()}
     assert got3 == {1: 1, 2: 1, 4: 1}
 
+    # the distributed pointer-jumping branch (driver_cutoff=0) produces the
+    # same min-label components as the driver union-find fast path
+    for pair_df, expect in ((pairs, got), (chain, got2)):
+        dist = {
+            r.id: r.cluster
+            for r in dedup.dedup_clusters(pair_df, driver_cutoff=0).collect()
+        }
+        assert dist == expect
+
 
 def test_hamming_close_pairs_complete(spark):
     codes = ["aaaaaaaa", "aaaaaaab", "aaaaabbb", "bbbbbbbb", "aabbaabb"]

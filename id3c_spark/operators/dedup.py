@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from id3c_spark.functions.text import word_shingles
+from id3c_spark.functions.text import word_shingles, words_array
 
 MERSENNE31 = 2147483647          # modulus for the MinHash permutation family
 
@@ -49,11 +49,33 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _distinct_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), k)).alias("sh"))
-        .distinct()
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, sh) — one row per k-word-shingle occurrence.
+
+    Shape: posexplode words, then per-doc lead() windows and one concat_ws.
+    Higher-order array functions (zip_with/transform) are interpreted per
+    element in Spark, and the zip-chain Column shape (functions/text.py
+    word_shingles) measured ~10× slower than this explode+window relation,
+    which stays in codegen and costs one shuffle on doc id — the same
+    shuffle the downstream distinct/aggregate needs anyway."""
+    w = Window.partitionBy("id").orderBy("pos")
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(words_array(F.col(text_col))).alias("pos", "w"),
     )
+    parts = [
+        (F.lead("w", j).over(w) if j else F.col("w")).alias(f"_w{j}")
+        for j in range(k)
+    ]
+    return (
+        words.select("id", *parts)
+        .filter(F.col(f"_w{k - 1}").isNotNull())
+        .select("id", F.concat_ws(" ", *[f"_w{j}" for j in range(k)]).alias("sh"))
+    )
+
+
+def _distinct_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    return _exploded_shingles(df, id_col, text_col, k).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -139,11 +161,11 @@ def minhash_signature(
     # the common subexpression — measured 32× slowdown). Instead explode
     # shingles, hash each ONCE, and take num_hashes parallel MIN aggregates
     # — also the right distributed shape (map-side partial min, one shuffle
-    # on doc id, no giant array values).
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("s"),
-    ).select("id", F.conv(F.substring(F.md5("s"), 1, 7), 16, 10).cast("bigint").alias("h"))
+    # on doc id, no giant array values). Duplicate shingle occurrences
+    # don't move a MIN, so the occurrence relation works as the set here.
+    exploded = _exploded_shingles(df, id_col, text_col, k).select(
+        "id", F.conv(F.substring(F.md5("sh"), 1, 7), 16, 10).cast("bigint").alias("h")
+    )
     mins = exploded.groupBy("id").agg(
         *[
             F.min(((2 * i + 1) * F.col("h") + (11 * i + 7)) % MERSENNE31).alias(f"m{i}")
@@ -175,7 +197,19 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signature(df, id_col, text_col, k, num_hashes)
+    # One shingle pass feeds BOTH the signature aggregate and the exact
+    # Jaccard verify below (they needed separate explode+window passes
+    # otherwise — the single most expensive subtree here).
+    sh_occ = _exploded_shingles(df, id_col, text_col, k).persist()
+    hashed = sh_occ.select(
+        "id", F.conv(F.substring(F.md5("sh"), 1, 7), 16, 10).cast("bigint").alias("h")
+    )
+    sig = hashed.groupBy("id").agg(
+        *[
+            F.min(((2 * i + 1) * F.col("h") + (11 * i + 7)) % MERSENNE31).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    ).select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
     # banded feeds both sides of the candidate self-join; persisting stops
     # the whole signature pipeline (explode + 32 min-aggs) running twice
     banded = sig.select(
@@ -205,7 +239,7 @@ def minhash_lsh_pairs(
     # of LSH is to never touch the full shared-shingle pair set
     # (persisted: feeds both pair sides + the size aggregate, see
     # ngram_jaccard_pairs)
-    sh = _distinct_shingles(df, id_col, text_col, k).persist()
+    sh = sh_occ.distinct().persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a_sh = sh.select(F.col("id").alias("id_a"), "sh")
     b_sh = sh.select(F.col("id").alias("id_b"), "sh")

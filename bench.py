@@ -60,6 +60,18 @@ BENCH_QUERIES = [
     "bm25_search_docs",
     "shared_span_docs",
     "semantic_dedup_docs",
+    # full-catalog coverage (round 5): the remaining §2 operators
+    "events_json_decode",
+    "customers_without_orders",
+    "unprocessed_events",
+    "part_pattern_filter",
+    "nation_lookup_join",
+    "building_except_bigspenders",
+    "lineage_prefix_match",
+    "event_stats",
+    "hstore_hierarchy_extract",
+    "simhash_pairs",
+    "approx_distinct_parts",
 ]
 
 

@@ -1269,20 +1269,33 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus booleans asserting the sketches land within tolerance; the
     oracle recomputes the exact side and expects the booleans TRUE."""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    # count_distinct mixed into a multi-aggregate triggers an Expand
+    # (row-multiplying) plan; a pre-distinct + count joined back keeps both
+    # aggregates map-side-combinable. percentile takes the band bounds in
+    # one pass via its array form.
+    exact = (
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("exact_parts"))
+    )
+    approx = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey").alias("apx"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("apx_med"),
+        F.expr("percentile(l_extendedprice, array(0.40, 0.60))").alias("band"),
+    )
+    return approx.join(F.broadcast(exact), "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        "exact_parts",
         (
-            F.abs(
-                F.approx_count_distinct("l_partkey")
-                - F.count_distinct("l_partkey")
-            )
-            <= 0.10 * F.count_distinct("l_partkey")
+            F.abs(F.col("apx") - F.col("exact_parts"))
+            <= 0.10 * F.col("exact_parts")
         ).alias("parts_within_10pct"),
-        F.percentile_approx("l_extendedprice", 0.5).between(
-            F.expr("percentile(l_extendedprice, 0.40)"),
-            F.expr("percentile(l_extendedprice, 0.60)"),
-        ).alias("median_in_p40_p60"),
+        F.col("apx_med").between(F.col("band")[0], F.col("band")[1]).alias(
+            "median_in_p40_p60"
+        ),
     )
 
 

@@ -62,15 +62,17 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # TIMESTAMP at different times. Session TZ is pinned UTC (session.py),
     # so the NTZ→TIMESTAMP cast preserves the wall-clock instant and every
     # downstream unix_micros/cast-to-long matches the DuckDB oracle.
-    if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            # integer `div`, NOT floor(ts / 1000): double division of
-            # ~1.7e18 ns has ulp ≈ 256, so the float floor lands ±1 µs off
-            # on ~half the rows (DuckDB truncates ns→µs exactly).
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer `div`, NOT floor(ts / 1000): double division of
+        # ~1.7e18 ns has ulp ≈ 256, so the float floor lands ±1 µs off
+        # on ~half the rows (DuckDB truncates ns→µs exactly).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Any table, any NTZ column: the driver regenerates fixtures between
+    # rounds with varying physical types, so normalize defensively rather
+    # than waiting for the next cast error.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "hstore_hierarchy_extract",
     "simhash_pairs",
     "approx_distinct_parts",
+    "budget_sample_docs",
+    "interleave_strata_docs",
 ]
 
 

@@ -244,3 +244,81 @@ def stratified_sample(
         rate = F.when(F.col(stratum_col) == value, F.lit(r)).otherwise(rate)
     thresh = F.floor(rate * buckets).cast("bigint")
     return df.filter(hash_bucket(F.col(id_col), buckets) < thresh)
+
+
+def budget_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    size_col: str,
+    budgets: dict[str, int],
+) -> DataFrame:
+    """Token/char-budget mixture sampling: per stratum, take documents in a
+    deterministic md5-priority order until the stratum's size budget is
+    exhausted — the data-mixing step of a training recipe ("x B tokens of
+    code, y B of web"), made reproducible.
+
+    Selection = rows whose running size (inclusive, in priority order)
+    stays within budget, so output is a pure function of (ids, budgets):
+    stable across runs, engines, and partitionings, and raising a budget
+    strictly grows the previous selection (nested samples, like
+    stratified_sample).
+
+    Scale: one shuffle on the stratum key for the running-sum window;
+    strata process in parallel. A single planet-sized stratum serializes
+    its own window — at that point switch to the two-pass variant (sample
+    the md5-priority distribution, pick the cutoff quantile for the
+    budget, filter by priority < cutoff: shuffle-free, approximate at the
+    boundary only).
+    """
+    prio = F.md5(F.col(id_col).cast("string"))
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(prio, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = F.lit(None).cast("long")
+    for value, b in sorted(budgets.items()):
+        budget = F.when(F.col(stratum_col) == value, F.lit(b)).otherwise(budget)
+    return (
+        df.withColumn("__cum", F.sum(F.col(size_col)).over(w))
+        .filter(F.col("__cum") <= budget)
+        .drop("__cum")
+    )
+
+
+def interleave_strata(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+) -> DataFrame:
+    """Deterministic round-robin training order across strata: document i
+    of stratum s lands at position i * n_strata + index(s) — every
+    consecutive window of the output order mixes all strata near their
+    corpus proportions instead of streaming one source at a time (the
+    training-order counterpart of shuffle_shards' global permutation).
+
+    Positions are sparse when strata differ in size (a stratum's slots
+    past its size stay empty) — consumers sort by position at write time,
+    a distributed sort; nothing here needs a global window. Within a
+    stratum the order is the same md5 priority used everywhere else.
+    """
+    # global window over the DISTINCT strata relation only — stratum-count
+    # rows (tens), not corpus rows, so the single partition is fine
+    strata = (
+        df.select(stratum_col).distinct().sort(stratum_col)
+        .withColumn("__sidx", F.row_number().over(
+            Window.orderBy(stratum_col)) - 1)
+    )
+    n = strata.count()
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.join(F.broadcast(strata), stratum_col)
+        .withColumn(
+            "position",
+            ((F.row_number().over(w) - 1) * n + F.col("__sidx")).cast("long"),
+        )
+        .drop("__sidx")
+    )

@@ -1775,6 +1775,65 @@ def shared_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @query(
+    "budget_sample_docs",
+    # per-lang char budgets; md5-priority order with doc_id tiebreak;
+    # inclusive running sum within budget (see corpus.budget_sample)
+    oracle="""
+    WITH b(lang, budget) AS (VALUES
+      ('en', 4000), ('de', 2500), ('fr', 1500)),
+    ranked AS (
+      SELECT doc_id, d.lang, n_chars, budget,
+             sum(n_chars) OVER (
+               PARTITION BY d.lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents d JOIN b ON b.lang = d.lang)
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked WHERE cum <= budget
+    """,
+)
+def budget_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling (corpus.budget_sample): deterministic
+    per-stratum selection until each language's char budget is exhausted —
+    the data-mixing step of a training recipe."""
+    docs = t(spark, sf_dir, "documents")
+    out = corpus.budget_sample(
+        docs, "doc_id", "lang", "n_chars",
+        budgets={"en": 4000, "de": 2500, "fr": 1500},
+    )
+    return out.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+@query(
+    "interleave_strata_docs",
+    # round-robin positions: i-th doc (md5 order) of the s-th source
+    # (alphabetical) sits at i * n_sources + s
+    oracle="""
+    WITH s AS (
+      SELECT source, row_number() OVER (ORDER BY source) - 1 AS sidx
+      FROM (SELECT DISTINCT source FROM documents)),
+    n AS (SELECT count(*) AS n_strata FROM s),
+    r AS (
+      SELECT doc_id, d.source, sidx,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS i
+      FROM documents d JOIN s ON s.source = d.source)
+    SELECT doc_id, source, CAST(i * n_strata + sidx AS BIGINT) AS position
+    FROM r, n
+    """,
+)
+def interleave_strata_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin training order across sources
+    (corpus.interleave_strata) — consecutive windows of the order mix all
+    sources near corpus proportions."""
+    docs = t(spark, sf_dir, "documents")
+    return corpus.interleave_strata(docs, "doc_id", "source").select(
+        "doc_id", "source", "position"
+    )
+
+
+@query(
     "semantic_dedup_docs",
     # IVF cells (deterministic md5 pivots, as ann_ivf_topk) → within-cell
     # cosine pairs ≥ 0.35 → connected components (recursive reachability)
@@ -1843,7 +1902,15 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first 50 entries in dict order; keeping the weaker checks last means a
     catalog larger than the cap drops only queries that would get the weaker
     rows-only comparison anyway."""
-    order_last = ("approx_distinct_parts",)  # tolerance-boolean check only
+    # Pinned past the gate's 50-entry cap: the checks whose pass carries the
+    # least evidence — tolerance booleans (approx sketches) and the two
+    # queries whose correct answer is an empty set. All still run in
+    # tools/verify_local.py and the test suite.
+    order_last = (
+        "customers_without_orders",
+        "building_except_bigspenders",
+        "approx_distinct_parts",
+    )
     ordered = sorted(
         QUERIES,
         key=lambda name: (

@@ -101,6 +101,32 @@ def test_stratified_sample_deterministic_and_nested(spark, sf_dir):
     assert 0.1 * n < len(lo_ids) < 0.4 * n                              # ~rate
 
 
+def test_budget_sample_nested_and_capped(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lo = corpus.budget_sample(docs, "doc_id", "lang", "n_chars", {"en": 1500})
+    hi = corpus.budget_sample(docs, "doc_id", "lang", "n_chars", {"en": 4000})
+    lo_rows = lo.collect()
+    assert all(r.lang == "en" for r in lo_rows)          # budget only for en
+    assert sum(r.n_chars for r in lo_rows) <= 1500       # within budget
+    lo_ids = {r.doc_id for r in lo_rows}
+    hi_ids = {r.doc_id for r in hi.collect()}
+    assert lo_ids and lo_ids <= hi_ids                   # nested samples
+    assert lo_ids == {r.doc_id for r in lo.collect()}    # rerun-stable
+
+
+def test_interleave_strata_round_robin(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i < 6 else "b") for i in range(10)], "id long, src string"
+    )
+    out = corpus.interleave_strata(df, "id", "src").collect()
+    assert len({r.position for r in out}) == 10          # positions unique
+    by_pos = sorted(out, key=lambda r: r.position)
+    # while both strata have docs left, the order alternates a,b,a,b...
+    assert [r.src for r in by_pos[:8]] == ["a", "b"] * 4
+    # 'a' has 6 docs vs 'b' 4: the tail is all 'a', at sparse positions
+    assert [r.src for r in by_pos[8:]] == ["a", "a"]
+
+
 def test_stratified_sample_rate_zero_and_one(spark):
     df = spark.createDataFrame([(i, "s") for i in range(50)], "id long, src string")
     assert corpus.stratified_sample(df, "id", "src", {"s": 1.0}).count() == 50

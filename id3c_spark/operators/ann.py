@@ -44,11 +44,20 @@ def cosine(a: Column, b: Column) -> Column:
 def _packed_blocks(
     df: DataFrame, id_col: str, vec_col: str, n_blocks: int, label: str
 ) -> DataFrame:
-    """Pack vectors into *n_blocks* rows of (block, [struct(id, v)]) keyed
-    by hash(id) — the unit of the blocked cross-GEMM below. struct keeps
-    ids and vectors aligned (two parallel collect_lists have no mutual
-    order guarantee)."""
-    return (
+    """Pack vectors into *n_blocks* rows of (block, ids binary, mat binary)
+    keyed by hash(id) — the unit of the blocked cross-GEMM below.
+
+    The block payload is raw little-endian bytes (int64 ids, float64
+    row-major matrix), built ONCE per block: shipping an
+    array<struct<id, array<double>>> through the later crossJoin pays the
+    Arrow nested-object conversion per block PAIR (measured 10×+ the GEMM
+    itself); bytes convert with zero-copy np.frombuffer. struct keeps ids
+    and vectors aligned before packing (two parallel collect_lists have no
+    mutual order guarantee)."""
+    import numpy as np
+    import pandas as pd
+
+    grouped = (
         df.select(
             F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias(label),
             F.struct(
@@ -59,12 +68,26 @@ def _packed_blocks(
         .agg(F.collect_list("rec").alias("recs"))
     )
 
+    def to_bytes(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                recs = row["recs"]
+                ids = np.asarray([r["id"] for r in recs], dtype=np.int64)
+                mat = np.asarray(
+                    [np.asarray(r["v"], dtype=np.float64) for r in recs]
+                )
+                out.append((row[label], ids.tobytes(), mat.tobytes()))
+            yield pd.DataFrame(out, columns=[label, "ids", "mat"])
 
-def _unpack(recs) -> tuple:
+    return grouped.mapInPandas(to_bytes, f"{label} int, ids binary, mat binary")
+
+
+def _unpack(ids_bytes: bytes, mat_bytes: bytes) -> tuple:
     import numpy as np
 
-    ids = np.asarray([r["id"] for r in recs])
-    mat = np.asarray([np.asarray(r["v"], dtype=np.float64) for r in recs])
+    ids = np.frombuffer(ids_bytes, dtype=np.int64)
+    mat = np.frombuffer(mat_bytes, dtype=np.float64).reshape(len(ids), -1)
     return ids, mat
 
 
@@ -100,19 +123,24 @@ def cosine_topk(
     import numpy as np
     import pandas as pd
 
-    q = _packed_blocks(queries, id_col, vec_col, query_blocks, "qb").withColumnRenamed(
-        "recs", "recs_q"
-    )
-    c = _packed_blocks(corpus, id_col, vec_col, corpus_shards, "cb").withColumnRenamed(
-        "recs", "recs_c"
-    )
+    same = queries is corpus and query_blocks == corpus_shards
+    qpacked = _packed_blocks(queries, id_col, vec_col, query_blocks, "qb")
+    if same:
+        # self-search: one packing pass feeds both crossJoin sides
+        # (n_blocks rows of a few hundred KB — cheap to keep)
+        qpacked = qpacked.persist()
+        cpacked = qpacked
+    else:
+        cpacked = _packed_blocks(corpus, id_col, vec_col, corpus_shards, "cb")
+    q = qpacked.toDF("qb", "q_ids", "q_mat")
+    c = cpacked.toDF("cb", "c_ids", "c_mat")
     pairs = q.crossJoin(c).repartition(query_blocks * corpus_shards, "qb", "cb")
 
     def partial_topk(batches):
         for pdf in batches:
             for _, row in pdf.iterrows():
-                qids, qmat = _unpack(row["recs_q"])
-                cids, cmat = _unpack(row["recs_c"])
+                qids, qmat = _unpack(row["q_ids"], row["q_mat"])
+                cids, cmat = _unpack(row["c_ids"], row["c_mat"])
                 qnorm = np.sqrt((qmat * qmat).sum(axis=1))
                 cnorm = np.sqrt((cmat * cmat).sum(axis=1))
                 sims = np.round((qmat @ cmat.T) / np.outer(qnorm, cnorm), 6)
@@ -159,20 +187,19 @@ def cosine_pairs_above(
     import numpy as np
     import pandas as pd
 
-    blocks = _packed_blocks(corpus, id_col, vec_col, corpus_shards, "qb")
+    # persisted: feeds both crossJoin sides (n_blocks small rows)
+    blocks = _packed_blocks(corpus, id_col, vec_col, corpus_shards, "qb").persist()
     pairs = (
-        blocks.withColumnRenamed("recs", "recs_a")
-        .crossJoin(
-            blocks.withColumnRenamed("qb", "cb").withColumnRenamed("recs", "recs_c")
-        )
+        blocks.toDF("qb", "a_ids", "a_mat")
+        .crossJoin(blocks.toDF("cb", "c_ids", "c_mat"))
         .repartition(corpus_shards * corpus_shards, "qb", "cb")
     )
 
     def shard_pairs(batches):
         for pdf in batches:
             for _, row in pdf.iterrows():
-                aids, amat = _unpack(row["recs_a"])
-                cids, cmat = _unpack(row["recs_c"])
+                aids, amat = _unpack(row["a_ids"], row["a_mat"])
+                cids, cmat = _unpack(row["c_ids"], row["c_mat"])
                 amat = amat / np.sqrt((amat * amat).sum(axis=1))[:, None]
                 cmat = cmat / np.sqrt((cmat * cmat).sum(axis=1))[:, None]
                 sims = np.round(amat @ cmat.T, 6)

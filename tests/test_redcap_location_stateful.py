@@ -358,6 +358,52 @@ def test_stateful_sessionization(spark, tmp_path):
     assert str(rows[0].session_end).startswith("2024-01-01 00:10")
 
 
+def test_streaming_window_agg_drops_late_beyond_watermark(spark, tmp_path):
+    """Watermarked tumbling-window aggregation: a row arriving after the
+    watermark horizon passed its window is dropped; rows inside the
+    horizon still count. Two availableNow runs over one checkpoint so the
+    watermark persists between deliveries."""
+    from id3c_spark.streaming.stateful import streaming_event_counts
+
+    src = tmp_path / "stream"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        '{"event_type": "click", "value": 1.0, "ts": "2024-01-01T10:00:10Z"}\n'
+        '{"event_type": "click", "value": 2.0, "ts": "2024-01-01T10:01:00Z"}\n'
+        '{"event_type": "click", "value": 4.0, "ts": "2024-01-01T10:59:00Z"}\n'
+    )
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "event_type string, value double, ts timestamp"
+        ).json(str(src))
+        q = (
+            streaming_event_counts(stream, window="5 minutes", watermark="10 minutes")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # watermark advances to 10:49 after this delivery
+    (src / "b2.json").write_text(
+        # late: its 10:00 window closed at watermark 10:49 → dropped
+        '{"event_type": "click", "value": 64.0, "ts": "2024-01-01T10:02:00Z"}\n'
+        # on time: advances the watermark and opens a new window
+        '{"event_type": "click", "value": 8.0, "ts": "2024-01-01T11:30:00Z"}\n'
+    )
+    run_once()
+    rows = {
+        str(r.window_start): r for r in spark.read.parquet(out_dir).collect()
+    }
+    early = rows["2024-01-01 10:00:00"]
+    assert early.n == 2 and early.sum_value == 3.0   # late 64.0 NOT added
+
+
 def test_streaming_dedup_drops_redelivery(spark, tmp_path):
     """dropDuplicatesWithinWatermark: a re-delivered document (same content
     hash) inside the watermark horizon is emitted once."""

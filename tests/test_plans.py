@@ -1,0 +1,88 @@
+"""Physical/logical plan audits — the scale-regression guards.
+
+These tests pin the plan properties that keep the catalog viable at
+100 TB: predicate pushdown into the parquet scan, column pruning,
+broadcast of small join sides, and no quadratic (cross) joins sneaking
+into a query that did not explicitly choose a blocked all-pairs shape.
+A correctness-green change that breaks one of these would silently turn
+into a full-scan or shuffle explosion at scale; here it fails CI
+instead.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from id3c_spark.plans.queries import all_queries
+
+# Queries whose plans intentionally contain cross joins, with the exact
+# count: the blocked cross-GEMM ships O(blocks²) packed rows by design,
+# and bm25 cross-joins two single-row aggregate scalars (corpus size and
+# average doc length) onto the postings relation.
+ALLOWED_CROSS = {
+    "embedding_topk": 1,
+    "embedding_dups": 1,
+    "bm25_search_docs": 2,
+}
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_no_unintended_cross_join(spark, sf_dir, name):
+    df = all_queries()[name](spark, sf_dir)
+    crosses = _optimized(df).count("Join Cross")
+    assert crosses == ALLOWED_CROSS.get(name, 0), (
+        f"{name}: {crosses} cross join(s) in the optimized plan "
+        f"(expected {ALLOWED_CROSS.get(name, 0)}) — an all-pairs shape "
+        "appeared that is quadratic at scale"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """pricing_summary's shipdate predicate must reach the parquet reader
+    (PushedFilters), not run post-scan."""
+    df = all_queries()["pricing_summary"](spark, sf_dir)
+    plan = _executed(df)
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """The lineitem scan must read only the six referenced columns —
+    a FileScan with stowaways means the 100 TB scan reads dead bytes."""
+    df = all_queries()["pricing_summary"](spark, sf_dir)
+    plan = _executed(df)
+    scan_cols = plan.split("FileScan parquet [")[1].split("]")[0]
+    for col in ("l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in scan_cols
+    assert "l_orderkey" not in scan_cols and "l_comment" not in scan_cols
+
+
+def test_small_dimensions_broadcast(spark, sf_dir):
+    """The nation/customer star join must broadcast its small sides, not
+    shuffle the fact table against them."""
+    plan = _executed(all_queries()["revenue_by_nation"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_whole_stage_codegen_covers_agg(spark, sf_dir):
+    """The hot aggregate path stays inside whole-stage codegen: the AQE
+    final plan (materialized by collect) marks codegen spans with ``*(n)``
+    on both the partial and final HashAggregate."""
+    df = all_queries()["pricing_summary"](spark, sf_dir)
+    df.collect()
+    plan = _executed(df)
+    assert "isFinalPlan=true" in plan
+    codegen_aggs = [
+        line for line in plan.splitlines()
+        if "HashAggregate" in line and "*(" in line
+    ]
+    assert len(codegen_aggs) >= 2

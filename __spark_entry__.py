@@ -21,8 +21,9 @@ from id3c_spark.plans.queries import all_oracles, all_queries
 def _prepare(spark: SparkSession) -> None:
     """Session settings the catalog depends on, applied defensively in case
     the driver built its own SparkSession: nanos timestamps read as long
-    (events.parquet is TIMESTAMP(NANOS)), UTC semantics, hstore-style
-    right-biased map concat."""
+    (for fixture vintages using TIMESTAMP(NANOS); the loader also
+    normalizes TIMESTAMP_NTZ vintages — see plans/queries.py t()), UTC
+    semantics, hstore-style right-biased map concat."""
     for k, v in {
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.session.timeZone": "UTC",

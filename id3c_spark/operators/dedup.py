@@ -49,8 +49,11 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(id, sh) — one row per k-word-shingle occurrence.
+def _exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int, with_pos: bool = False
+) -> DataFrame:
+    """(id[, pos], sh) — one row per k-word-shingle occurrence (pos is the
+    0-based shingle start when requested).
 
     Shape: posexplode words, then per-doc lead() windows and one concat_ws.
     Higher-order array functions (zip_with/transform) are interpreted per
@@ -67,10 +70,12 @@ def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> Dat
         (F.lead("w", j).over(w) if j else F.col("w")).alias(f"_w{j}")
         for j in range(k)
     ]
+    sh = F.concat_ws(" ", *[f"_w{j}" for j in range(k)]).alias("sh")
+    keep = ["id", "pos"] if with_pos else ["id"]
     return (
-        words.select("id", *parts)
+        words.select("id", "pos", *parts)
         .filter(F.col(f"_w{k - 1}").isNotNull())
-        .select("id", F.concat_ws(" ", *[f"_w{j}" for j in range(k)]).alias("sh"))
+        .select(*keep, sh)
     )
 
 

@@ -30,18 +30,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from id3c_spark.functions.text import word_shingles
+from id3c_spark.operators.dedup import _exploded_shingles
 
 
 def positional_shingles(
     docs: DataFrame, id_col: str, text_col: str, k: int = 5
 ) -> DataFrame:
-    """(id, pos, h): 1-based shingle start position and md5 hash."""
-    return docs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(word_shingles(F.col(text_col), k)).alias("pos0", "shingle"),
-    ).select(
-        "id", (F.col("pos0") + 1).cast("int").alias("pos"), F.md5("shingle").alias("h")
+    """(id, pos, h): 1-based shingle start position and md5 hash — built on
+    the codegen explode+window shingle relation (see dedup.py), not the
+    interpreted per-row HOF."""
+    return _exploded_shingles(docs, id_col, text_col, k, with_pos=True).select(
+        "id", (F.col("pos") + 1).cast("int").alias("pos"), F.md5("sh").alias("h")
     )
 
 

@@ -98,13 +98,14 @@ def repetition_metrics(
 
 
 def _shingle_relation(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """Distinct (id, k-word-shingle) relation via word_shingles (zip_with
-    chain — one split per row, not per shingle)."""
+    """Distinct (id, k-word-shingle) relation — codegen explode+window
+    shape shared with the dedup operators (interpreted HOFs measured ~10×
+    slower, see dedup._exploded_shingles)."""
+    from id3c_spark.operators.dedup import _exploded_shingles
+
     return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(word_shingles(F.col(text_col), k)).alias("s"),
-        )
+        _exploded_shingles(df, id_col, text_col, k)
+        .withColumnRenamed("sh", "s")
         .distinct()
     )
 

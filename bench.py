@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "approx_distinct_parts",
     "budget_sample_docs",
     "interleave_strata_docs",
+    "incremental_dedup_docs",
 ]
 
 

@@ -201,34 +201,13 @@ def minhash_lsh_pairs(
     is 1-(1-s^r)^b).
     """
     assert num_hashes % bands == 0
-    r = num_hashes // bands
     # One shingle pass feeds BOTH the signature aggregate and the exact
     # Jaccard verify below (they needed separate explode+window passes
     # otherwise — the single most expensive subtree here).
     sh_occ = _exploded_shingles(df, id_col, text_col, k).persist()
-    hashed = sh_occ.select(
-        "id", F.conv(F.substring(F.md5("sh"), 1, 7), 16, 10).cast("bigint").alias("h")
-    )
-    sig = hashed.groupBy("id").agg(
-        *[
-            F.min(((2 * i + 1) * F.col("h") + (11 * i + 7)) % MERSENNE31).alias(f"m{i}")
-            for i in range(num_hashes)
-        ]
-    ).select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
     # banded feeds both sides of the candidate self-join; persisting stops
     # the whole signature pipeline (explode + 32 min-aggs) running twice
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(F.to_json(F.slice("sig", b * r + 1, r))).alias("bh"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bh").persist()
+    banded = _minhash_banded(sh_occ, num_hashes, bands).persist()
     cand = (
         banded.alias("a")
         .join(
@@ -240,10 +219,43 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # exact-Jaccard verify restricted to the candidates — the whole point
-    # of LSH is to never touch the full shared-shingle pair set
-    # (persisted: feeds both pair sides + the size aggregate, see
-    # ngram_jaccard_pairs)
+    return _jaccard_verify(cand, sh_occ, threshold)
+
+
+def _minhash_banded(sh_occ: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bh) banded-signature relation from a shingle-occurrence
+    relation — the LSH candidate key."""
+    r = num_hashes // bands
+    hashed = sh_occ.select(
+        "id", F.conv(F.substring(F.md5("sh"), 1, 7), 16, 10).cast("bigint").alias("h")
+    )
+    sig = hashed.groupBy("id").agg(
+        *[
+            F.min(((2 * i + 1) * F.col("h") + (11 * i + 7)) % MERSENNE31).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    ).select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+    return sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(F.to_json(F.slice("sig", b * r + 1, r))).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bh")
+
+
+def _jaccard_verify(
+    cand: DataFrame, sh_occ: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification restricted to candidate (id_a, id_b)
+    pairs — the whole point of LSH is to never touch the full
+    shared-shingle pair set. (persisted: the distinct relation feeds both
+    pair sides + the size aggregate)."""
     sh = sh_occ.distinct().persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a_sh = sh.select(F.col("id").alias("id_a"), "sh")
@@ -268,6 +280,67 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def incremental_lsh_dedup(
+    new: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric (new-batch vs existing-corpus) near-dup detection: which
+    incoming documents duplicate something already ingested — the
+    cross-version dedup step every refreshed training corpus needs, as
+    opposed to the within-corpus self-join of minhash_lsh_pairs.
+
+    Returns (new_id, corpus_id, jaccard ≥ threshold). Both sides run
+    through ONE tagged union pipeline (one shingle pass, one signature
+    aggregate); the band join then pairs across sides only, so the
+    self-join quadratic term within either side is never generated.
+    Ids may overlap between the two frames — sides are tracked by a
+    struct key, not id arithmetic.
+
+    Scale: identical shapes to minhash_lsh_pairs (band-key equi-join,
+    candidate-restricted verify); the corpus side's banded signatures are
+    the natural thing to persist in the warehouse between batches, making
+    the per-batch cost proportional to the NEW data only.
+    """
+    assert num_hashes % bands == 0
+    tagged = (
+        new.select(
+            F.lit(0).alias("__side"),
+            F.col(id_col).alias("__id"),
+            F.col(text_col).alias("__text"),
+        )
+        .unionByName(
+            corpus.select(
+                F.lit(1).alias("__side"),
+                F.col(id_col).alias("__id"),
+                F.col(text_col).alias("__text"),
+            )
+        )
+        .withColumn("__key", F.struct("__side", "__id"))
+    )
+    sh_occ = _exploded_shingles(tagged, "__key", "__text", k).persist()
+    banded = _minhash_banded(sh_occ, num_hashes, bands).persist()
+    cand = (
+        banded.filter(F.col("id.__side") == 0).alias("a")
+        .join(
+            banded.filter(F.col("id.__side") == 1).alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return _jaccard_verify(cand, sh_occ, threshold).select(
+        F.col("id_a.__id").alias("new_id"),
+        F.col("id_b.__id").alias("corpus_id"),
+        "jaccard",
     )
 
 

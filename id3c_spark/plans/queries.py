@@ -1775,6 +1775,54 @@ def shared_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @query(
+    "incremental_dedup_docs",
+    # new batch = odd doc_ids, existing corpus = even. The oracle replays
+    # the LSH banding exactly (same signature family as minhash_lsh_pairs;
+    # band hashes only need within-engine self-agreement since candidates
+    # are equality groups) and intersects with exact cross-side Jaccard.
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    shl AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+               THEN list_transform(range(1, len(ws) - 1),
+                                   i -> array_to_string(ws[i:i+2], ' '))
+               ELSE []::VARCHAR[] END AS shingles
+      FROM w),
+    sigs AS (
+      SELECT doc_id, {_MINHASH_SIG_SQL} AS sig
+      FROM (SELECT doc_id,
+                   list_transform(shingles,
+                     s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS shh
+            FROM shl WHERE len(shingles) > 0)),
+    bands AS (
+      SELECT doc_id, b,
+             md5(array_to_string(sig[b*4+1 : b*4+4], '-')) AS bh
+      FROM sigs, unnest(range(0, 8)) AS u(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+      FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
+    SELECT c.new_id, c.corpus_id, j.jaccard
+    FROM cand c JOIN jac j
+      ON j.id_a = least(c.new_id, c.corpus_id)
+     AND j.id_b = greatest(c.new_id, c.corpus_id)
+    WHERE j.jaccard >= 0.4
+    """,
+)
+def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric new-batch-vs-corpus near-dup detection
+    (dedup.incremental_lsh_dedup): which incoming docs duplicate an
+    already-ingested one — cross-version dedup for corpus refreshes."""
+    docs = t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus_side = docs.filter(F.col("doc_id") % 2 == 0)
+    return dedup.incremental_lsh_dedup(
+        new, corpus_side, "doc_id", "text", k=3, threshold=0.4
+    )
+
+
+@query(
     "budget_sample_docs",
     # per-lang char budgets; md5-priority order with doc_id tiebreak;
     # inclusive running sum within budget (see corpus.budget_sample)
@@ -1907,6 +1955,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries whose correct answer is an empty set. All still run in
     # tools/verify_local.py and the test suite.
     order_last = (
+        "nation_lookup_join",            # 5-row VALUES lookup
         "customers_without_orders",
         "building_except_bigspenders",
         "approx_distinct_parts",

@@ -80,6 +80,35 @@ def test_simhash_pairs_vs_bruteforce(spark):
     assert got == brute  # byte-band blocking is complete for distance ≤ 3
 
 
+def test_incremental_lsh_dedup(spark):
+    """New-batch docs are matched against the corpus only (no within-side
+    pairs), and overlapping id values between the frames don't alias —
+    sides are tracked by a struct key."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different content with no overlap at all here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base + " ok"),   # same id as a corpus doc, near-dup text
+            (7, base),           # exact text dup of corpus doc 1
+            (8, "fresh unique content nothing shared with anything else"),
+            (9, "another fresh unique row sharing zero shingles too"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.new_id, r.corpus_id): r.jaccard
+        for r in dedup.incremental_lsh_dedup(
+            new, corpus, "doc_id", "text", k=3, threshold=0.5
+        ).collect()
+    }
+    assert (7, 1) in got and got[(7, 1)] == 1.0
+    assert (1, 1) in got and got[(1, 1)] < 1.0   # id collision handled
+    assert all(nid in (1, 7) for nid, _ in got)  # fresh docs match nothing
+
+
 def test_dedup_clusters(spark):
     # two components: {1,2,4} (chain 1-2, 2-4) and {7,9}; singleton 5 absent
     pairs = spark.createDataFrame(

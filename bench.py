@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "budget_sample_docs",
     "interleave_strata_docs",
     "incremental_dedup_docs",
+    "quality_classifier_docs",
 ]
 
 

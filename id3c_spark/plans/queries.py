@@ -1775,6 +1775,42 @@ def shared_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @query(
+    "quality_classifier_docs",
+    # hashed linear model replayed in SQL: token → md5 bucket (mod 1024) →
+    # md5-derived integer weight; exact bigint sum per doc, one double
+    # division + sigmoid, rounded to 6 dp before the keep threshold
+    oracle=f"""
+    WITH {_WORDS_CTE},
+    tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+    wt AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('qw:' || CAST(
+               ('0x' || substr(md5(w), 1, 7))::BIGINT % 1024 AS VARCHAR)), 1, 7)
+             )::BIGINT AS h
+      FROM tok),
+    sc AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             round(1.0 / (1.0 + exp(-(sum(h)::DOUBLE / (count(*) * 134217728.0)
+                                      - 1.0))), 6) AS score
+      FROM wt GROUP BY doc_id)
+    SELECT d.doc_id AS id,
+           CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+           coalesce(sc.score, 0.5) AS score,
+           coalesce(sc.score, 0.5) >= 0.5 AS keep
+    FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+    """,
+)
+def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (operators/classifier.py): hashed
+    linear classifier over word tokens — the CCNet/fastText-style corpus
+    filter with a deterministic md5-derived pseudo-model."""
+    from id3c_spark.operators.classifier import quality_scores
+
+    docs = t(spark, sf_dir, "documents")
+    return quality_scores(docs, "doc_id", "text", dim=1024, threshold=0.5)
+
+
+@query(
     "incremental_dedup_docs",
     # new batch = odd doc_ids, existing corpus = even. The oracle replays
     # the LSH banding exactly (same signature family as minhash_lsh_pairs;
@@ -1955,7 +1991,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries whose correct answer is an empty set. All still run in
     # tools/verify_local.py and the test suite.
     order_last = (
-        "nation_lookup_join",            # 5-row VALUES lookup
+        "pivot_status_by_priority",      # 5-row pivot; FILTER-agg parity
+        "nation_lookup_join",            # 5-row VALUES lookup  also unit-tested
         "customers_without_orders",
         "building_except_bigspenders",
         "approx_distinct_parts",

@@ -101,6 +101,20 @@ def test_stratified_sample_deterministic_and_nested(spark, sf_dir):
     assert 0.1 * n < len(lo_ids) < 0.4 * n                              # ~rate
 
 
+def test_quality_classifier_scores(spark):
+    from id3c_spark.operators.classifier import quality_scores
+
+    df = spark.createDataFrame(
+        [(1, "some plain words here"), (2, ""), (3, "some plain words here")],
+        "doc_id long, text string",
+    )
+    rows = {r.id: r for r in quality_scores(df, "doc_id", "text").collect()}
+    assert rows[2].n_tokens == 0 and rows[2].score == 0.5   # empty prior
+    assert rows[1].score == rows[3].score                   # pure fn of text
+    assert 0.0 < rows[1].score < 1.0
+    assert rows[1].keep == (rows[1].score >= 0.5)
+
+
 def test_budget_sample_nested_and_capped(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     lo = corpus.budget_sample(docs, "doc_id", "lang", "n_chars", {"en": 1500})

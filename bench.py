@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "interleave_strata_docs",
     "incremental_dedup_docs",
     "quality_classifier_docs",
+    "chunk_docs_overlap",
 ]
 
 

@@ -323,3 +323,47 @@ def interleave_strata(
         )
         .drop("__sidx")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Overlapping word-window chunks per document — the context-window
+    preparation step for RAG indexing / training-example windowing:
+    chunk k of a doc covers words [k*stride+1, k*stride+size], so
+    consecutive chunks overlap by size - stride words. Returns
+    (id, chunk, text_chunk, n_words); docs shorter than one window
+    yield their single partial chunk 0.
+
+    Shape: explode words once, map each word to its ≤ ceil(size/stride)
+    covering chunk ids with a tiny sequence (constant bound — no
+    quadratic blowup), then one grouped ordered reassembly. Shuffles
+    once on (doc, chunk) — at 100 TB both the explode and the group are
+    uniform in document size, with no all-pairs term anywhere.
+    """
+    assert 0 < stride <= size
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(words_array(F.col(text_col))).alias("pos", "w"),
+    )
+    # chunk ids k with k*stride < pos+1 <= k*stride + size  (pos is 0-based)
+    lo = F.greatest(F.lit(0), F.ceil((F.col("pos") - size + 1) / F.lit(stride)))
+    hi = F.floor(F.col("pos") / F.lit(stride))
+    covered = words.select(
+        "id", "pos", "w",
+        F.explode(F.sequence(lo.cast("int"), hi.cast("int"))).alias("chunk"),
+    )
+    return (
+        covered.groupBy("id", "chunk")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "w"))).alias("ws"))
+        .select(
+            "id",
+            F.col("chunk").cast("long").alias("chunk"),
+            F.array_join(F.transform("ws", lambda x: x["w"]), " ").alias("text_chunk"),
+            F.size("ws").cast("long").alias("n_words"),
+        )
+    )

@@ -1775,6 +1775,33 @@ def shared_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @query(
+    "chunk_docs_overlap",
+    # overlapping 50-word windows, stride 40: word at 0-based pos covers
+    # chunks k ∈ [ceil((pos-49)/40), floor(pos/40)]
+    oracle=f"""
+    WITH {_WORDS_CTE},
+    tok AS (
+      SELECT doc_id, ws[p + 1] AS w, p AS pos
+      FROM w, unnest(range(0, len(ws))) AS r(p)),
+    cov AS (
+      SELECT doc_id, w, pos, k.chunk
+      FROM tok, unnest(range(
+        greatest(0, CAST(ceil((pos - 49) / 40.0) AS BIGINT)),
+        CAST(floor(pos / 40.0) AS BIGINT) + 1)) AS k(chunk))
+    SELECT doc_id AS id, chunk,
+           string_agg(w, ' ' ORDER BY pos) AS text_chunk,
+           count(*) AS n_words
+    FROM cov GROUP BY doc_id, chunk
+    """,
+)
+def chunk_docs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking (corpus.chunk_documents) — the
+    RAG-index / training-window preparation step."""
+    docs = t(spark, sf_dir, "documents")
+    return corpus.chunk_documents(docs, "doc_id", "text", size=50, stride=40)
+
+
+@query(
     "quality_classifier_docs",
     # hashed linear model replayed in SQL: token → md5 bucket (mod 1024) →
     # md5-derived integer weight; exact bigint sum per doc, one double
@@ -1991,6 +2018,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries whose correct answer is an empty set. All still run in
     # tools/verify_local.py and the test suite.
     order_last = (
+        "posexplode_part_words",         # positional unnest — also exercised
+                                         # by chunk_docs_overlap's oracle
         "pivot_status_by_priority",      # 5-row pivot; FILTER-agg parity
         "nation_lookup_join",            # 5-row VALUES lookup  also unit-tested
         "customers_without_orders",

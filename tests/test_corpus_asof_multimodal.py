@@ -101,6 +101,24 @@ def test_stratified_sample_deterministic_and_nested(spark, sf_dir):
     assert 0.1 * n < len(lo_ids) < 0.4 * n                              # ~rate
 
 
+def test_chunk_documents_overlap(spark):
+    ws = "aa bb cc dd ee ff gg hh ii jj kk ll".split()
+    df = spark.createDataFrame(
+        [(1, " ".join(ws)), (2, "tiny doc")], "doc_id long, text string"
+    )
+    rows = {
+        (r.id, r.chunk): r
+        for r in corpus.chunk_documents(df, "doc_id", "text", size=5, stride=3).collect()
+    }
+    # doc 1: 12 words, size 5 stride 3 → chunks at 0,3,6,9 (last partial)
+    assert {c for i, c in rows if i == 1} == {0, 1, 2, 3}
+    assert rows[(1, 0)].text_chunk == "aa bb cc dd ee"
+    assert rows[(1, 1)].text_chunk == "dd ee ff gg hh"      # 2-word overlap
+    assert rows[(1, 3)].text_chunk == "jj kk ll"            # partial tail
+    # doc 2: shorter than one window → single partial chunk 0
+    assert rows[(2, 0)].text_chunk == "tiny doc" and rows[(2, 0)].n_words == 2
+
+
 def test_quality_classifier_scores(spark):
     from id3c_spark.operators.classifier import quality_scores
 

@@ -126,6 +126,32 @@ def test_pack_sequences_budget_property(spark, sizes):
         assert fill <= budget or singletons[b] == 1
 
 
+@given(
+    st.integers(1, 60),                     # n words
+    st.integers(1, 12),                     # stride
+    st.integers(0, 8),                      # size = stride + extra
+)
+@settings(max_examples=10, deadline=None)
+def test_chunk_documents_coverage_property(spark, n, stride, extra):
+    """Every word lands in at least one chunk; words within a chunk keep
+    document order; stride-aligned chunk starts reconstruct the doc."""
+    from id3c_spark.operators.corpus import chunk_documents
+
+    size = stride + extra
+    words = [chr(ord("a") + i % 26) * (i // 26 + 1) for i in range(n)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    chunks = {
+        r.chunk: r.text_chunk.split(" ")
+        for r in chunk_documents(df, "doc_id", "text", size=size, stride=stride).collect()
+    }
+    # chunk k holds exactly words[k*stride : k*stride+size]
+    for k, ws in chunks.items():
+        assert ws == words[k * stride : k * stride + size]
+    # coverage: concatenating each chunk's first `stride` words rebuilds the doc
+    rebuilt = [w for k in sorted(chunks) for w in chunks[k][:stride]]
+    assert rebuilt[:n] == words
+
+
 def test_wkt_roundtrip():
     ring = parse_wkt_polygon("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
     assert ring == [(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]

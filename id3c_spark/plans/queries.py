@@ -17,6 +17,7 @@ citations live in the operator modules.
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -2007,33 +2008,37 @@ def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.semantic_dedup(emb, threshold=0.35, nlist=16)
 
 
+# The external correctness gate enumerates only the first GATE_CAP entries of
+# the catalog.  We do NOT curate which entries fall past the cap: the catalog
+# is returned in plain registration (insertion) order, so the dropped tail is
+# whatever was registered last, not a hand-picked set.  Entries past the cap
+# are surfaced loudly (stderr + the committed VERIFY_LOCAL_r*.json artifact
+# produced by tools/verify_local.py each round) so the gap in external
+# verification is visible, not silent.
+GATE_CAP = 50
+
+
+def gate_dropped_queries() -> list[str]:
+    """Names of catalog entries past the external gate's entry cap, in order."""
+    return list(QUERIES)[GATE_CAP:]
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Catalog in checked-first order: every oracle-backed query precedes the
-    rows-only-by-design ones. The external correctness gate enumerates the
-    first 50 entries in dict order; keeping the weaker checks last means a
-    catalog larger than the cap drops only queries that would get the weaker
-    rows-only comparison anyway."""
-    # Pinned past the gate's 50-entry cap: the checks whose pass carries the
-    # least evidence — tolerance booleans (approx sketches) and the two
-    # queries whose correct answer is an empty set. All still run in
-    # tools/verify_local.py and the test suite.
-    order_last = (
-        "posexplode_part_words",         # positional unnest — also exercised
-                                         # by chunk_docs_overlap's oracle
-        "pivot_status_by_priority",      # 5-row pivot; FILTER-agg parity
-        "nation_lookup_join",            # 5-row VALUES lookup  also unit-tested
-        "customers_without_orders",
-        "building_except_bigspenders",
-        "approx_distinct_parts",
-    )
-    ordered = sorted(
-        QUERIES,
-        key=lambda name: (
-            name in order_last,
-            name not in ORACLES and name not in LAZY_ORACLES,
-        ),
-    )
-    return {name: QUERIES[name] for name in ordered}
+    """Catalog in registration (insertion) order — no reordering.
+
+    If the catalog exceeds the external gate's entry cap, the dropped tail is
+    announced on stderr; tools/verify_local.py runs the full catalog (including
+    the tail) against the same DuckDB oracles and its per-round output is
+    committed so every entry retains externally-checkable evidence."""
+    dropped = gate_dropped_queries()
+    if dropped:
+        print(
+            f"[id3c_spark] NOTE: catalog has {len(QUERIES)} entries; the external "
+            f"correctness gate checks the first {GATE_CAP}. Not gate-verified this "
+            f"run (run tools/verify_local.py for these): {', '.join(dropped)}",
+            file=sys.stderr,
+        )
+    return dict(QUERIES)
 
 
 def all_oracles() -> dict[str, str]:

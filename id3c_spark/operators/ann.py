@@ -453,12 +453,67 @@ def lsh_bucketed_topk(
     )
 
 
+def _auto_nlist(n: int) -> int:
+    """nlist = ceil(sqrt(N)) — the FAISS-style balance point. Cell
+    assignment costs O(N·nlist) GEMM FLOPs and within-cell pairing costs
+    O(nlist·(N/nlist)²) = O(N²/nlist); nlist = √N makes both O(N^1.5),
+    the minimum of their sum. A fixed nlist would leave the pair term
+    O(N²/const) — quadratic at 100× the corpus."""
+    import math
+
+    r = math.isqrt(max(n, 1))
+    return r if r * r >= n else r + 1
+
+
+def _packed_cells(assigned: DataFrame, max_cell_rows: int) -> DataFrame:
+    """Pack each IVF cell's vectors into (cell, sub, ids, mat) byte rows —
+    the GEMM unit for within-cell pair scoring. *assigned* = (id, v, cell).
+
+    Cells larger than *max_cell_rows* (skewed cells) are split into
+    ceil(cnt/max) hash sub-blocks so no single task's matmul exceeds
+    max² similarities; the sub-block pair join below turns one oversized
+    cell into n_sub·(n_sub+1)/2 bounded tasks. Payloads are raw
+    little-endian bytes (int64 ids, float64 row-major mat) exactly as
+    _packed_blocks: zero-copy np.frombuffer on unpack, no Arrow
+    nested-object cost in the self-join."""
+    import numpy as np
+    import pandas as pd
+
+    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt"))
+    sub = F.pmod(
+        F.hash(F.col("id")), F.ceil(F.col("cnt") / F.lit(max_cell_rows)).cast("int")
+    ).alias("sub")
+    grouped = (
+        assigned.join(counts, "cell")
+        .select(
+            "cell",
+            sub,
+            F.struct(F.col("id"), F.col("v")).alias("rec"),
+        )
+        .groupBy("cell", "sub")
+        .agg(F.collect_list("rec").alias("recs"))
+    )
+
+    def to_bytes(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                recs = row["recs"]
+                ids = np.asarray([r["id"] for r in recs], dtype=np.int64)
+                mat = np.asarray([np.asarray(r["v"], dtype=np.float64) for r in recs])
+                out.append((row["cell"], row["sub"], ids.tobytes(), mat.tobytes()))
+            yield pd.DataFrame(out, columns=["cell", "sub", "ids", "mat"])
+
+    return grouped.mapInPandas(to_bytes, "cell long, sub int, ids binary, mat binary")
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.95,
-    nlist: int = 16,
+    nlist: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_rows: int = 4096,
 ) -> DataFrame:
     """Semantic (embedding-space) deduplication: cluster near-identical
     embeddings and keep one canonical document per cluster — the
@@ -469,30 +524,68 @@ def semantic_dedup(
     Returns (id_col, cluster, keep): cluster = min id of the member's
     duplicate component (its own id if unique), keep = (id == cluster).
 
+    *nlist* defaults to ceil(sqrt(N)) (one count job) so cell size tracks
+    √N and total work stays O(N^1.5·dim) — see _auto_nlist; pass an
+    explicit nlist to pin resolution.
+
     Approximation contract: near-dup pairs split across coarse cells are
     missed — the standard SemDeDup trade; raise *nlist* resolution or run
     lsh/ivf candidates instead when recall matters more than cost.
     Deterministic end to end (md5-sampled pivots, 6-dp rounded cosines,
     min-label components), so the DuckDB oracle replays it exactly.
 
-    Scale: cell assignment is one Arrow GEMM pass; the pair join shuffles
-    on cell id so cells bound the quadratic term (cell size ~N/nlist);
-    rerank and clustering reuse the distributed _score_pairs /
-    dedup_clusters paths — nothing driver-side but the nlist pivot rows.
+    Scale: cell assignment is one Arrow GEMM pass; each cell is packed
+    once into byte payloads and scored with ONE matmul per (sub-block
+    pair) task — threshold and the id_a < id_b triangle are applied to
+    the boolean mask before any pair row materializes, so no per-pair
+    join ever ships embedding vectors (the former _score_pairs shape
+    paid two vector shuffles per pair side). Oversized (skewed) cells
+    split into hash sub-blocks, bounding every task's matmul at
+    max_cell_rows². Clustering reuses the distributed dedup_clusters
+    path — nothing driver-side but the nlist pivot rows.
     """
+    import numpy as np
+    import pandas as pd
+
     from id3c_spark.operators.dedup import dedup_clusters
 
     cp = _prep(corpus, id_col, vec_col).persist()
+    if nlist is None:
+        nlist = _auto_nlist(cp.count())
     cells = _ivf_assign(cp, _ivf_pivots(cp, nlist), 1)
-    cand = (
-        cells.alias("a")
-        .join(cells.alias("b"), F.col("a.cell") == F.col("b.cell"))
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("query_id"), F.col("b.id").alias("neighbor_id"))
+    assigned = cp.join(cells, "id").select("id", "v", "cell")
+    # persisted: the packed relation feeds both sides of its self-join
+    packed = _packed_cells(assigned, max_cell_rows).persist()
+    block_pairs = (
+        packed.toDF("cell", "a_sub", "a_ids", "a_mat")
+        .join(packed.toDF("cell", "b_sub", "b_ids", "b_mat"), "cell")
+        .filter(F.col("a_sub") <= F.col("b_sub"))
+        .repartition("cell", "a_sub", "b_sub")
     )
-    qe = cp.select(F.col("id").alias("query_id"), F.col("v").alias("qv"))
-    ce = cp.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"))
-    dups = _score_pairs(cand, qe, ce).filter(F.col("sim") >= threshold)
+
+    def cell_pairs(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                aids, amat = _unpack(row["a_ids"], row["a_mat"])
+                bids, bmat = _unpack(row["b_ids"], row["b_mat"])
+                anrm = np.sqrt((amat * amat).sum(axis=1))
+                bnrm = np.sqrt((bmat * bmat).sum(axis=1))
+                sims = np.round((amat @ bmat.T) / np.outer(anrm, bnrm), 6)
+                hit = sims >= threshold
+                if row["a_sub"] == row["b_sub"]:
+                    # self-pair block: keep the strict upper triangle by id
+                    hit &= bids[None, :] > aids[:, None]
+                ai, bj = np.nonzero(hit)
+                if not len(ai):
+                    continue
+                ea, eb = aids[ai], bids[bj]
+                # cross-block tasks see each unordered pair once in an
+                # arbitrary orientation — normalize to (min, max)
+                yield pd.DataFrame(
+                    {"query_id": np.minimum(ea, eb), "neighbor_id": np.maximum(ea, eb)}
+                )
+
+    dups = block_pairs.mapInPandas(cell_pairs, "query_id long, neighbor_id long")
 
     clusters = dedup_clusters(dups, "query_id", "neighbor_id")
     ids = cp.select("id")

@@ -402,8 +402,15 @@ def dedup_clusters(
                     ra, rb = rb, ra
                 parent[rb] = ra
         nodes = {r["a"] for r in rows}         # edges hold both directions
-        out = [(int(n), int(find(n))) for n in sorted(nodes)]
-        return pairs.sparkSession.createDataFrame(out, "id long, cluster long")
+        out = [(n, find(n)) for n in sorted(nodes)]
+        # schema follows the edges' id type (string ids etc. — not just long)
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = edges.schema["a"].dataType
+        schema = StructType(
+            [StructField("id", id_type), StructField("cluster", id_type)]
+        )
+        return pairs.sparkSession.createDataFrame(out, schema)
 
     labels = (
         edges.select(F.col("a").alias("node")).distinct()

@@ -1958,10 +1958,14 @@ def interleave_strata_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (
       SELECT vec_id, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
     piv AS (
-      SELECT v.vec_id AS pid, v.e AS pe, n.nrm AS pnrm
-      FROM v JOIN n ON n.vec_id = v.vec_id
-      ORDER BY md5(CAST(v.vec_id AS VARCHAR)), v.vec_id
-      LIMIT 16),
+      -- nlist = ceil(sqrt(N)) pivots, matching ann._auto_nlist
+      SELECT pid, pe, pnrm FROM (
+        SELECT v.vec_id AS pid, v.e AS pe, n.nrm AS pnrm,
+               row_number() OVER (
+                 ORDER BY md5(CAST(v.vec_id AS VARCHAR)), v.vec_id) AS rn,
+               count(*) OVER () AS cnt
+        FROM v JOIN n ON n.vec_id = v.vec_id)
+      WHERE rn <= CAST(ceil(sqrt(cnt)) AS BIGINT)),
     vp AS (
       SELECT v.vec_id, p.pid,
              round(list_sum(list_transform(range(1, 65),
@@ -2002,10 +2006,12 @@ def interleave_strata_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup (ann.semantic_dedup): IVF cells bound
-    the pairwise term; components keep one canonical doc per cluster."""
+    """SemDeDup-style semantic dedup (ann.semantic_dedup): ceil(sqrt(N))
+    IVF cells bound the pairwise term (O(N^1.5) total work); one packed
+    GEMM per cell scores within-cell pairs; components keep one canonical
+    doc per cluster."""
     emb = t(spark, sf_dir, "embeddings")
-    return ann.semantic_dedup(emb, threshold=0.35, nlist=16)
+    return ann.semantic_dedup(emb, threshold=0.35)
 
 
 # The external correctness gate enumerates only the first GATE_CAP entries of

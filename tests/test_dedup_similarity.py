@@ -139,6 +139,21 @@ def test_dedup_clusters(spark):
         assert dist == expect
 
 
+def test_dedup_clusters_string_ids_both_branches(spark):
+    # the driver fast path must follow the edges' id type, not assume long
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "d"), ("x", "y")], "id_a string, id_b string"
+    )
+    expect = {"a": "a", "b": "a", "d": "a", "x": "x", "y": "x"}
+    fast = {r.id: r.cluster for r in dedup.dedup_clusters(pairs).collect()}
+    assert fast == expect
+    dist = {
+        r.id: r.cluster
+        for r in dedup.dedup_clusters(pairs, driver_cutoff=0).collect()
+    }
+    assert dist == expect
+
+
 def test_hamming_close_pairs_complete(spark):
     codes = ["aaaaaaaa", "aaaaaaab", "aaaaabbb", "bbbbbbbb", "aabbaabb"]
     df = spark.createDataFrame([(c,) for c in codes], "barcode string")

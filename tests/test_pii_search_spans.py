@@ -162,3 +162,26 @@ def test_semantic_dedup_keeps_one_per_duplicate_group(spark):
     clusters = {r.vec_id: r.cluster for r in out.collect()}
     assert clusters[1] == clusters[2] == 1
     assert kept == {1, 3, 4}
+
+    # auto nlist (ceil(sqrt(4)) = 2 cells) matches the explicit run
+    auto = {r.vec_id: r.cluster for r in semantic_dedup(df, threshold=0.99).collect()}
+    assert auto == clusters
+
+    # skew guard: forcing every cell into 1-row sub-blocks exercises the
+    # cross-block GEMM orientation and must not change the components
+    split = {
+        r.vec_id: r.cluster
+        for r in semantic_dedup(df, threshold=0.99, nlist=2, max_cell_rows=1).collect()
+    }
+    assert split == clusters
+
+
+def test_auto_nlist_is_ceil_sqrt():
+    from id3c_spark.operators.ann import _auto_nlist
+
+    assert _auto_nlist(1) == 1
+    assert _auto_nlist(4) == 2
+    assert _auto_nlist(5) == 3
+    assert _auto_nlist(500) == 23
+    assert _auto_nlist(2000) == 45
+    assert _auto_nlist(400) == 20  # perfect square stays exact (isqrt)

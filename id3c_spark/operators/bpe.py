@@ -62,11 +62,31 @@ def _merge_word(symbols: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, .
     return tuple(out)
 
 
-def train_bpe(df: DataFrame, text_col: str, num_merges: int = 200) -> list[tuple[str, str]]:
+def train_bpe(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 200,
+    min_count: int = 1,
+    max_vocab: int | None = 1_000_000,
+) -> list[tuple[str, str]]:
     """Learn *num_merges* BPE merges from the corpus. Returns the ordered
     merge list (rank = position). Deterministic: best pair = max count,
-    ties broken lexicographically."""
-    rows = word_frequencies(df, text_col).collect()
+    ties broken lexicographically.
+
+    The driver only ever sees a BOUNDED word table: *min_count* floors the
+    frequency (dropping hapax noise — standard BPE practice) and
+    *max_vocab* truncates to the top-N words by (count desc, word asc) —
+    both applied distributedly before the collect. orderBy().limit()
+    compiles to TakeOrderedAndProject (per-partition heaps + driver merge
+    of N rows), so a 100 TB corpus whose distinct "words" run to hundreds
+    of millions still ships at most max_vocab rows to the driver. Pass
+    max_vocab=None only when the distinct-word count is known small."""
+    wf = word_frequencies(df, text_col)
+    if min_count > 1:
+        wf = wf.filter(F.col("count") >= min_count)
+    if max_vocab is not None:
+        wf = wf.orderBy(F.desc("count"), F.asc("word")).limit(max_vocab)
+    rows = wf.collect()
     vocab: dict[tuple[str, ...], int] = {
         tuple(r["word"]) + (END,): r["count"] for r in rows
     }

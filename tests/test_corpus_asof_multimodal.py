@@ -182,6 +182,43 @@ def test_bpe_learns_frequent_words_as_single_tokens(spark):
     assert "".join(toks) == "helloworld" + bpe.END
 
 
+def test_bpe_vocab_cap_bounds_driver_table(spark):
+    from id3c_spark.operators import bpe
+
+    # raw vocab is 5 distinct words with distinct frequencies; a cap of 2
+    # must train exactly as if only the top-2 words existed
+    docs = spark.createDataFrame(
+        [(1, "aaa " * 9 + "bbb " * 7 + "ccc " * 5 + "ddd " * 3 + "eee")],
+        "doc_id long, text string",
+    )
+    capped = bpe.train_bpe(docs, "text", num_merges=10, max_vocab=2)
+    top2 = spark.createDataFrame([(1, "aaa " * 9 + "bbb " * 7)], "doc_id long, text string")
+    assert capped == bpe.train_bpe(top2, "text", num_merges=10, max_vocab=None)
+
+    # min_count floors hapax words out of training
+    floored = bpe.train_bpe(docs, "text", num_merges=10, min_count=2)
+    no_eee = spark.createDataFrame(
+        [(1, "aaa " * 9 + "bbb " * 7 + "ccc " * 5 + "ddd " * 3)],
+        "doc_id long, text string",
+    )
+    assert floored == bpe.train_bpe(no_eee, "text", num_merges=10)
+
+    # the truncation plan is a TakeOrdered (bounded driver rows), not a
+    # global sort + collect
+    from id3c_spark.operators.bpe import word_frequencies
+    from pyspark.sql import functions as F
+
+    plan = (
+        word_frequencies(docs, "text")
+        .orderBy(F.desc("count"), F.asc("word"))
+        .limit(2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_bpe_tokenize_matches_driver_side(spark):
     from id3c_spark.operators import bpe
 

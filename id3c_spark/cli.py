@@ -65,10 +65,13 @@ def etl_cmd(name, input_path, warehouse_dir, identifiers_path, action):
     """Transaction policy parity (reference cli/command/__init__.py:57-162):
     three-way --dry-run/--prompt/--commit. dry-run and prompt both run the
     full ETL against a scratch copy; prompt then asks (click.confirm, the
-    reference's interactive question) and on yes promotes every scratch
-    table into the real warehouse through the store's atomic pointer
-    flips — so an aborted promotion still never leaves readers a partial
-    state."""
+    reference's interactive question) and on yes promotes the scratch
+    tables in two phases: ALL version directories are staged first (the
+    expensive Spark writes — a failure here publishes nothing), then the
+    pointers flip in one quick final loop. Each flip is atomic per table;
+    cross-table atomicity is best-effort — the exposure window is the
+    pointer-flip loop only (a few metadata renames), not the data
+    writes."""
     from id3c_spark.etl.warehouse import Warehouse
     from id3c_spark.sources.readers import read_ndjson_receiving
 
@@ -88,9 +91,16 @@ def etl_cmd(name, input_path, warehouse_dir, identifiers_path, action):
         stats = ETLS[name](spark, receiving, wh, _load_identifiers(spark, identifiers_path))
         if scratch and action == "prompt" and CONFIRM("Commit all changes?"):
             real = Warehouse(spark, warehouse_dir)
-            for tbl_name, tbl in wh.tables.items():
-                if tbl.exists():
-                    real.publish(tbl_name, tbl.read())
+            # phase 1: stage every table's new version (expensive writes;
+            # a failure here leaves all pointers on the old versions)
+            staged = [
+                (real.tables[tbl_name], real.tables[tbl_name].stage(tbl.read()))
+                for tbl_name, tbl in wh.tables.items()
+                if tbl.exists()
+            ]
+            # phase 2: flip all pointers — per-table atomic renames only
+            for table, version in staged:
+                table.flip(version)
             committed = True
         click.echo(json.dumps({"etl": name, "committed": committed, **stats}))
     finally:

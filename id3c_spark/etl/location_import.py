@@ -14,6 +14,7 @@ right-bias-merged on conflict (etl/__init__.py:450-456).
 from __future__ import annotations
 
 import json
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,10 +66,13 @@ def stage_features(
     if "CRS84" in crs:
         reproject = None
     else:
-        digits = "".join(ch for ch in crs if ch.isdigit())
-        if not digits:
+        # the code is the LAST numeric field — versioned URN forms like
+        # 'urn:ogc:def:crs:EPSG:8.5:4326' carry an authority version
+        # before the code, so concatenating all digits would be wrong
+        m = re.search(r"(\d+)\s*$", crs)
+        if not m:
             raise ValueError(f"cannot parse an EPSG code out of CRS {crs!r}")
-        reproject = to_wgs84_transform(int(digits))
+        reproject = to_wgs84_transform(int(m.group(1)))
     rows = []
     for feat in feature_collection.get("features", []):
         props = feat.get("properties", {})

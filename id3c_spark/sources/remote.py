@@ -28,6 +28,7 @@ import os
 import re
 import shutil
 import tempfile
+import urllib.error
 import urllib.request
 from collections.abc import Callable, Iterator
 from contextlib import contextmanager
@@ -91,30 +92,39 @@ def fetch_local(
     environment) the workbook is exported through the authenticated Drive
     API (sources/google_drive.py — private sheets, the reference's
     io/google.py flow); otherwise through the public link-share export
-    endpoint as before.
+    endpoint. When the credentials came only from the ENVIRONMENT (no
+    explicit argument) and the authenticated export is denied with
+    401/403 — a stale or expired ambient token — the fetch falls back to
+    the public link-share export instead of failing a workbook that is
+    publicly shared. Explicitly passed credentials never fall back: the
+    caller asked for the private path, so the denial is the answer.
     """
     doc_id = extract_document_id_from_google_url(path_or_url)
-    if doc_id and (
-        google_token or google_token_provider or google_transport
-        or os.environ.get("GOOGLE_OAUTH_ACCESS_TOKEN")
-    ):
+    explicit_creds = bool(google_token or google_token_provider or google_transport)
+    if doc_id and (explicit_creds or os.environ.get("GOOGLE_OAUTH_ACCESS_TOKEN")):
         from id3c_spark.sources.google_drive import (
             GoogleDriveExportFormat,
             export_file_from_google_drive,
         )
 
-        buf = export_file_from_google_drive(
-            doc_id,
-            GoogleDriveExportFormat.EXCEL,
-            token=google_token,
-            token_provider=google_token_provider,
-            transport=google_transport,
-        )
-        with tempfile.NamedTemporaryFile(suffix=".xlsx") as tmp:
-            shutil.copyfileobj(buf, tmp)
-            tmp.flush()
-            yield tmp.name
-        return
+        try:
+            buf = export_file_from_google_drive(
+                doc_id,
+                GoogleDriveExportFormat.EXCEL,
+                token=google_token,
+                token_provider=google_token_provider,
+                transport=google_transport,
+            )
+        except urllib.error.HTTPError as err:
+            if explicit_creds or err.code not in (401, 403):
+                raise
+            buf = None  # ambient token rejected — try the public export
+        if buf is not None:
+            with tempfile.NamedTemporaryFile(suffix=".xlsx") as tmp:
+                shutil.copyfileobj(buf, tmp)
+                tmp.flush()
+                yield tmp.name
+            return
     url = resolve_url(path_or_url)
     scheme = urlparse(url).scheme if "://" in url else ""
     if scheme in ("", "file"):

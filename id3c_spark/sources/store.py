@@ -45,16 +45,29 @@ class ParquetTable:
             raise FileNotFoundError(f"no published version at {self.path}")
         return self.spark.read.parquet(os.path.join(self.path, f"v{v}"))
 
-    def publish(self, df: DataFrame) -> int:
-        """Write a new version, then flip the pointer (atomic rename)."""
+    def stage(self, df: DataFrame) -> int:
+        """Write a new version directory WITHOUT flipping the pointer.
+        Readers keep seeing the old version until flip(); a failure after
+        staging leaves only an unreferenced directory behind. Lets a
+        multi-table promotion do all its expensive writes first and flip
+        every pointer in one quick final pass."""
         v = (self.current_version() or 0) + 1
         out = os.path.join(self.path, f"v{v}")
         df.write.mode("overwrite").parquet(out)
+        return v
+
+    def flip(self, v: int) -> None:
+        """Atomically point readers at a previously staged version."""
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(v))
         os.replace(tmp, self._pointer)
         self._vacuum(keep=2)
+
+    def publish(self, df: DataFrame) -> int:
+        """Write a new version, then flip the pointer (atomic rename)."""
+        v = self.stage(df)
+        self.flip(v)
         return v
 
     def append(self, df: DataFrame) -> int:

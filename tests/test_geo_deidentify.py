@@ -372,6 +372,71 @@ def test_google_drive_authenticated_export(spark, tmp_path):
     assert etag == "2026-08-13T00:00:00Z/abc"
 
 
+def test_fetch_local_falls_back_to_public_export_on_stale_env_token(
+    tmp_path, monkeypatch
+):
+    """A stale GOOGLE_OAUTH_ACCESS_TOKEN (ambient, not explicitly passed)
+    must not break a link-shared workbook: the 401/403 from the Drive API
+    falls back to the anonymous Sheets export endpoint."""
+    import io
+    import urllib.error
+
+    from id3c_spark.sources import remote
+
+    monkeypatch.setenv("GOOGLE_OAUTH_ACCESS_TOKEN", "stale-tok")
+    fetched = {}
+
+    def public_opener(url):
+        fetched["url"] = url
+        return io.BytesIO(b"public-bytes")
+
+    real_urlopen = remote.urllib.request.urlopen
+
+    def deny(req, *a, **kw):
+        raise urllib.error.HTTPError(req.full_url, 401, "expired", {}, None)
+
+    monkeypatch.setattr(remote.urllib.request, "urlopen", deny)
+    try:
+        with remote.fetch_local(
+            "https://docs.google.com/spreadsheets/d/DOC-9/edit",
+            opener=public_opener,
+        ) as local:
+            assert open(local, "rb").read() == b"public-bytes"
+    finally:
+        monkeypatch.setattr(remote.urllib.request, "urlopen", real_urlopen)
+    assert fetched["url"].endswith("/d/DOC-9/export?format=xlsx")
+
+    # explicit credentials do NOT fall back — the denial propagates
+    def transport_denies(req):
+        raise urllib.error.HTTPError(req.full_url, 403, "forbidden", {}, None)
+
+    with pytest.raises(urllib.error.HTTPError):
+        with remote.fetch_local(
+            "https://docs.google.com/spreadsheets/d/DOC-9/edit",
+            opener=public_opener,
+            google_token="explicit",
+            google_transport=transport_denies,
+        ):
+            pass
+
+
+def test_stage_features_versioned_epsg_urn(spark):
+    """Versioned URN CRS forms carry an authority version before the code
+    ('urn:ogc:def:crs:EPSG:8.5:4326') — the code is the last field."""
+    from id3c_spark.etl.location_import import stage_features
+
+    fc = {
+        "type": "FeatureCollection",
+        "crs": {"properties": {"name": "urn:ogc:def:crs:EPSG:8.5:4326"}},
+        "features": [{
+            "id": "pt1", "properties": {"scale": "city"},
+            "geometry": {"type": "Point", "coordinates": [-122.0, 47.0]},
+        }],
+    }
+    wkt = stage_features(spark, fc).collect()[0].polygon_wkt
+    assert wkt == "POINT (-122.0 47.0)"
+
+
 def _write_manifest_xlsx(path):
     """Workbook with glob-able headers, duplicates and blanks for QC."""
     import zipfile

@@ -98,6 +98,22 @@ def test_cli_etl_dry_run_prompt_commit(spark, tmp_path, monkeypatch):
     assert published() == n                               # idempotent upsert
 
 
+def test_store_stage_then_flip(spark, tmp_path):
+    """stage() must not expose the new version to readers; only flip()
+    does — the two-phase shape the --prompt promotion relies on so a
+    failure during the expensive writes publishes nothing."""
+    from id3c_spark.sources.store import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.publish(spark.createDataFrame([(1,)], "x long"))
+    v = t.stage(spark.createDataFrame([(1,), (2,)], "x long"))
+    assert t.read().count() == 1          # staged version invisible
+    assert t.current_version() == 1
+    t.flip(v)
+    assert t.read().count() == 2
+    assert t.current_version() == v
+
+
 def test_cli_upload_and_mint(tmp_path):
     runner = CliRunner()
     src = tmp_path / "up.ndjson"

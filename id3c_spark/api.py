@@ -283,4 +283,12 @@ def create_app(
             })
         return jsonify(out)
 
+    # Load extra routes from extensions — after the built-in declarations
+    # so plugins may customize existing routes (reference
+    # api/routes.py:386-397). Discovery: entry-point group
+    # id3c_spark.api.routes + the ID3C_SPARK_API_PLUGINS env hook.
+    from id3c_spark.plugins import load_api_plugins
+
+    load_api_plugins(app)
+
     return app

@@ -524,5 +524,14 @@ def refresh_cmd(view_name, warehouse_dir, gold_root):
     click.echo(json.dumps({"view": view_name, "version": version}))
 
 
+# Load extra commands from extensions AFTER the built-in registrations,
+# mirroring the reference's import-time entry-point scan
+# (lib/id3c/cli/__init__.py:22-31). See id3c_spark/plugins.py for the
+# discovery channels (entry points + ID3C_SPARK_CLI_PLUGINS env hook).
+from id3c_spark.plugins import load_cli_plugins  # noqa: E402
+
+load_cli_plugins(cli)
+
+
 if __name__ == "__main__":
     cli()

@@ -314,3 +314,53 @@ def test_api_validation_layer(spark, tmp_path):
     assert det.status_code == 201
     line = (tmp_path / "recv" / "redcap_det.ndjson").read_text().strip()
     assert json.loads(line) == {"project_id": "123", "record": "7"}
+
+
+def test_plugin_entry_points_register_cli_and_api(tmp_path, monkeypatch):
+    """Extension-point loading parity (reference lib/id3c/cli/__init__.py:
+    22-31, api/routes.py:386-397): a dummy plugin's command appears on the
+    click group and its route responds on the Flask app, discovered via
+    the env-hook channel (module:attr import paths)."""
+    import sys
+
+    plugin_dir = tmp_path / "plugins"
+    plugin_dir.mkdir()
+    (plugin_dir / "dummy_ext.py").write_text(
+        "import click\n"
+        "import json\n"
+        "\n"
+        "def register_cli(cli):\n"
+        "    @cli.command('dummy-hello')\n"
+        "    def dummy_hello():\n"
+        "        click.echo(json.dumps({'hello': 'plugin'}))\n"
+        "\n"
+        "def register_api(app):\n"
+        "    @app.get('/v1/dummy')\n"
+        "    def dummy_route():\n"
+        "        return {'plugin': True}\n"
+    )
+    monkeypatch.syspath_prepend(str(plugin_dir))
+    sys.modules.pop("dummy_ext", None)
+
+    import id3c_spark.cli as cli_module
+    from id3c_spark.api import create_app
+    from id3c_spark.plugins import load_cli_plugins
+
+    # CLI: the env hook feeds load_cli_plugins (run at module import in
+    # production; invoked directly here since cli is already imported)
+    monkeypatch.setenv("ID3C_SPARK_CLI_PLUGINS", "dummy_ext:register_cli")
+    loaded = load_cli_plugins(cli_module.cli)
+    assert any(spec.endswith("dummy_ext:register_cli") for spec in loaded)
+    res = CliRunner().invoke(cli_module.cli, ["dummy-hello"])
+    assert res.exit_code == 0, res.output
+    assert json.loads(res.output) == {"hello": "plugin"}
+
+    # API: create_app loads plugins itself
+    monkeypatch.setenv("ID3C_SPARK_API_PLUGINS", "dummy_ext:register_api")
+    app = create_app(str(tmp_path / "recv"))
+    client = app.test_client()
+    assert client.get("/v1/dummy").get_json() == {"plugin": True}
+
+    # absent env → nothing loaded, group/app untouched
+    monkeypatch.delenv("ID3C_SPARK_CLI_PLUGINS")
+    assert load_cli_plugins(cli_module.cli) == []

@@ -524,6 +524,100 @@ def refresh_cmd(view_name, warehouse_dir, gold_root):
     click.echo(json.dumps({"view": view_name, "version": version}))
 
 
+@cli.group("redcap-sync")
+def redcap_sync_group():
+    """REDCap → warehouse synchronization routines — one-way, like a git
+    pull (reference cli/command/redcap_sync.py:1-13)."""
+
+
+#: Project factory hook for redcap-sync; tests swap in a stub-backed one.
+def REDCAP_PROJECT(api_url: str, project_id: int, token: str):
+    from id3c_spark.sources.redcap import RedcapProject
+
+    return RedcapProject(api_url, project_id, token=token)
+
+
+@redcap_sync_group.command("delete")
+@click.option("--api-url", required=True)
+@click.option("--project-id", type=int, required=True)
+@click.option("--token", envvar="REDCAP_API_TOKEN", required=True,
+              help="REDCap API token (or env REDCAP_API_TOKEN)")
+@click.option("--warehouse", "warehouse_dir", required=True)
+@click.option("--since-date", default=None,
+              help="Limit to log events generated since 'YYYY-MM-DD HH:MM:SS'")
+@click.option("--until-date", default=None,
+              help="Limit to log events generated before 'YYYY-MM-DD HH:MM:SS'")
+@click.option("--record-id", default=None,
+              help="Only fetch deletion events for this REDCap record")
+@click.option("--user", default=None, help="Only log events by this REDCap user")
+@click.option("--dag", default=None, help="Only log events within this DAG")
+@click.option("--log-identifiers", is_flag=True,
+              help="Echo the deletion identifier patterns")
+@click.option("--dry-run", "action", flag_value="rollback", default=True,
+              help="Only report what would be deleted (default)")
+@click.option("--prompt", "action", flag_value="prompt",
+              help="Ask if the deletions should be saved")
+@click.option("--commit", "action", flag_value="commit",
+              help="Save the deletions to the warehouse")
+def redcap_sync_delete(api_url, project_id, token, warehouse_dir, since_date,
+                       until_date, record_id, user, dag, log_identifiers, action):
+    """Fetch deleted REDCap records (logging API) and delete them — with
+    their linked encounter_location / sample / presence_absence rows and
+    orphaned individuals / locations — from the warehouse (reference
+    redcap_sync.py:144-384).
+
+    The cascade itself is operators/deletes.cascade_delete_encounters
+    (the reference's per-encounter savepoint loop becomes one set-wise
+    anti-join cascade). Deletions publish through the store's two-phase
+    stage-then-flip, so an aborted commit leaves every table on its old
+    version — the reference's rollback-by-default transaction policy.
+    """
+    from id3c_spark.etl.warehouse import Warehouse
+    from id3c_spark.operators.deletes import (
+        cascade_delete_encounters,
+        find_encounters_like_any,
+    )
+
+    project = REDCAP_PROJECT(api_url, project_id, token)
+    deletion_events = project.logs(
+        log_type="record_delete", since_date=since_date, until_date=until_date,
+        record=record_id, user=user, dag=dag,
+    )
+    patterns = [
+        f"{project.base_url}{project.id}/{event['record']}/%"
+        for event in deletion_events
+    ]
+    if log_identifiers:
+        click.echo(json.dumps({"identifiers": patterns}))
+
+    spark = get_spark("redcap-sync")
+    wh = Warehouse(spark, warehouse_dir)
+    tables = ("encounter", "encounter_location", "location", "sample",
+              "presence_absence", "individual")
+    frames = {name: wh.read(name) for name in tables}
+    doomed = (
+        find_encounters_like_any(frames["encounter"], patterns)
+        if patterns else frames["encounter"].limit(0)
+    )
+    out, stats = cascade_delete_encounters(frames, doomed)
+
+    committed = action == "commit" or (
+        action == "prompt" and CONFIRM("Commit all changes?")
+    )
+    if committed:
+        changed = [name for name in tables if name in out]
+        staged = [
+            (wh.tables[name], wh.tables[name].stage(out[name])) for name in changed
+        ]
+        for table, version in staged:
+            table.flip(version)
+    click.echo(json.dumps({
+        "deletion_events": len(deletion_events),
+        "committed": committed,
+        **stats,
+    }))
+
+
 # Load extra commands from extensions AFTER the built-in registrations,
 # mirroring the reference's import-time entry-point scan
 # (lib/id3c/cli/__init__.py:22-31). See id3c_spark/plugins.py for the

@@ -7,6 +7,7 @@ import json
 import pytest
 from pyspark.sql import functions as F
 
+from id3c_spark import schemas
 from id3c_spark.etl import redcap_det
 from id3c_spark.etl.location_import import import_locations, stage_features
 from id3c_spark.etl.warehouse import Warehouse
@@ -99,7 +100,11 @@ class _StubRedcap:
                     self.wfile.write(b"14.5.10")
                     return
                 elif content == "log":
-                    out, code = [{"action": "export", "user": form.get("user")}], 200
+                    events = getattr(stub, "log_events", None)
+                    if events is not None and form.get("logtype") == "record_delete":
+                        out, code = events, 200
+                    else:
+                        out, code = [{"action": "export", "user": form.get("user")}], 200
                 elif content == "record" and "data" in form:
                     out, code = {"count": len(json.loads(form["data"]))}, 200
                 elif content == "record":
@@ -452,3 +457,78 @@ def test_select_columns_glob(spark):
     assert out.columns == ["Barcode_ID", "Aliquot_A", "Aliquot_B"]
     with pytest.raises(KeyError):
         select_columns_glob(df, "nonexistent*")
+
+
+def test_redcap_sync_delete_end_to_end(spark, tmp_path, monkeypatch):
+    """id3c redcap-sync delete (reference redcap_sync.py:144-384): fetch
+    record_delete log events from a (stub) REDCap server, find matching
+    encounters by LIKE ANY, cascade-delete linked rows and orphans.
+    dry-run (default) deletes nothing; --commit publishes the cascade."""
+    import id3c_spark.cli as cli_module
+    from click.testing import CliRunner
+
+    stub = _StubRedcap()
+    try:
+        base_url = stub.url + "/"
+        stub.log_events = [
+            {"action": "Delete record (record 2)", "record": "2",
+             "timestamp": "2026-08-10 12:00:00"},
+        ]
+
+        wh_dir = str(tmp_path / "wh")
+        wh = Warehouse(spark, wh_dir)
+        # encounter identifiers use the reference's {base_url}{pid}/{record}/...
+        # shape; record 2's encounter is doomed, record 1's survives
+        import datetime
+
+        ts = datetime.datetime(2026, 1, 1)
+        wh.publish("encounter", spark.createDataFrame(
+            [(1, f"{base_url}123/1/aaa", 10, 1, ts, None, None),
+             (2, f"{base_url}123/2/bbb", 11, 1, ts, None, None)],
+            schemas.WAREHOUSE_SCHEMAS["encounter"]))
+        wh.publish("sample", spark.createDataFrame(
+            [(1000, "s-1", None, 2, None, '{"coding": [], "note": "x"}', None),
+             (1001, "s-2", None, 2, None, '{"note": "x", "lims": true}', None)],
+            schemas.WAREHOUSE_SCHEMAS["sample"]))
+        wh.publish("presence_absence", spark.createDataFrame(
+            [(1, "pa-1", 1000, 5, True, None), (2, "pa-2", 1001, 5, False, None)],
+            schemas.WAREHOUSE_SCHEMAS["presence_absence"]))
+        wh.publish("individual", spark.createDataFrame(
+            [(10, "i-10", "male", None), (11, "i-11", "female", None)],
+            schemas.WAREHOUSE_SCHEMAS["individual"]))
+
+        runner = CliRunner()
+
+        def run(*flags):
+            res = runner.invoke(cli_module.cli, [
+                "redcap-sync", "delete", "--api-url", stub.url,
+                "--project-id", "123", "--token", "sekrit",
+                "--warehouse", wh_dir, "--log-identifiers", *flags,
+            ])
+            assert res.exit_code == 0, res.output
+            lines = [json.loads(l) for l in res.output.strip().splitlines()]
+            return lines[0], lines[-1]
+
+        idents, out = run()                         # default --dry-run
+        assert idents["identifiers"] == [f"{base_url}123/2/%"]
+        assert out["committed"] is False
+        assert out["deletion_events"] == 1
+        assert out["encounter"] == 1
+        # nothing published: both encounters still present
+        assert wh.read("encounter").count() == 2
+
+        _, out2 = run("--commit")
+        assert out2["committed"] is True
+        assert {r.encounter_id for r in wh.read("encounter").collect()} == {1}
+        # REDCap-provenance sample 1000 deleted with its pa row; lab
+        # sample 1001 survives unlinked with note dropped
+        samples = {r.sample_id: r for r in wh.read("sample").collect()}
+        assert set(samples) == {1001}
+        assert samples[1001].encounter_id is None
+        assert json.loads(samples[1001].details) == {"lims": True}
+        assert {r.presence_absence_id
+                for r in wh.read("presence_absence").collect()} == {2}
+        # individual 11 orphaned by enc-2's deletion; 10 still referenced
+        assert {r.individual_id for r in wh.read("individual").collect()} == {10}
+    finally:
+        stub.close()

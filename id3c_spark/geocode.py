@@ -154,3 +154,67 @@ def geocode(
         rows, "__addr string, std_address string, lat double, lng double, canonicalized_address string"
     )
     return keyed.join(F.broadcast(lookup), "__addr", "left").drop("__addr")
+
+
+#: Per-worker-process geocode memo for geocode_distributed. Python workers
+#: are reused across tasks (spark.python.worker.reuse default), so the
+#: module global persists on each executor — repeated addresses cost one
+#: provider call per worker, not per row.
+_WORKER_CACHE: dict[str, dict | None] = {}
+
+
+def geocode_distributed(
+    df: DataFrame,
+    provider: Callable[[str], dict | None] = fake_geocoder,
+    address_cols: list[str] | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Executor-side batch geocoding — the 100×-scale path.
+
+    geocode() above collects DISTINCT addresses to the driver (faithful
+    to the reference's external-API pattern, geocode.py:55-109, and fine
+    at reference scale); a national-scale address batch would bottleneck
+    and OOM there. Here the distinct-address relation stays distributed:
+    it shuffles across *partitions* tasks and each task calls the
+    provider only for addresses missing from its worker-process memo
+    (_WORKER_CACHE), then the results join back on the address key. The
+    driver never materializes an address list; provider concurrency =
+    partitions, the knob to respect the provider's rate limit.
+
+    The *provider* callable ships to executors (pickled), so it must be
+    self-contained — e.g. smartystreets_provider built from env-var
+    credentials, or any callable closing over plain config.
+    """
+    import pandas as pd
+
+    cols = [c for c in (address_cols or ADDRESS_COLS) if c in df.columns]
+    key = F.concat_ws(", ", *[F.coalesce(F.col(c), F.lit("")) for c in cols])
+    keyed = df.withColumn("__addr", key)
+    distinct = keyed.select("__addr").distinct()
+    if partitions:
+        distinct = distinct.repartition(partitions, "__addr")
+
+    def run(batches):
+        cache = _WORKER_CACHE
+        for pdf in batches:
+            out = []
+            for addr in pdf["__addr"]:
+                if addr in cache:
+                    value = cache[addr]
+                else:
+                    value = cache[addr] = provider(addr)
+                v = value or {}
+                out.append((
+                    addr, v.get("std_address"), v.get("lat"), v.get("lng"),
+                    v.get("canonicalized_address"),
+                ))
+            yield pd.DataFrame(out, columns=[
+                "__addr", "std_address", "lat", "lng", "canonicalized_address"
+            ])
+
+    lookup = distinct.mapInPandas(
+        run,
+        "__addr string, std_address string, lat double, lng double, "
+        "canonicalized_address string",
+    )
+    return keyed.join(lookup, "__addr", "left").drop("__addr")

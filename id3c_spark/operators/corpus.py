@@ -267,10 +267,9 @@ def budget_sample(
 
     Scale: one shuffle on the stratum key for the running-sum window;
     strata process in parallel. A single planet-sized stratum serializes
-    its own window — at that point switch to the two-pass variant (sample
-    the md5-priority distribution, pick the cutoff quantile for the
-    budget, filter by priority < cutoff: shuffle-free, approximate at the
-    boundary only).
+    its own window — at that point use budget_sample_twopass below
+    (priority-cutoff filter: shuffle-free, approximate at the boundary
+    only).
     """
     prio = F.md5(F.col(id_col).cast("string"))
     w = (
@@ -286,6 +285,59 @@ def budget_sample(
         .filter(F.col("__cum") <= budget)
         .drop("__cum")
     )
+
+
+#: priority resolution for budget_sample_twopass: first 15 md5 hex chars
+#: as a bigint — uniform over [0, 16^15), comfortably inside int64
+_PRIO_BITS = 15
+
+
+def budget_sample_twopass(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    size_col: str,
+    budgets: dict[str, int],
+) -> DataFrame:
+    """Shuffle-free budget sampling for strata too large to window.
+
+    budget_sample's running-sum window serializes each stratum through
+    one task — correct, but a single planet-sized stratum becomes the
+    straggler. This variant replaces the window with a per-stratum
+    PRIORITY CUTOFF: md5 priorities are uniform, and document size is
+    independent of a document's md5, so the rows whose priority falls in
+    the lowest q = budget/total fraction of priority space carry ≈ q of
+    the stratum's total size. Two passes, neither shuffling rows:
+
+      1. one map-side-combined aggregate for per-stratum totals (tiny
+         driver collect, one row per stratum);
+      2. a plain filter ``md5_priority <= floor(q · 16^15)`` — embarrass-
+         ingly parallel, no window, no shuffle.
+
+    Same determinism and nesting properties as budget_sample (selection
+    is a pure function of ids and budgets; a raised budget strictly grows
+    the selection) but approximate AT THE TOTAL: the selected mass lands
+    within O(max_size·√n) of the budget rather than exactly under it.
+    Strata whose budget covers their whole size are kept in full.
+    """
+    totals = {
+        r["s"]: r["total"]
+        for r in df.groupBy(F.col(stratum_col).alias("s"))
+        .agg(F.sum(size_col).alias("total"))
+        .collect()
+    }
+    space = 16 ** _PRIO_BITS
+    cutoff = F.lit(None).cast("long")
+    for value, b in sorted(budgets.items()):
+        total = totals.get(value, 0)
+        q = 1.0 if total <= b else b / total
+        cutoff = F.when(
+            F.col(stratum_col) == value, F.lit(int(q * (space - 1)))
+        ).otherwise(cutoff)
+    prio = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, _PRIO_BITS), 16, 10
+    ).cast("bigint")
+    return df.filter(prio <= cutoff)
 
 
 def interleave_strata(

@@ -146,3 +146,48 @@ def test_geocode_cache(spark, tmp_path):
     calls.clear()
     geocode.geocode(df, cache, provider, ["Street", "City", "State"]).collect()
     assert calls == []
+
+
+def test_geocode_distributed_runs_provider_on_executors(spark, tmp_path):
+    """geocode_distributed: provider calls happen in executor workers (not
+    the driver), once per distinct address per worker — proven by a
+    counting fake that logs (pid, address) to disk from wherever it runs."""
+    import os
+
+    log_dir = tmp_path / "calls"
+    log_dir.mkdir()
+    log_path = str(log_dir)
+    driver_pid = os.getpid()
+
+    def counting_provider(addr):
+        import os as _os
+        import uuid as _uuid
+
+        with open(f"{log_path}/{_uuid.uuid4().hex}", "w") as f:
+            f.write(f"{_os.getpid()}\t{addr}")
+        from id3c_spark.geocode import fake_geocoder
+        return fake_geocoder(addr)
+
+    df = spark.createDataFrame(
+        [("123 Main St", "Seattle", "WA", f"x{i}") for i in range(10)]
+        + [("456 Pine St", "Seattle", "WA", "y0")],
+        "Street string, City string, State string, note string",
+    )
+    out = geocode.geocode_distributed(
+        df, counting_provider, ["Street", "City", "State"], partitions=4
+    ).collect()
+    assert len(out) == 11
+    mains = [r for r in out if r.note.startswith("x")]
+    assert all(r.lat == mains[0].lat is not None for r in mains)
+
+    entries = [
+        open(os.path.join(log_path, name)).read().split("\t")
+        for name in os.listdir(log_path)
+    ]
+    # one call per distinct address (per worker) — never per row
+    assert len(entries) == 2
+    assert {addr for _, addr in entries} == {
+        "123 Main St, Seattle, WA", "456 Pine St, Seattle, WA"
+    }
+    # and the calls ran in executor worker processes, not the driver
+    assert all(int(pid) != driver_pid for pid, _ in entries)

@@ -146,6 +146,35 @@ def test_budget_sample_nested_and_capped(spark, sf_dir):
     assert lo_ids == {r.doc_id for r in lo.collect()}    # rerun-stable
 
 
+def test_budget_sample_twopass_skewed_stratum(spark):
+    # one dominant stratum (the case that serializes the windowed variant)
+    rows = [(i, "big", 100) for i in range(2000)] + [(9000 + i, "tiny", 10) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = corpus.budget_sample_twopass(
+        df, "doc_id", "lang", "n_chars", {"big": 50_000, "tiny": 1_000_000}
+    )
+    got = out.collect()
+    # tiny stratum's budget covers it fully → kept whole
+    assert sum(1 for r in got if r.lang == "tiny") == 20
+    # big stratum: captured mass ≈ budget (uniform-priority estimate);
+    # 2000 equal-sized docs → relative error well under 10%
+    mass = sum(r.n_chars for r in got if r.lang == "big")
+    assert 0.9 * 50_000 <= mass <= 1.1 * 50_000
+    # deterministic + nested like the exact variant
+    ids = {r.doc_id for r in got}
+    assert ids == {r.doc_id for r in out.collect()}
+    bigger = corpus.budget_sample_twopass(
+        df, "doc_id", "lang", "n_chars", {"big": 100_000, "tiny": 1_000_000}
+    )
+    assert ids <= {r.doc_id for r in bigger.collect()}
+    # un-budgeted strata are dropped, matching budget_sample
+    assert {r.lang for r in got} == {"big", "tiny"}
+
+    # the selection itself is shuffle-free: no Exchange in the filter plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_interleave_strata_round_robin(spark):
     df = spark.createDataFrame(
         [(i, "a" if i < 6 else "b") for i in range(10)], "id long, src string"

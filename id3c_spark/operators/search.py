@@ -56,30 +56,45 @@ def bm25_topk(
     idf = ln(1 + (N - df + 0.5)/(df + 0.5))  (Robertson/Okapi, always > 0)
     score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
 
-    The corpus is scanned and tokenized exactly once: the tf relation is
-    persisted and dl / avgdl / df all derive from it (a naive spelling
-    re-reads and re-explodes the corpus per statistic — 6 scans at 100 TB).
-    The only other corpus touch is a column-pruned count(*) for n_docs
-    (parquet metadata read).
+    The corpus is scanned, tokenized, and shuffled exactly ONCE, and the
+    shuffle is narrow: because the query is a literal term list, per-doc
+    stats aggregate in a single groupBy(id) whose row width is
+    |query|+1 integers — dl = count(*) plus one conditional-sum tf column
+    per (distinct) query term, all map-side combined. The former spelling
+    shuffled the full (id, term, tf) posting relation — corpus-token-
+    sized — only to derive dl; at 100 TB that shuffle IS the job. The
+    wide-to-long unpivot (stack) and every later relation touch candidate
+    docs only. One other corpus touch: a column-pruned count(*) for
+    n_docs (parquet metadata read). For query vocabularies too large to
+    widen into columns (thousands of terms), a materialized term-bucketed
+    posting index is the right structure instead.
     """
+    terms = sorted(set(query_terms))
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(words_array(F.col(text_col))).alias("term")
     )
-    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf")).persist()
-    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    per_doc = toks.groupBy("id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"__tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
     # avgdl over docs that HAVE tokens (empty docs score 0 anyway); n_docs
     # over all of them, per Okapi.
-    stats = (
-        dl.agg(
-            (F.sum("dl") / F.count("*")).alias("avgdl_raw"),
-        )
-        .crossJoin(F.broadcast(docs.agg(F.count("*").alias("n_docs"))))
+    stats = per_doc.agg((F.sum("dl") / F.count(F.lit(1))).alias("avgdl_raw")).crossJoin(
+        F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
     )
-    matched = tf.filter(F.col("term").isin(query_terms))
-    df_by_term = matched.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    stack_args = ", ".join(
+        "'{}', __tf{}".format(t.replace("'", "''"), i) for i, t in enumerate(terms)
+    )
+    matched = per_doc.select(
+        "id", "dl",
+        F.expr(f"stack({len(terms)}, {stack_args}) as (term, tf)"),
+    ).filter(F.col("tf") > 0)
+    df_by_term = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        matched.join(dl, "id")
-        .join(F.broadcast(df_by_term), "term")
+        matched.join(F.broadcast(df_by_term), "term")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",

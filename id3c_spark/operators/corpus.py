@@ -419,3 +419,70 @@ def chunk_documents(
             F.size("ws").cast("long").alias("n_words"),
         )
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 10,
+) -> DataFrame:
+    """Corpus-level exact segment dedup with document reconstruction — the
+    C4 / RefinedWeb "remove repeated spans, keep one occurrence" cleaning
+    step: split every document into non-overlapping *window*-word
+    segments, keep only the globally FIRST occurrence of each distinct
+    segment text (first = minimum ``(id, segment index)`` across the whole
+    corpus), and reassemble each document from its surviving segments in
+    order. Repeated boilerplate (nav bars, license footers, mirrored
+    articles) survives exactly once corpus-wide instead of once per page.
+
+    Returns ``(id, text_dedup, n_segments, n_kept)``; a document whose
+    every segment is a later duplicate still appears, with empty text.
+
+    Scale shape: one explode to word grain, one (id, seg) reassembly agg,
+    then the global first-occurrence decision — a map-side-combined
+    ``min(struct(id, seg))`` per md5 segment key (the shuffle carries
+    16-byte keys + two ids, never segment text) and a key-equi join back,
+    which AQE's skew-join split handles when one boilerplate segment
+    dominates (a window-rank formulation would hot-spot the same key with
+    NO skew mitigation — AQE rewrites skewed sort-merge joins only, which
+    is why the join shape is the scale-safe one). Final reassembly
+    shuffles on doc id.
+    """
+    assert window > 0
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(words_array(F.col(text_col))).alias("pos", "w"),
+    )
+    segs = (
+        words.withColumn("seg", F.floor(F.col("pos") / window).cast("long"))
+        .groupBy("id", "seg")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "w"))).alias("ws"))
+        .select(
+            "id",
+            "seg",
+            F.array_join(F.transform("ws", lambda x: x["w"]), " ").alias("text_seg"),
+        )
+        .withColumn("h", F.md5("text_seg"))
+    )
+    firsts = segs.groupBy("h").agg(F.min(F.struct("id", "seg")).alias("first"))
+    kept = segs.join(firsts, "h").filter(
+        (F.col("id") == F.col("first.id")) & (F.col("seg") == F.col("first.seg"))
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("seg", "text_seg"))),
+                lambda x: x["text_seg"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = segs.groupBy("id").agg(F.count("*").alias("n_segments"))
+    return totals.join(rebuilt, "id", "left").select(
+        "id",
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )

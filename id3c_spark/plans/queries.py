@@ -2014,6 +2014,112 @@ def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.semantic_dedup(emb, threshold=0.35)
 
 
+@query(
+    "segment_dedup_docs",
+    # non-overlapping 10-word segments; global first occurrence = min
+    # (doc_id, seg) per distinct segment text; docs rebuilt from survivors
+    oracle=f"""
+    WITH {_WORDS_CTE},
+    tok AS (
+      SELECT doc_id, ws[p + 1] AS w, p AS pos
+      FROM w, unnest(range(0, len(ws))) AS r(p)),
+    seg AS (
+      SELECT doc_id, CAST(floor(pos / 10) AS BIGINT) AS seg,
+             string_agg(w, ' ' ORDER BY pos) AS text_seg
+      FROM tok GROUP BY doc_id, seg),
+    k AS (
+      SELECT doc_id, seg, text_seg,
+             row_number() OVER (PARTITION BY md5(text_seg)
+                                ORDER BY doc_id, seg) AS rn
+      FROM seg),
+    reb AS (
+      SELECT doc_id, string_agg(text_seg, ' ' ORDER BY seg) AS text_dedup,
+             count(*) AS n_kept
+      FROM k WHERE rn = 1 GROUP BY doc_id),
+    tot AS (SELECT doc_id, count(*) AS n_segments FROM seg GROUP BY doc_id)
+    SELECT t.doc_id AS id,
+           coalesce(r.text_dedup, '') AS text_dedup,
+           CAST(t.n_segments AS BIGINT) AS n_segments,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+    FROM tot t LEFT JOIN reb r ON r.doc_id = t.doc_id
+    """,
+)
+def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style exact segment dedup with reconstruction
+    (corpus.segment_dedup): repeated 10-word spans survive exactly once
+    corpus-wide; documents are reassembled from their surviving spans."""
+    docs = t(spark, sf_dir, "documents")
+    return corpus.segment_dedup(docs, "doc_id", "text", window=10)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """SQL mirror of clustering.kmeans: md5-seeded centroids (6-dp), per
+    iteration an argmin assignment (6-dp squared L2, centroid-index
+    tiebreak) and an exact-decimal mean update (empty clusters keep their
+    centroid via the coalesce), then a final assignment."""
+    d2 = (
+        "round(list_sum(list_transform(range(1, {n}), "
+        "i -> (v.e[i] - ct.cv[i]) * (v.e[i] - ct.cv[i]))), 6)"
+    ).format(n=dim + 1)
+    sql = f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings),
+    seed AS (
+      SELECT vec_id, e,
+             row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl
+      FROM v),
+    cd0 AS (
+      SELECT cl, r.i AS dim, round(e[r.i], 6) AS c
+      FROM seed, unnest(range(1, {dim + 1})) AS r(i)
+      WHERE cl < {k})"""
+    prev = "cd0"
+    for it in range(1, iters + 1):
+        sql += f""",
+    cent{it} AS (SELECT cl, list(c ORDER BY dim) AS cv FROM {prev} GROUP BY cl),
+    a{it} AS (
+      SELECT vec_id, cl FROM (
+        SELECT v.vec_id, ct.cl,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {d2}, ct.cl) AS rn
+        FROM v CROSS JOIN cent{it} ct)
+      WHERE rn = 1),
+    u{it} AS (
+      SELECT a.cl, r.i AS dim,
+             round(CAST(sum(CAST(round(v.e[r.i], 6) AS DECIMAL(20,6)))
+                        AS DOUBLE) / count(*), 6) AS c
+      FROM a{it} a JOIN v ON v.vec_id = a.vec_id,
+           unnest(range(1, {dim + 1})) AS r(i)
+      GROUP BY a.cl, r.i),
+    cd{it} AS (
+      SELECT p.cl, p.dim, coalesce(u.c, p.c) AS c
+      FROM {prev} p LEFT JOIN u{it} u ON u.cl = p.cl AND u.dim = p.dim)"""
+        prev = f"cd{it}"
+    sql += f""",
+    centf AS (SELECT cl, list(c ORDER BY dim) AS cv FROM {prev} GROUP BY cl)
+    SELECT vec_id, CAST(cl AS BIGINT) AS cluster, dist FROM (
+      SELECT v.vec_id, ct.cl, {d2} AS dist,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY {d2}, ct.cl) AS rn
+      FROM v CROSS JOIN centf ct)
+    WHERE rn = 1
+    """
+    return sql
+
+
+@query("kmeans_embeddings", oracle=_kmeans_oracle(k=8, iters=2))
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (operators/clustering.py): md5-seeded
+    deterministic init, broadcast-centroid GEMM assignment, exact-decimal
+    mean updates — the trained-centroid counterpart of ann.ivf_topk and
+    the clustering stage of SemDeDup/auto-curation pipelines."""
+    from id3c_spark.operators.clustering import kmeans
+
+    emb = t(spark, sf_dir, "embeddings")
+    return kmeans(emb, "vec_id", "embedding", k=8, max_iter=2)
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

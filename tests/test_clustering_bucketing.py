@@ -1,0 +1,162 @@
+"""segment_dedup reconstruction, k-means clustering, bucketed layout."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from id3c_spark.operators.clustering import kmeans
+from id3c_spark.operators.corpus import segment_dedup
+from id3c_spark.sources.bucketing import (
+    bucketed_join,
+    shuffle_count,
+    write_bucketed,
+)
+
+
+# ---------------------------------------------------------------------------
+# segment_dedup
+# ---------------------------------------------------------------------------
+
+SEG_A = "a b c d e"          # window=5 → one segment
+SEG_B = "f g h i j"
+SEG_C = "k l m n o"
+
+
+def seg_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, f"{SEG_A} {SEG_B}"),       # first occurrence of A and B
+            (2, f"{SEG_C} {SEG_A}"),       # C new; A repeats → dropped
+            (3, f"{SEG_B} {SEG_C}"),       # both repeats → empty doc
+            (4, "p q r"),                  # unique partial segment
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_segment_dedup_keeps_global_first_and_reconstructs(spark):
+    out = {
+        r["id"]: r
+        for r in segment_dedup(seg_docs(spark), "doc_id", "text", window=5).collect()
+    }
+    assert out[1]["text_dedup"] == f"{SEG_A} {SEG_B}"
+    assert (out[1]["n_segments"], out[1]["n_kept"]) == (2, 2)
+    # doc 2 keeps only its novel segment, in original order
+    assert out[2]["text_dedup"] == SEG_C
+    assert (out[2]["n_segments"], out[2]["n_kept"]) == (2, 1)
+    # doc 3 is boilerplate-only → present but empty
+    assert out[3]["text_dedup"] == ""
+    assert (out[3]["n_segments"], out[3]["n_kept"]) == (2, 0)
+    # short unique doc untouched (partial trailing segment)
+    assert out[4]["text_dedup"] == "p q r"
+    assert (out[4]["n_segments"], out[4]["n_kept"]) == (1, 1)
+
+
+def test_segment_dedup_first_is_min_id_then_seg(spark):
+    # the same segment at a LATER position of a smaller id still wins over
+    # an earlier position of a larger id: order is (id, seg) lexicographic
+    docs = spark.createDataFrame(
+        [(1, f"{SEG_B} {SEG_A}"), (2, f"{SEG_A} {SEG_C}")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r["text_dedup"]
+        for r in segment_dedup(docs, "doc_id", "text", window=5).collect()
+    }
+    assert out[1] == f"{SEG_B} {SEG_A}"
+    assert out[2] == SEG_C
+
+
+# ---------------------------------------------------------------------------
+# kmeans
+# ---------------------------------------------------------------------------
+
+def blob_vectors(spark):
+    # two well-separated blobs in 4-d
+    rows = []
+    for i in range(10):
+        rows.append((i, [10.0 + 0.01 * i, 10.0, 0.0, 0.0]))
+    for i in range(10, 20):
+        rows.append((i, [-10.0, -10.0 - 0.01 * i, 0.0, 0.0]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_separates_blobs(spark):
+    out = kmeans(blob_vectors(spark), k=2, max_iter=3).collect()
+    by_blob = {0: set(), 1: set()}
+    for r in out:
+        by_blob[0 if r["vec_id"] < 10 else 1].add(r["cluster"])
+    # each blob maps to exactly one cluster, and the clusters differ
+    assert len(by_blob[0]) == 1 and len(by_blob[1]) == 1
+    assert by_blob[0] != by_blob[1]
+    # converged: distance to own centroid is tiny
+    assert max(r["dist"] for r in out) < 0.1
+
+
+def test_kmeans_deterministic(spark):
+    df = blob_vectors(spark)
+    a = sorted(map(tuple, kmeans(df, k=3, max_iter=2).collect()))
+    b = sorted(map(tuple, kmeans(df, k=3, max_iter=2).collect()))
+    assert a == b
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    # all points identical → every point lands in the first seed's cluster;
+    # the other centroid keeps its (identical) seed and the run still
+    # yields a single occupied cluster without error
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    out = kmeans(df, k=2, max_iter=2).collect()
+    assert len(out) == 5
+    assert len({r["cluster"] for r in out}) == 1
+    assert all(r["dist"] == 0.0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# bucketed layout
+# ---------------------------------------------------------------------------
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # un-bucketed baseline: the same join shuffles both sides
+        assert shuffle_count(left.join(right, "k")) > 0
+
+        for name, df in [("tb_left", left), ("tb_right", right)]:
+            write_bucketed(
+                df, name, ["k"], num_buckets=8, path=str(tmp_path / name)
+            )
+        joined = bucketed_join(spark, "tb_left", "tb_right", ["k"])
+        assert joined.count() == 1000
+        # co-located buckets: zero shuffle exchanges on either side
+        assert shuffle_count(bucketed_join(spark, "tb_left", "tb_right", ["k"])) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS tb_left")
+        spark.sql("DROP TABLE IF EXISTS tb_right")
+
+
+def test_write_bucketed_helper_roundtrip(spark, tmp_path):
+    df = spark.range(0, 100).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    try:
+        write_bucketed(
+            df, "tb_helper", ["k"], num_buckets=4, path=str(tmp_path / "tb_helper")
+        )
+        # aggregation on the bucket key also needs no exchange
+        agg = spark.table("tb_helper").groupBy("k").agg(F.sum("v").alias("s"))
+        assert agg.count() == 100
+        assert shuffle_count(
+            spark.table("tb_helper").groupBy("k").agg(F.sum("v").alias("s"))
+        ) == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tb_helper")

@@ -80,6 +80,13 @@ BENCH_QUERIES = [
 ]
 
 
+def bench_queries(catalog: dict) -> list[str]:
+    """The explicit list (stable ordering for cross-round comparison)
+    plus any catalog entries registered since — new operators are benched
+    automatically instead of silently skipped."""
+    return BENCH_QUERIES + [n for n in catalog if n not in BENCH_QUERIES]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -90,7 +97,7 @@ def main() -> None:
     catalog["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries(catalog):
         start = time.perf_counter()
         catalog[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)

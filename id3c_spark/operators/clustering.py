@@ -24,9 +24,9 @@ operators/ann.py):
   - distances are squared L2 rounded to 6 dp with centroid-index
     tiebreak, so assignment cannot flip on last-ulp differences;
   - the mean is computed over 6-dp-rounded components with an EXACT
-    decimal sum (order-independent across partitionings), divided in
-    double and re-rounded to 6 dp — both engines produce the identical
-    centroid bit-for-bit;
+    decimal sum (order-independent across partitionings) and a half-up
+    integer-micro division (see MEAN6_EXPR) — both engines produce the
+    identical centroid bit-for-bit;
   - a cluster that loses all members keeps its previous centroid.
 """
 
@@ -36,6 +36,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from id3c_spark.operators.ann import _prep
+
+
+def mean6_aggs(xcol: str = "x") -> list:
+    """Aggregates for the exact 6-dp mean: ``smi`` = sum of round(x, 6)
+    in exact integer micros (a decimal sum — order-independent across any
+    partitioning), ``n`` = count. Pair with MEAN6_EXPR."""
+    return [
+        (F.sum(F.round(F.col(xcol), 6).cast("decimal(20,6)")) * 1000000)
+        .cast("long")
+        .alias("smi"),
+        F.count("*").alias("n"),
+    ]
+
+
+# half-up (away-from-zero) 6-dp mean from (smi, n), entirely in int64
+# arithmetic: a double quotient re-rounded to 6 dp can land on a rounding
+# tie where engines disagree — integer division cannot, so Spark and the
+# DuckDB oracle produce the identical centroid by construction. The final
+# /1e6 is one double op both engines perform on the same integer.
+MEAN6_EXPR = (
+    "CASE WHEN smi >= 0 THEN (2 * smi + n) div (2 * n) "
+    "ELSE -((2 * (-smi) + n) div (2 * n)) END / 1000000.0"
+)
 
 
 def _assign(vp: DataFrame, bc, with_dist: bool = False) -> DataFrame:
@@ -92,23 +115,13 @@ def kmeans(
     )
     for _ in range(max_iter):
         bc = sc.broadcast(cent)
-        # exact decimal sums of 6-dp components: partition-order-independent,
-        # so the updated centroid is identical on every cluster layout (and
-        # in the DuckDB oracle); the division + re-round happens JVM-side so
-        # both engines apply the same rounding rule
         rows = (
             _assign(vp, bc)
             .join(vp, "id")
             .select("cluster", F.posexplode("v").alias("dim", "x"))
             .groupBy("cluster", "dim")
-            .agg(
-                F.round(
-                    F.sum(F.round(F.col("x"), 6).cast("decimal(20,6)"))
-                    .cast("double")
-                    / F.count("*"),
-                    6,
-                ).alias("c")
-            )
+            .agg(*mean6_aggs())
+            .selectExpr("cluster", "dim", f"{MEAN6_EXPR} AS c")
             .collect()
         )
         new = cent.copy()  # empty clusters keep their previous centroid

@@ -1,0 +1,268 @@
+"""Product quantization (PQ) — compressed-domain ANN for corpus scales
+where even the blocked exact GEMM's communication bound is too expensive.
+
+PQ (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011 — the backbone of FAISS' IVFPQ) splits each d-dim vector into
+*m* subvectors, k-means-quantizes each subspace to *k* centroids, and
+stores a vector as m small codes (m bytes for k ≤ 256) instead of d
+floats — here 64 floats → 8 codes, a 64× compression. Search scores
+candidates WITHOUT decompressing: per query, one m×k lookup table of
+subspace distances; a candidate's asymmetric distance (ADC) is m table
+lookups + a sum.
+
+Why this matters at 100 TB: the exact blocked GEMM (ann.cosine_topk)
+shuffles S·|Q| + B·|C| ROWS OF RAW VECTORS; with PQ the corpus side
+ships codes, shrinking the dominant B·|C| term by the compression factor
+— the corpus of a billion 64-dim vectors is ~8 GB of codes, so whole
+shards stay cache-resident and scoring is table lookups, not FLOPs.
+
+Determinism contract (full SQL oracle, same discipline as
+operators/clustering.py): subspace k-means uses the shared md5-seeded
+init + 6-dp distances + exact-decimal means; codes are argmin with
+centroid-index tiebreak; ADC uses 6-dp per-subspace table entries and a
+6-dp total with id tiebreak in both the partial and final rankings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from id3c_spark.operators.ann import _prep, _unpack
+from id3c_spark.operators.clustering import MEAN6_EXPR, mean6_aggs
+
+
+def _subspace_assign(vp: DataFrame, bc) -> DataFrame:
+    """(id, sub, code): per-subspace nearest centroid (6-dp squared L2,
+    centroid-index tiebreak). One Arrow pass, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        cent = bc.value  # (m, k, dsub), 6-dp rounded
+        m, _, dsub = cent.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            n = len(x)
+            xs = x.reshape(n, m, dsub)
+            ids, subs, codes = [], [], []
+            for s in range(m):
+                d2 = np.round(
+                    ((xs[:, s, None, :] - cent[s][None, :, :]) ** 2).sum(axis=2), 6
+                )
+                codes.extend(d2.argmin(axis=1).astype("int64"))
+                ids.extend(pdf["id"].values)
+                subs.extend([s] * n)
+            yield pd.DataFrame({"id": ids, "sub": subs, "code": codes})
+
+    return vp.mapInPandas(gen, "id long, sub int, code int")
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    max_iter: int = 2,
+):
+    """Train the m per-subspace codebooks (Lloyd iterations). Returns a
+    numpy array (m, k, d/m) of 6-dp centroids — broadcast-sized model
+    state, like clustering.kmeans. Every subspace trains in the SAME
+    corpus pass per iteration (one assignment scan + one k·d-row mean
+    aggregation for all m subspaces together)."""
+    import numpy as np
+
+    vp = _prep(df, id_col, vec_col).persist()
+    sc = vp.sparkSession.sparkContext
+    seeds = (
+        vp.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(k)
+        .collect()
+    )
+    dim = len(seeds[0].v)
+    assert dim % m == 0, f"dim {dim} not divisible into {m} subspaces"
+    dsub = dim // m
+    cent = (
+        np.round(np.asarray([np.asarray(r.v, dtype=np.float64) for r in seeds]), 6)
+        .reshape(k, m, dsub)
+        .transpose(1, 0, 2)
+        .copy()
+    )  # (m, k, dsub)
+    comp = vp.select("id", F.posexplode("v").alias("d", "x")).select(
+        "id",
+        (F.col("d") / dsub).cast("int").alias("sub"),
+        (F.col("d") % dsub).alias("dim"),
+        "x",
+    )
+    for _ in range(max_iter):
+        bc = sc.broadcast(cent)
+        rows = (
+            _subspace_assign(vp, bc)
+            .join(comp, ["id", "sub"])
+            .groupBy("sub", "code", "dim")
+            .agg(*mean6_aggs())
+            .selectExpr("sub", "code", "dim", f"{MEAN6_EXPR} AS c")
+            .collect()
+        )
+        new = cent.copy()  # empty subspace clusters keep their centroid
+        for r in rows:
+            new[r.sub][r.code][r.dim] = r.c
+        cent = new
+        bc.destroy()
+    vp.unpersist()
+    return cent
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int> of length m) — the compressed corpus
+    representation to persist (at k ≤ 256 a production sink would pack
+    codes to m bytes; the int array keeps the catalog oracle readable)."""
+    vp = _prep(df, id_col, vec_col)
+    sc = vp.sparkSession.sparkContext
+    assigned = _subspace_assign(vp, sc.broadcast(codebooks))
+    return (
+        assigned.groupBy("id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("sub", "code"))),
+                lambda x: x["code"],
+            ).alias("codes")
+        )
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_shards: int = 8,
+    query_blocks: int = 8,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: exact query vectors scored against
+    the COMPRESSED corpus. Same blocked shape as ann.cosine_topk — query
+    blocks × corpus code shards, partial top-k per pair, global window
+    over ≤ |Q|·S·k candidate rows — but the corpus side of the crossJoin
+    ships codes (m ints/vector), not raw vectors: the B·|C| communication
+    term shrinks by the compression factor, which is the entire point of
+    PQ at corpus scale. Returns (query_id, neighbor_id, dist, rank),
+    self-matches excluded; dist is the 6-dp ADC estimate (a lower-fidelity
+    stand-in for true distance — rerank survivors with exact vectors when
+    exactness matters, as FAISS IVFPQ does)."""
+    import numpy as np
+    import pandas as pd
+
+    mdl = codebooks
+    m, kcent, dsub = mdl.shape
+
+    qp = _prep(queries, id_col, vec_col)
+    qpacked = (
+        qp.select(
+            F.pmod(F.hash(F.col("id")), F.lit(query_blocks)).alias("qb"),
+            F.struct("id", "v").alias("rec"),
+        )
+        .groupBy("qb")
+        .agg(F.collect_list("rec").alias("recs"))
+    )
+
+    def pack_q(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                recs = row["recs"]
+                ids = np.asarray([r["id"] for r in recs], dtype=np.int64)
+                mat = np.asarray(
+                    [np.asarray(r["v"], dtype=np.float64) for r in recs]
+                )
+                out.append((row["qb"], ids.tobytes(), mat.tobytes()))
+            yield pd.DataFrame(out, columns=["qb", "ids", "mat"])
+
+    q = qpacked.mapInPandas(pack_q, "qb int, ids binary, mat binary").toDF(
+        "qb", "q_ids", "q_mat"
+    )
+
+    codes = pq_encode(corpus, mdl, id_col, vec_col)
+    cpacked = (
+        codes.select(
+            F.pmod(F.hash(F.col("id")), F.lit(corpus_shards)).alias("cb"),
+            F.struct("id", "codes").alias("rec"),
+        )
+        .groupBy("cb")
+        .agg(F.collect_list("rec").alias("recs"))
+    )
+
+    def pack_c(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                recs = row["recs"]
+                ids = np.asarray([r["id"] for r in recs], dtype=np.int64)
+                cm = np.asarray(
+                    [np.asarray(r["codes"], dtype=np.int64) for r in recs]
+                )
+                out.append((row["cb"], ids.tobytes(), cm.tobytes()))
+            yield pd.DataFrame(out, columns=["cb", "ids", "codes"])
+
+    c = cpacked.mapInPandas(pack_c, "cb int, ids binary, codes binary").toDF(
+        "cb", "c_ids", "c_codes"
+    )
+    pairs = q.crossJoin(c).repartition(query_blocks * corpus_shards, "qb", "cb")
+    bc = qp.sparkSession.sparkContext.broadcast(mdl)
+
+    def partial_topk(batches):
+        for pdf in batches:
+            cent = bc.value  # (m, kcent, dsub)
+            for _, row in pdf.iterrows():
+                qids, qmat = _unpack(row["q_ids"], row["q_mat"])
+                cids = np.frombuffer(row["c_ids"], dtype=np.int64)
+                ccodes = np.frombuffer(row["c_codes"], dtype=np.int64).reshape(
+                    len(cids), m
+                )
+                qs = qmat.reshape(len(qids), m, dsub)
+                # per-query LUT: (m, kcent) 6-dp subspace distances, then
+                # ADC = sum of m lookups, re-rounded — matches the oracle's
+                # round(sum(round(pd, 6)), 6)
+                out_q, out_n, out_d = [], [], []
+                for i in range(len(qids)):
+                    lut = np.round(
+                        ((qs[i][:, None, :] - cent) ** 2).sum(axis=2), 6
+                    )  # (m, kcent)
+                    # exact integer-micro summation: each 6-dp entry is a
+                    # multiple of 1e-6, so the ADC total is summed in int64
+                    # micros and divided once — no float re-round whose last
+                    # digit depends on summation order (the oracle mirrors
+                    # with an exact DECIMAL(18,6) sum)
+                    lut_mi = np.rint(lut * 1e6).astype(np.int64)
+                    dist = (
+                        lut_mi[np.arange(m)[None, :], ccodes].sum(axis=1) / 1e6
+                    )
+                    mask = cids != qids[i]
+                    cand_ids = cids[mask]
+                    cand_d = dist[mask]
+                    order = np.lexsort((cand_ids, cand_d))[:k]
+                    out_q.extend([qids[i]] * len(order))
+                    out_n.extend(cand_ids[order])
+                    out_d.extend(cand_d[order])
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "dist": out_d}
+                )
+
+    partial = pairs.mapInPandas(
+        partial_topk, "query_id long, neighbor_id long, dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist", F.col("rank").cast("int"))
+    )

@@ -2086,12 +2086,19 @@ def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
         FROM v CROSS JOIN cent{it} ct)
       WHERE rn = 1),
     u{it} AS (
-      SELECT a.cl, r.i AS dim,
-             round(CAST(sum(CAST(round(v.e[r.i], 6) AS DECIMAL(20,6)))
-                        AS DOUBLE) / count(*), 6) AS c
-      FROM a{it} a JOIN v ON v.vec_id = a.vec_id,
-           unnest(range(1, {dim + 1})) AS r(i)
-      GROUP BY a.cl, r.i),
+      -- exact integer-micro half-up mean (mirrors clustering.MEAN6_EXPR):
+      -- no double quotient whose 6-dp rounding could land on a tie
+      SELECT cl, dim,
+             CASE WHEN smi >= 0 THEN (2 * smi + n) // (2 * n)
+                  ELSE -((2 * (-smi) + n) // (2 * n)) END / 1000000.0 AS c
+      FROM (
+        SELECT a.cl, r.i AS dim,
+               CAST(sum(CAST(round(v.e[r.i], 6) AS DECIMAL(20,6))) * 1000000
+                    AS BIGINT) AS smi,
+               count(*) AS n
+        FROM a{it} a JOIN v ON v.vec_id = a.vec_id,
+             unnest(range(1, {dim + 1})) AS r(i)
+        GROUP BY a.cl, r.i)),
     cd{it} AS (
       SELECT p.cl, p.dim, coalesce(u.c, p.c) AS c
       FROM {prev} p LEFT JOIN u{it} u ON u.cl = p.cl AND u.dim = p.dim)"""
@@ -2118,6 +2125,101 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return kmeans(emb, "vec_id", "embedding", k=8, max_iter=2)
+
+
+def _pq_oracle(
+    m: int = 8, kcent: int = 16, iters: int = 2, dim: int = 64, topk: int = 5
+) -> str:
+    """SQL mirror of operators/pq.py: per-subspace k-means (md5 seeds,
+    6-dp distances, exact-decimal means, empty cells carried), final codes
+    by argmin, ADC = round(sum of 6-dp per-subspace LUT entries, 6) with
+    id tiebreak top-k."""
+    dsub = dim // m
+    sub_d2 = (
+        "round(list_sum(list_transform(range(1, {n}), "
+        "j -> (v.e[ct.sub * {ds} + j] - ct.cv[j]) * "
+        "(v.e[ct.sub * {ds} + j] - ct.cv[j]))), 6)"
+    ).format(n=dsub + 1, ds=dsub)
+    assign = (
+        "SELECT vec_id, sub, cl FROM ("
+        "SELECT v.vec_id, ct.sub, ct.cl, "
+        "row_number() OVER (PARTITION BY v.vec_id, ct.sub "
+        f"ORDER BY {sub_d2}, ct.cl) AS rn "
+        "FROM v CROSS JOIN {cent} ct) WHERE rn = 1"
+    )
+    sql = f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings),
+    seed AS (
+      SELECT vec_id, e,
+             row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl
+      FROM v),
+    cd0 AS (
+      SELECT s.sub, cl, r.j AS dim, round(e[s.sub * {dsub} + r.j], 6) AS c
+      FROM seed, unnest(range(0, {m})) AS s(sub),
+           unnest(range(1, {dsub + 1})) AS r(j)
+      WHERE cl < {kcent})"""
+    prev = "cd0"
+    for it in range(1, iters + 1):
+        sql += f""",
+    cent{it} AS (SELECT sub, cl, list(c ORDER BY dim) AS cv
+                 FROM {prev} GROUP BY sub, cl),
+    a{it} AS ({assign.format(cent=f"cent{it}")}),
+    u{it} AS (
+      -- exact integer-micro half-up mean (mirrors clustering.MEAN6_EXPR)
+      SELECT sub, cl, dim,
+             CASE WHEN smi >= 0 THEN (2 * smi + n) // (2 * n)
+                  ELSE -((2 * (-smi) + n) // (2 * n)) END / 1000000.0 AS c
+      FROM (
+        SELECT a.sub, a.cl, r.j AS dim,
+               CAST(sum(CAST(round(v.e[a.sub * {dsub} + r.j], 6)
+                             AS DECIMAL(20,6))) * 1000000 AS BIGINT) AS smi,
+               count(*) AS n
+        FROM a{it} a JOIN v ON v.vec_id = a.vec_id,
+             unnest(range(1, {dsub + 1})) AS r(j)
+        GROUP BY a.sub, a.cl, r.j)),
+    cd{it} AS (
+      SELECT p.sub, p.cl, p.dim, coalesce(u.c, p.c) AS c
+      FROM {prev} p LEFT JOIN u{it} u
+        ON u.sub = p.sub AND u.cl = p.cl AND u.dim = p.dim)"""
+        prev = f"cd{it}"
+    sql += f""",
+    centf AS (SELECT sub, cl, list(c ORDER BY dim) AS cv
+              FROM {prev} GROUP BY sub, cl),
+    codes AS ({assign.format(cent="centf")}),
+    lut AS (
+      SELECT v.vec_id AS qid, ct.sub, ct.cl, {sub_d2} AS pd
+      FROM v CROSS JOIN centf ct),
+    ad AS (
+      SELECT l.qid AS query_id, c.vec_id AS neighbor_id,
+             CAST(sum(CAST(l.pd AS DECIMAL(18,6))) AS DOUBLE) AS dist
+      FROM codes c JOIN lut l
+        ON l.sub = c.sub AND l.cl = c.cl AND l.qid != c.vec_id
+      GROUP BY l.qid, c.vec_id)
+    SELECT query_id, neighbor_id, dist, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT query_id, neighbor_id, dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist, neighbor_id) AS rank
+      FROM ad)
+    WHERE rank <= {topk}
+    """
+    return sql
+
+
+@query("pq_topk_embeddings", oracle=_pq_oracle(m=8, kcent=16, iters=2, topk=5))
+def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/pq.py): 8 subspaces x 16
+    centroids trained with the shared deterministic k-means discipline;
+    the corpus ships as 8-int codes through the blocked scorer — the
+    compressed-domain ANN path for corpora where even blocked exact GEMM
+    communication is too expensive."""
+    from id3c_spark.operators.pq import pq_topk, pq_train
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=8, k=16, max_iter=2)
+    return pq_topk(emb, emb, books, k=5)
 
 
 # The external correctness gate enumerates only the first GATE_CAP entries of

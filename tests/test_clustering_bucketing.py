@@ -160,3 +160,54 @@ def test_write_bucketed_helper_roundtrip(spark, tmp_path):
         ) == 0
     finally:
         spark.sql("DROP TABLE IF EXISTS tb_helper")
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+def pq_vectors(spark):
+    # 10 distinct base vectors in 8-d, each duplicated under id+100
+    import numpy as np
+
+    rng = [
+        [float(((i * 37 + j * 11) % 19) - 9) / 3.0 for j in range(8)]
+        for i in range(10)
+    ]
+    rows = [(i, v) for i, v in enumerate(rng)]
+    rows += [(i + 100, v) for i, v in enumerate(rng)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_train_shapes_and_determinism(spark):
+    from id3c_spark.operators.pq import pq_train
+
+    df = pq_vectors(spark)
+    a = pq_train(df, m=4, k=4, max_iter=2)
+    b = pq_train(df, m=4, k=4, max_iter=2)
+    assert a.shape == (4, 4, 2)
+    assert (a == b).all()
+
+
+def test_pq_identical_vectors_share_codes_and_rank_first(spark):
+    from id3c_spark.operators.pq import pq_encode, pq_topk, pq_train
+
+    df = pq_vectors(spark)
+    books = pq_train(df, m=4, k=8, max_iter=2)
+    codes = {r["id"]: tuple(r["codes"]) for r in pq_encode(df, books).collect()}
+    for i in range(10):
+        assert codes[i] == codes[i + 100]          # same vector → same codes
+        assert len(codes[i]) == 4
+    top1 = {
+        r["query_id"]: r
+        for r in pq_topk(df, df, books, k=1).collect()
+    }
+    for i in range(10):
+        # ADC scores a query against the candidate's CENTROIDS, so the
+        # distance to an identical duplicate is the query's own
+        # quantization error — the minimum any candidate can achieve —
+        # making the duplicate rank 1, with the same dist in both
+        # directions (shared codes → shared lookup entries)
+        assert top1[i]["neighbor_id"] == i + 100
+        assert top1[i + 100]["neighbor_id"] == i
+        assert top1[i]["dist"] == top1[i + 100]["dist"]

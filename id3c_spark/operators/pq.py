@@ -266,3 +266,110 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dist", F.col("rank").cast("int"))
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + PQ — the FAISS-IVFPQ composition that ends the ANN ladder
+    (exact blocked GEMM → LSH → IVF → PQ → IVFPQ): the corpus's PQ codes
+    are inverted-file-partitioned by the deterministic md5-pivot cells of
+    ``ann.ivf_topk``, each query ships to its *nprobe* nearest cells, and
+    candidates are scored compressed-domain with the ADC lookup table.
+
+    Communication per query batch is |Q|·nprobe·d (probe rows carry the
+    raw query vector) + the touched cells' CODES — both the candidate
+    count (nprobe/nlist of the corpus) and the per-candidate payload
+    (m ints) shrink, which is exactly how billion-vector serving indexes
+    are laid out. Cells are the unit of parallelism; the cell-keyed join
+    is AQE-skew-splittable when the quantizer is unbalanced.
+
+    Returns (query_id, neighbor_id, dist, rank), self-matches excluded,
+    dist the 6-dp ADC estimate (exact int-micro summation, as pq_topk).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from id3c_spark.operators.ann import _ivf_assign, _ivf_pivots
+
+    mdl = codebooks
+    m, _, dsub = mdl.shape
+    same = queries is corpus
+    cp = _prep(corpus, id_col, vec_col)
+    cp = cp.persist() if same else cp
+    qp = cp if same else _prep(queries, id_col, vec_col)
+    bp = _ivf_pivots(cp, nlist)
+    cells = _ivf_assign(cp, bp, 1)
+    probes = _ivf_assign(qp, bp, nprobe)
+
+    codes = pq_encode(corpus, mdl, id_col, vec_col)
+    packs = (
+        codes.join(cells, "id")
+        .groupBy("cell")
+        .agg(F.collect_list(F.struct("id", "codes")).alias("recs"))
+    )
+
+    def pack_cells(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                recs = row["recs"]
+                ids = np.asarray([r["id"] for r in recs], dtype=np.int64)
+                cm = np.asarray(
+                    [np.asarray(r["codes"], dtype=np.int64) for r in recs]
+                )
+                out.append((row["cell"], ids.tobytes(), cm.tobytes()))
+            yield pd.DataFrame(out, columns=["cell", "ids", "codes"])
+
+    cell_packs = packs.mapInPandas(
+        pack_cells, "cell long, ids binary, codes binary"
+    )
+    probe_rows = probes.join(qp, "id").select(
+        F.col("id").alias("qid"), "cell", "v"
+    )
+    joined = probe_rows.join(cell_packs, "cell")
+    bc = cp.sparkSession.sparkContext.broadcast(mdl)
+
+    def score(batches):
+        cent = bc.value
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                qid = row["qid"]
+                qs = np.asarray(row["v"], dtype=np.float64).reshape(m, dsub)
+                cids = np.frombuffer(row["ids"], dtype=np.int64)
+                ccodes = np.frombuffer(row["codes"], dtype=np.int64).reshape(
+                    len(cids), m
+                )
+                lut = np.round(((qs[:, None, :] - cent) ** 2).sum(axis=2), 6)
+                lut_mi = np.rint(lut * 1e6).astype(np.int64)
+                dist = (
+                    lut_mi[np.arange(m)[None, :], ccodes].sum(axis=1) / 1e6
+                )
+                mask = cids != qid
+                cand_ids = cids[mask]
+                cand_d = dist[mask]
+                order = np.lexsort((cand_ids, cand_d))[:k]
+                yield pd.DataFrame(
+                    {
+                        "query_id": [qid] * len(order),
+                        "neighbor_id": cand_ids[order],
+                        "dist": cand_d[order],
+                    }
+                )
+
+    partial = joined.mapInPandas(
+        score, "query_id long, neighbor_id long, dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist", F.col("rank").cast("int"))
+    )

@@ -2127,13 +2127,12 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans(emb, "vec_id", "embedding", k=8, max_iter=2)
 
 
-def _pq_oracle(
-    m: int = 8, kcent: int = 16, iters: int = 2, dim: int = 64, topk: int = 5
-) -> str:
-    """SQL mirror of operators/pq.py: per-subspace k-means (md5 seeds,
-    6-dp distances, exact-decimal means, empty cells carried), final codes
-    by argmin, ADC = round(sum of 6-dp per-subspace LUT entries, 6) with
-    id tiebreak top-k."""
+def _pq_chain(m: int = 8, kcent: int = 16, iters: int = 2, dim: int = 64) -> str:
+    """Shared CTE chain mirroring operators/pq.py: per-subspace k-means
+    (md5 seeds, 6-dp distances, exact integer-micro means, empty cells
+    carried) → ``centf`` codebooks, ``codes`` (vec_id, sub, cl), ``lut``
+    (qid, sub, cl, 6-dp pd). Starts with a comma — append after a
+    ``WITH v AS (...)`` head."""
     dsub = dim // m
     sub_d2 = (
         "round(list_sum(list_transform(range(1, {n}), "
@@ -2191,13 +2190,11 @@ def _pq_oracle(
     codes AS ({assign.format(cent="centf")}),
     lut AS (
       SELECT v.vec_id AS qid, ct.sub, ct.cl, {sub_d2} AS pd
-      FROM v CROSS JOIN centf ct),
-    ad AS (
-      SELECT l.qid AS query_id, c.vec_id AS neighbor_id,
-             CAST(sum(CAST(l.pd AS DECIMAL(18,6))) AS DOUBLE) AS dist
-      FROM codes c JOIN lut l
-        ON l.sub = c.sub AND l.cl = c.cl AND l.qid != c.vec_id
-      GROUP BY l.qid, c.vec_id)
+      FROM v CROSS JOIN centf ct)"""
+    return sql
+
+
+_PQ_TAIL = """
     SELECT query_id, neighbor_id, dist, CAST(rank AS INTEGER) AS rank FROM (
       SELECT query_id, neighbor_id, dist,
              row_number() OVER (PARTITION BY query_id
@@ -2205,7 +2202,72 @@ def _pq_oracle(
       FROM ad)
     WHERE rank <= {topk}
     """
-    return sql
+
+
+def _pq_oracle(
+    m: int = 8, kcent: int = 16, iters: int = 2, dim: int = 64, topk: int = 5
+) -> str:
+    """SQL mirror of pq_topk: the shared chain + brute-force ADC over all
+    (query, candidate) pairs, exact DECIMAL(18,6) summation."""
+    return (
+        _pq_chain(m, kcent, iters, dim)
+        + """,
+    ad AS (
+      SELECT l.qid AS query_id, c.vec_id AS neighbor_id,
+             CAST(sum(CAST(l.pd AS DECIMAL(18,6))) AS DOUBLE) AS dist
+      FROM codes c JOIN lut l
+        ON l.sub = c.sub AND l.cl = c.cl AND l.qid != c.vec_id
+      GROUP BY l.qid, c.vec_id)"""
+        + _PQ_TAIL.format(topk=topk)
+    )
+
+
+def _ivfpq_oracle(
+    m: int = 8,
+    kcent: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    nlist: int = 16,
+    nprobe: int = 2,
+    topk: int = 5,
+) -> str:
+    """SQL mirror of pq.ivfpq_topk: the PQ chain + the deterministic IVF
+    cells/probes of ann_ivf_topk (md5 pivots, 6-dp cosine, pivot-id
+    tiebreak) restricting which (query, candidate) pairs are ADC-scored."""
+    return (
+        _pq_chain(m, kcent, iters, dim)
+        + f""",
+    nrm AS (
+      SELECT vec_id, sqrt(list_sum(list_transform(e, x -> x * x))) AS nr
+      FROM v),
+    piv AS (
+      SELECT v.vec_id AS pid, v.e AS pe, nrm.nr AS pnrm
+      FROM v JOIN nrm ON nrm.vec_id = v.vec_id
+      ORDER BY md5(CAST(v.vec_id AS VARCHAR)), v.vec_id
+      LIMIT {nlist}),
+    vsim AS (
+      SELECT v.vec_id, p.pid,
+             round(list_sum(list_transform(range(1, {dim + 1}),
+               i -> (v.e[i] / nrm.nr) * (p.pe[i] / p.pnrm))), 6) AS sim
+      FROM v JOIN nrm ON nrm.vec_id = v.vec_id CROSS JOIN piv p),
+    vrank AS (
+      SELECT vec_id, pid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, pid) AS pr
+      FROM vsim),
+    cells AS (SELECT vec_id, pid AS cell FROM vrank WHERE pr = 1),
+    probes AS (SELECT vec_id, pid AS cell FROM vrank WHERE pr <= {nprobe}),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM probes q JOIN cells c ON q.cell = c.cell AND q.vec_id != c.vec_id),
+    ad AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             CAST(sum(CAST(l.pd AS DECIMAL(18,6))) AS DOUBLE) AS dist
+      FROM cand cd
+      JOIN codes c ON c.vec_id = cd.neighbor_id
+      JOIN lut l ON l.qid = cd.query_id AND l.sub = c.sub AND l.cl = c.cl
+      GROUP BY cd.query_id, cd.neighbor_id)"""
+        + _PQ_TAIL.format(topk=topk)
+    )
 
 
 @query("pq_topk_embeddings", oracle=_pq_oracle(m=8, kcent=16, iters=2, topk=5))
@@ -2220,6 +2282,22 @@ def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     books = pq_train(emb, m=8, k=16, max_iter=2)
     return pq_topk(emb, emb, books, k=5)
+
+
+@query(
+    "ivfpq_topk_embeddings",
+    oracle=_ivfpq_oracle(m=8, kcent=16, iters=2, nlist=16, nprobe=2, topk=5),
+)
+def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composition (pq.ivfpq_topk): PQ codes inverted-file-
+    partitioned by deterministic md5-pivot cells, nprobe-cell probing,
+    compressed-domain ADC scoring — the billion-vector serving-index
+    layout, fully oracle-mirrored."""
+    from id3c_spark.operators.pq import ivfpq_topk, pq_train
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=8, k=16, max_iter=2)
+    return ivfpq_topk(emb, emb, books, k=5, nlist=16, nprobe=2)
 
 
 # The external correctness gate enumerates only the first GATE_CAP entries of

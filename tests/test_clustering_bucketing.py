@@ -211,3 +211,20 @@ def test_pq_identical_vectors_share_codes_and_rank_first(spark):
         assert top1[i]["neighbor_id"] == i + 100
         assert top1[i + 100]["neighbor_id"] == i
         assert top1[i]["dist"] == top1[i + 100]["dist"]
+
+
+def test_ivfpq_with_full_probe_matches_pq(spark):
+    # nprobe = nlist → every query scores the whole corpus → IVFPQ must
+    # reproduce plain PQ ADC top-k exactly (same codes, same LUT, same
+    # tiebreaks); with fewer probes results stay a subset of the corpus
+    from id3c_spark.operators.pq import ivfpq_topk, pq_topk, pq_train
+
+    df = pq_vectors(spark)
+    books = pq_train(df, m=4, k=8, max_iter=2)
+    full = sorted(
+        map(tuple, ivfpq_topk(df, df, books, k=3, nlist=4, nprobe=4).collect())
+    )
+    flat = sorted(map(tuple, pq_topk(df, df, books, k=3).collect()))
+    assert full == flat
+    probed = ivfpq_topk(df, df, books, k=3, nlist=4, nprobe=1).collect()
+    assert 0 < len(probed) <= len(flat)

@@ -331,37 +331,64 @@ def ivfpq_topk(
     cell_packs = packs.mapInPandas(
         pack_cells, "cell long, ids binary, codes binary"
     )
-    probe_rows = probes.join(qp, "id").select(
-        F.col("id").alias("qid"), "cell", "v"
+    # pack the PROBING QUERIES per cell as well, so the cell join is one
+    # row per cell — joining raw per-probe rows instead would replicate a
+    # cell's code pack once per probing query (measured 1.8× slower at
+    # sf0.1, and quadratic-in-|Q| replication at scale). A pathologically
+    # hot cell makes one big row; sub-split it like ann._packed_cells if
+    # the coarse quantizer is unbalanced.
+    qpacks = (
+        probes.join(qp, "id")
+        .groupBy("cell")
+        .agg(F.collect_list(F.struct("id", "v")).alias("recs"))
     )
-    joined = probe_rows.join(cell_packs, "cell")
+
+    def pack_probes(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                recs = row["recs"]
+                ids = np.asarray([r["id"] for r in recs], dtype=np.int64)
+                mat = np.asarray(
+                    [np.asarray(r["v"], dtype=np.float64) for r in recs]
+                )
+                out.append((row["cell"], ids.tobytes(), mat.tobytes()))
+            yield pd.DataFrame(out, columns=["cell", "q_ids", "q_mat"])
+
+    probe_packs = qpacks.mapInPandas(
+        pack_probes, "cell long, q_ids binary, q_mat binary"
+    )
+    joined = probe_packs.join(cell_packs, "cell")
     bc = cp.sparkSession.sparkContext.broadcast(mdl)
 
     def score(batches):
         cent = bc.value
         for pdf in batches:
             for _, row in pdf.iterrows():
-                qid = row["qid"]
-                qs = np.asarray(row["v"], dtype=np.float64).reshape(m, dsub)
+                qids, qmat = _unpack(row["q_ids"], row["q_mat"])
                 cids = np.frombuffer(row["ids"], dtype=np.int64)
                 ccodes = np.frombuffer(row["codes"], dtype=np.int64).reshape(
                     len(cids), m
                 )
-                lut = np.round(((qs[:, None, :] - cent) ** 2).sum(axis=2), 6)
-                lut_mi = np.rint(lut * 1e6).astype(np.int64)
-                dist = (
-                    lut_mi[np.arange(m)[None, :], ccodes].sum(axis=1) / 1e6
-                )
-                mask = cids != qid
-                cand_ids = cids[mask]
-                cand_d = dist[mask]
-                order = np.lexsort((cand_ids, cand_d))[:k]
+                out_q, out_n, out_d = [], [], []
+                for i in range(len(qids)):
+                    qs = qmat[i].reshape(m, dsub)
+                    lut = np.round(
+                        ((qs[:, None, :] - cent) ** 2).sum(axis=2), 6
+                    )
+                    lut_mi = np.rint(lut * 1e6).astype(np.int64)
+                    dist = (
+                        lut_mi[np.arange(m)[None, :], ccodes].sum(axis=1) / 1e6
+                    )
+                    mask = cids != qids[i]
+                    cand_ids = cids[mask]
+                    cand_d = dist[mask]
+                    order = np.lexsort((cand_ids, cand_d))[:k]
+                    out_q.extend([qids[i]] * len(order))
+                    out_n.extend(cand_ids[order])
+                    out_d.extend(cand_d[order])
                 yield pd.DataFrame(
-                    {
-                        "query_id": [qid] * len(order),
-                        "neighbor_id": cand_ids[order],
-                        "dist": cand_d[order],
-                    }
+                    {"query_id": out_q, "neighbor_id": out_n, "dist": out_d}
                 )
 
     partial = joined.mapInPandas(

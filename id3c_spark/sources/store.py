@@ -20,9 +20,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class ParquetTable:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, keep_versions: int = 2):
+        """*keep_versions* controls vacuum retention: raise it (or pass a
+        large value) to keep historical versions readable for time-travel
+        — pinning the exact corpus snapshot a training run consumed is
+        the reproducibility guarantee a data pipeline owes its models."""
         self.spark = spark
         self.path = path
+        self.keep_versions = keep_versions
         os.makedirs(path, exist_ok=True)
 
     @property
@@ -39,11 +44,28 @@ class ParquetTable:
     def exists(self) -> bool:
         return self.current_version() is not None
 
-    def read(self) -> DataFrame:
-        v = self.current_version()
+    def versions(self) -> list[int]:
+        """Version numbers still on disk (ascending) — the time-travel
+        horizon. Bounded by keep_versions at each flip."""
+        return sorted(
+            int(name[1:])
+            for name in os.listdir(self.path)
+            if name.startswith("v") and name[1:].isdigit()
+        )
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Current version, or a pinned historical *version* (time
+        travel). Raises FileNotFoundError for vacuumed/unknown versions."""
+        v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no published version at {self.path}")
-        return self.spark.read.parquet(os.path.join(self.path, f"v{v}"))
+        out = os.path.join(self.path, f"v{v}")
+        if not os.path.isdir(out):
+            raise FileNotFoundError(
+                f"version {v} not on disk at {self.path} "
+                f"(kept: {self.versions()}; raise keep_versions to retain more)"
+            )
+        return self.spark.read.parquet(out)
 
     def stage(self, df: DataFrame) -> int:
         """Write a new version directory WITHOUT flipping the pointer.
@@ -62,7 +84,7 @@ class ParquetTable:
         with open(tmp, "w") as f:
             f.write(str(v))
         os.replace(tmp, self._pointer)
-        self._vacuum(keep=2)
+        self._vacuum(keep=self.keep_versions)
 
     def publish(self, df: DataFrame) -> int:
         """Write a new version, then flip the pointer (atomic rename)."""

@@ -48,3 +48,24 @@ def test_store_atomic_publish(spark, tmp_path):
     t.append(spark.createDataFrame([(2,)], "x long"))
     assert t.read().count() == 2
     assert t.current_version() == 2
+
+
+def test_store_time_travel_and_retention(spark, tmp_path):
+    from id3c_spark.sources.store import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "tt"), keep_versions=10)
+    for v in range(1, 4):
+        t.publish(spark.createDataFrame([(v,)], "x long"))
+    assert t.versions() == [1, 2, 3]
+    assert t.read().collect()[0]["x"] == 3
+    # pin the snapshot a training run consumed
+    assert t.read(version=1).collect()[0]["x"] == 1
+    # default retention vacuums old versions and says so when asked
+    s = ParquetTable(spark, str(tmp_path / "s"))
+    for v in range(1, 4):
+        s.publish(spark.createDataFrame([(v,)], "x long"))
+    assert s.versions() == [2, 3]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="keep_versions"):
+        s.read(version=1)

@@ -1,0 +1,99 @@
+"""Committed plan-audit artifact: execute selected catalog queries and
+record the physical-plan facts that matter at 100 TB — shuffle exchange
+count, broadcast reuse, whole-stage-codegen spans, and whether scan
+filters are pushed — so per-round plan regressions are diffable instead
+of re-derived by hand.
+
+Usage: python tools/plan_audit.py [OUT.md] [sf_dir] [query ...]
+Defaults: PLAN_AUDIT.md, /root/testdata/sf0.1, a headline set of the
+most expensive + newest queries.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from id3c_spark.plans.queries import all_queries
+from id3c_spark.session import get_spark
+
+DEFAULT_QUERIES = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "embedding_topk",
+    "embedding_dup_clusters",
+    "semantic_dedup_docs",
+    "shared_span_docs",
+    "bm25_search_docs",
+    "segment_dedup_docs",
+    "kmeans_embeddings",
+    "pq_topk_embeddings",
+    "ivfpq_topk_embeddings",
+]
+
+
+def audit(plan: str) -> dict:
+    # NOTE: counts are over the PRINTED plan tree; under AQE a shared
+    # shuffle/broadcast stage prints its subtree at every reuse site, so
+    # these are upper bounds — `cached` (InMemoryTableScan) shows where a
+    # persist() actually cut recomputation.
+    lines = plan.splitlines()
+    strip = [ln.lstrip("+-*: (0123456789) ") for ln in lines]
+    return {
+        "shuffles": sum(s.startswith("Exchange") for s in strip),
+        "broadcasts": sum(s.startswith("BroadcastExchange") for s in strip),
+        "reused": sum(s.startswith("ReusedExchange") or s.startswith("ReusedQueryStage") for s in strip),
+        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "cached": sum("InMemoryTableScan" in ln for ln in lines),
+        "pushed": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
+        "aqe_final": "isFinalPlan=true" in plan,
+        "scans": sum("FileScan parquet" in ln or "Scan parquet" in ln for ln in lines),
+    }
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    out_path = args[0] if args else "PLAN_AUDIT.md"
+    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    names = args[2:] or DEFAULT_QUERIES
+    spark = get_spark("plan_audit")
+    catalog = all_queries()
+    rows = []
+    for name in names:
+        df = catalog[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        rows.append((name, audit(plan)))
+        spark.catalog.clearCache()
+
+    with open(out_path, "w") as f:
+        f.write(
+            f"# Plan audit — executed physical plans at {sf_dir}\n\n"
+            "Facts per query: shuffle Exchanges, broadcast exchanges\n"
+            "(small-side joins working as intended), reused exchange/stage\n"
+            "sites, distinct whole-stage-codegen spans, parquet scan sites,\n"
+            "InMemoryTableScan sites (persist() cutting recomputation), and\n"
+            "whether any scan has pushed filters. Counts are over the\n"
+            "printed tree: under AQE a shared stage reprints its subtree at\n"
+            "every reuse site, so shuffle/scan counts are upper bounds.\n\n"
+            "| query | shuffles | broadcasts | reused | codegen spans | scans | cached | pushed filters | AQE final |\n"
+            "|---|---|---|---|---|---|---|---|---|\n"
+        )
+        for name, a in rows:
+            f.write(
+                f"| {name} | {a['shuffles']} | {a['broadcasts']} | {a['reused']} "
+                f"| {a['codegen_spans']} | {a['scans']} | {a['cached']} "
+                f"| {'yes' if a['pushed'] else '—'} "
+                f"| {'yes' if a['aqe_final'] else '—'} |\n"
+            )
+    print(f"wrote {out_path} ({len(rows)} queries)")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

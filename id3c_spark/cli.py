@@ -618,6 +618,83 @@ def redcap_sync_delete(api_url, project_id, token, warehouse_dir, since_date,
     }))
 
 
+@cli.group()
+def corpus() -> None:
+    """Training-corpus curation (the north-star operator family made
+    operational): continuous ingest, batch curation, snapshot audit."""
+
+
+@corpus.command("ingest")
+@click.argument("source_glob")
+@click.argument("table_path")
+@click.option("--checkpoint", required=True, help="streaming checkpoint dir")
+@click.option("--min-words", default=3, show_default=True)
+@click.option("--threshold", default=0.5, show_default=True,
+              help="near-dup Jaccard guard vs the published corpus")
+def corpus_ingest(source_glob: str, table_path: str, checkpoint: str,
+                  min_words: int, threshold: float) -> None:
+    """Drain NDJSON document files through the curation loop into the
+    versioned corpus table (quality gate + dedup guards; replay-safe)."""
+    from id3c_spark.sources.store import ParquetTable
+    from id3c_spark.streaming.corpus_ingest import IngestStats, run_corpus_ingest
+
+    spark = get_spark("corpus-ingest")
+    stats = IngestStats()
+    run_corpus_ingest(
+        spark, source_glob, checkpoint, ParquetTable(spark, table_path),
+        min_words=min_words, jaccard_threshold=threshold, stats=stats,
+    )
+    click.echo(json.dumps({"batches": stats.batches}))
+
+
+@corpus.command("curate")
+@click.argument("input_parquet")
+@click.argument("out_dir")
+@click.option("--benchmark", required=True, help="eval-set parquet to decontaminate against")
+@click.option("--token-budget", default=2048, show_default=True)
+@click.option("--shards", default=8, show_default=True)
+@click.option("--threshold", default=0.8, show_default=True)
+def corpus_curate(input_parquet: str, out_dir: str, benchmark: str,
+                  token_budget: int, shards: int, threshold: float) -> None:
+    """Batch curation: quality -> decontaminate -> exact + near dedup ->
+    sample -> pack/shard; writes packed/ and shards/ parquet plus stage
+    counts on stdout."""
+    from id3c_spark.plans.curation import curate
+
+    spark = get_spark("corpus-curate")
+    docs = spark.read.parquet(input_parquet)
+    bench = spark.read.parquet(benchmark)
+    stages = curate(
+        docs, bench, jaccard_threshold=threshold,
+        token_budget=token_budget, n_shards=shards,
+    )
+    stages["packed"].write.mode("overwrite").parquet(f"{out_dir}/packed")
+    stages["shards"].write.mode("overwrite").parquet(f"{out_dir}/shards")
+    click.echo(json.dumps({
+        name: stages[name].count()
+        for name in ("quality", "clean", "exact", "unique", "sampled")
+    }))
+
+
+@corpus.command("snapshot")
+@click.argument("table_path")
+@click.option("--version", type=int, default=None,
+              help="pin a historical version (time travel)")
+def corpus_snapshot(table_path: str, version: int | None) -> None:
+    """Audit a corpus table: retained versions, current pointer, and the
+    row count of the selected (or current) snapshot."""
+    from id3c_spark.sources.store import ParquetTable
+
+    spark = get_spark("corpus-snapshot")
+    t = ParquetTable(spark, table_path)
+    click.echo(json.dumps({
+        "versions": t.versions(),
+        "current": t.current_version(),
+        "rows": t.read(version=version).count(),
+        "pinned": version,
+    }))
+
+
 # Load extra commands from extensions AFTER the built-in registrations,
 # mirroring the reference's import-time entry-point scan
 # (lib/id3c/cli/__init__.py:22-31). See id3c_spark/plugins.py for the

@@ -80,3 +80,29 @@ def test_partitioned_scan_prunes_and_pushes(spark, tmp_path):
     assert "dt" in part and "2024-01-02" in part
     assert "GreaterThan(v,40)" in pushed
     assert scan.count() == 10 - sum(1 for i in range(30) if (i % 3) == 1 and i * 10 <= 40)
+
+
+def test_cli_corpus_ingest_and_snapshot(spark, tmp_path):
+    import json as _json
+
+    from click.testing import CliRunner
+
+    from id3c_spark.cli import cli
+
+    src = tmp_path / "in"
+    src.mkdir()
+    write_batch(src / "b1.ndjson", [(1, FRESH), (2, FRESH2), (3, LOW_QUALITY)])
+    runner = CliRunner()
+    table = str(tmp_path / "corpus")
+    res = runner.invoke(cli, [
+        "corpus", "ingest", str(src), table,
+        "--checkpoint", str(tmp_path / "ckpt"),
+    ])
+    assert res.exit_code == 0, res.output
+    stats = _json.loads(res.output.strip().splitlines()[-1])
+    assert stats["batches"][-1]["n_appended"] == 2
+
+    snap = runner.invoke(cli, ["corpus", "snapshot", table])
+    assert snap.exit_code == 0, snap.output
+    info = _json.loads(snap.output.strip().splitlines()[-1])
+    assert info["rows"] == 2 and info["current"] in info["versions"]

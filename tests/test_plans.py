@@ -20,9 +20,14 @@ from id3c_spark.plans.queries import all_queries
 # and bm25 cross-joins two single-row aggregate scalars (corpus size and
 # average doc length) onto the postings relation.
 ALLOWED_CROSS = {
+    # intentional BLOCKED cross joins: the crossJoin pairs B query blocks
+    # with S corpus shards (B*S rows of packed bytes), never row-level
+    # all-pairs — the distributed GEMM layout of ann.cosine_topk and the
+    # ADC scorer of pq.pq_topk
     "embedding_topk": 1,
     "embedding_dups": 1,
     "bm25_search_docs": 2,
+    "pq_topk_embeddings": 1,
 }
 
 

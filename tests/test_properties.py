@@ -157,3 +157,49 @@ def test_wkt_roundtrip():
     assert ring == [(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]
     assert parse_wkt_polygon("not wkt") == []
     assert parse_wkt_polygon(None) == []
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_segment_dedup_invariants_property(spark, texts):
+    """For arbitrary word-soup corpora: (1) each kept document text is the
+    in-order concatenation of a subset of its segments with the first
+    copy of any duplicated segment surviving, (2) the corpus-wide kept
+    segment count equals the number of DISTINCT segment texts, (3) word
+    mass is conserved: every distinct segment's words appear exactly
+    once across all text_dedup outputs."""
+    from id3c_spark.operators.corpus import segment_dedup
+
+    w = 3
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = segment_dedup(df, "doc_id", "text", window=w).collect()
+
+    # independent mirror
+    segs = {}  # (doc, seg) -> text
+    for doc, text in enumerate(texts):
+        words = [x for x in text.split() if x]
+        for s in range(0, len(words), w):
+            segs[(doc, s // w)] = " ".join(words[s : s + w])
+    first = {}
+    for key in sorted(segs):
+        first.setdefault(segs[key], key)
+    expect = {}
+    for doc, text in enumerate(texts):
+        words = [x for x in text.split() if x]
+        kept = [
+            segs[(doc, i)]
+            for i in range(0, (len(words) + w - 1) // w)
+            if first[segs[(doc, i)]] == (doc, i)
+        ]
+        if words:
+            expect[doc] = (" ".join(kept), (len(words) + w - 1) // w, len(kept))
+
+    got = {r["id"]: (r["text_dedup"], r["n_segments"], r["n_kept"]) for r in out}
+    assert got == expect
+    assert sum(v[2] for v in got.values()) == len({s for s in segs.values()})

@@ -1,0 +1,118 @@
+"""Committed ANN quality artifact: recall@k of every approximate index
+against the exact blocked-GEMM baseline on the same embeddings, with
+wall-clock per variant — the evidence that each rung of the ANN ladder
+(LSH → IVF → PQ → IVFPQ) trades recall for cost deliberately, not
+accidentally.
+
+Recall@k here = |approx top-k ∩ exact top-k| / k averaged over queries
+(PQ variants rank by ADC distance, the exact baseline by cosine; the
+overlap measures how much the compression/probing loses).
+
+Usage: python tools/ann_recall.py [OUT.md] [sf_dir] [k]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from id3c_spark.session import get_spark
+
+
+def topk_sets(rows) -> dict:
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def recall(approx: dict, exact: dict, k: int) -> float:
+    qs = set(exact)
+    hit = sum(len(approx.get(q, set()) & exact[q]) for q in qs)
+    return hit / (k * len(qs))
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    out_path = args[0] if args else "ANN_RECALL.md"
+    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
+    k = int(args[2]) if len(args) > 2 else 5
+
+    from id3c_spark.operators import ann
+    from id3c_spark.operators.pq import ivfpq_topk, pq_topk, pq_train
+
+    spark = get_spark("ann_recall")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        rows = fn().collect()
+        sec = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        return name, rows, round(sec, 2)
+
+    _, exact_rows, exact_sec = run("exact", lambda: ann.cosine_topk(emb, emb, k=k))
+    exact = topk_sets(exact_rows)
+    # the pipeline-relevant subset: queries with a genuinely close
+    # neighbor (the planted near-duplicates semantic dedup exists to
+    # find); random-point neighbors have tiny margins and depress recall
+    # for every ANN method, so report both
+    strong = {
+        r["query_id"]: r["neighbor_id"]
+        for r in exact_rows
+        if r["rank"] == 1 and r["sim"] >= 0.35
+    }
+    books = pq_train(emb, m=8, k=16, max_iter=2)
+    variants = [
+        ("lsh (16 planes, 4 bands)",
+         lambda: ann.lsh_bucketed_topk(emb, emb, 64, k=k)),
+        ("lsh tuned (16 planes, 8 bands)",
+         lambda: ann.lsh_bucketed_topk(emb, emb, 64, k=k, bands=8)),
+        ("ivf (nlist=16, nprobe=2)",
+         lambda: ann.ivf_topk(emb, emb, k=k, nlist=16, nprobe=2)),
+        ("ivf tuned (nlist=16, nprobe=6)",
+         lambda: ann.ivf_topk(emb, emb, k=k, nlist=16, nprobe=6)),
+        ("pq (m=8, k*=16, ADC)",
+         lambda: pq_topk(emb, emb, books, k=k)),
+        ("ivfpq (nlist=16, nprobe=2)",
+         lambda: ivfpq_topk(emb, emb, books, k=k, nlist=16, nprobe=2)),
+        ("ivfpq tuned (nprobe=6)",
+         lambda: ivfpq_topk(emb, emb, books, k=k, nlist=16, nprobe=6)),
+    ]
+    results = [run(name, fn) for name, fn in variants]
+
+    with open(out_path, "w") as f:
+        f.write(
+            f"# ANN recall vs exact cosine top-{k} — "
+            f"{n} vectors at {sf_dir}\n\n"
+            "Two recalls: overall recall@k over ALL queries (punishing on\n"
+            "random-point neighbors, whose margins are tiny), and near-dup\n"
+            f"recall — whether the true top-1 of the {len(strong)} queries\n"
+            "with an exact-cosine >= 0.35 neighbor (the planted near-dup\n"
+            "structure a dedup pipeline must find) appears in the approximate top-k.\n"
+            "Wall-clock is local collect time (PQ codebooks train once\n"
+            "before timing starts).\n\n"
+            f"| variant | recall@{k} (all) | near-dup recall | sec |\n|---|---|---|---|\n"
+            f"| exact blocked GEMM (baseline) | 1.000 | 1.000 | {exact_sec} |\n"
+        )
+        for name, rows, sec in results:
+            approx = topk_sets(rows)
+            near = (
+                sum(strong[q] in approx.get(q, set()) for q in strong)
+                / len(strong)
+                if strong
+                else float("nan")
+            )
+            f.write(
+                f"| {name} | {recall(approx, exact, k):.3f} | {near:.3f} | {sec} |\n"
+            )
+    print(f"wrote {out_path}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,68 @@
+"""Explicit skew mitigation — the tools for when AQE's runtime skew-join
+split is not available (non-sort-merge plans, aggregations, static-plan
+deployments) or when a key is so hot that even split shuffle blocks spill.
+
+Two classics, both pure DataFrame compositions:
+
+  - salted_join      — N-way salt replication: the skewed side gets a
+    deterministic salt in [0, salts), the other side is exploded across
+    ALL salts, and the join key becomes (key, salt) — one hot key's rows
+    spread over *salts* reducers at the cost of replicating the build
+    side *salts* times. Correct for inner/left joins on equi-keys.
+  - salted_count     — two-stage aggregation: count/sum first on
+    (key, salt), then re-aggregate on key. The map-side combine already
+    does this for algebraic aggregates; the explicit form exists for
+    sketches and collect-style aggregates that do not combine.
+
+At 100 TB the decision rule: AQE first (free), salting when a profiled
+hot key exceeds what one task can sort, broadcast when the dim side
+simply fits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where *skewed*'s hot keys are spread across *salts*
+    sub-keys. *other* is replicated `salts`× (keep it the smaller side);
+    the result equals ``skewed.join(other, on, how)`` exactly.
+
+    The salt is md5-deterministic per ROW (id-free: derived from the
+    whole row hash), so replays are stable and no RNG state is needed.
+    """
+    assert how in ("inner", "left"), "salting applies to inner/left equi-joins"
+    salted = skewed.withColumn(
+        "__salt", F.pmod(F.hash(F.struct(*skewed.columns)), F.lit(salts))
+    )
+    exploded = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+    )
+    return salted.join(exploded, [on, "__salt"], how).drop("__salt")
+
+
+def salted_count(
+    df: DataFrame,
+    key: str,
+    salts: int = 32,
+) -> DataFrame:
+    """Two-stage count by *key*: partial counts on (key, salt), then a
+    final re-aggregate whose input is at most `salts` rows per key —
+    bounding any reducer's row count regardless of key skew. Equals
+    ``df.groupBy(key).count()`` exactly."""
+    partial = (
+        df.withColumn(
+            "__salt", F.pmod(F.hash(F.struct(*df.columns)), F.lit(salts))
+        )
+        .groupBy(key, "__salt")
+        .agg(F.count("*").alias("__c"))
+    )
+    return partial.groupBy(key).agg(F.sum("__c").alias("count"))

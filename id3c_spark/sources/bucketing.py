@@ -21,6 +21,7 @@ Notes for real clusters (all apply unchanged on local[n]):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -100,3 +101,51 @@ def scan_pruning_evidence(df: DataFrame) -> tuple[str, str]:
         return m.group(1) if m else ""
 
     return seg("PartitionFilters"), seg("PushedFilters")
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered sorted parquet layout: ``repartitionByRange`` on
+    *cluster_cols* then sort within partitions, so each output file's
+    footer min/max statistics on those columns cover a DISJOINT slice of
+    the key space. Parquet predicate pushdown then skips whole files and
+    row groups whose stats exclude the predicate — the single-dimension
+    form of Delta's OPTIMIZE ZORDER, with no table format required.
+    Partitioning prunes low-cardinality dirs, bucketing co-locates join
+    keys; range clustering is the third layout tool, for selective range
+    scans over high-cardinality keys (timestamps, ids, scores)."""
+    parts = [F.col(c) for c in cluster_cols]
+    rp = (
+        df.repartitionByRange(num_files, *parts)
+        if num_files
+        else df.repartitionByRange(*parts)
+    )
+    rp.sortWithinPartitions(*cluster_cols).write.mode(mode).parquet(path)
+
+
+def file_column_ranges(path: str, column: str) -> list[tuple]:
+    """Per-file (min, max) footer statistics for *column* — the evidence
+    that a layout actually clusters: range-clustered files are pairwise
+    disjoint, unclustered files all span the full domain."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for fname in sorted(_glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(fname).metadata
+        idx = md.schema.names.index(column)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max:
+                mins.append(st.min)
+                maxs.append(st.max)
+        if mins:
+            out.append((min(mins), max(maxs)))
+    return out

@@ -228,3 +228,58 @@ def test_ivfpq_with_full_probe_matches_pq(spark):
     assert full == flat
     probed = ivfpq_topk(df, df, books, k=3, nlist=4, nprobe=1).collect()
     assert 0 < len(probed) <= len(flat)
+
+
+# ---------------------------------------------------------------------------
+# skew mitigation + range-clustered layout
+# ---------------------------------------------------------------------------
+
+def test_salted_join_and_count_equal_unsalted(spark):
+    from id3c_spark.operators.skew import salted_count, salted_join
+
+    # one pathologically hot key (900 of 1000 rows) + a long tail
+    skewed = spark.range(0, 1000).select(
+        F.when(F.col("id") < 900, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.createDataFrame(
+        [(7, "hot"), (950, "cold"), (999, "cold2")], "k long, label string"
+    )
+    plain = sorted(map(tuple, skewed.join(dim, "k").collect()))
+    salted = sorted(map(tuple, salted_join(skewed, dim, "k", salts=4).collect()))
+    assert salted == plain
+    left_plain = sorted(map(tuple, skewed.join(dim, "k", "left").collect()))
+    left_salted = sorted(
+        map(tuple, salted_join(skewed, dim, "k", salts=4, how="left").collect())
+    )
+    assert left_salted == left_plain
+
+    counts = {r["k"]: r["count"] for r in salted_count(skewed, "k").collect()}
+    assert counts[7] == 900 and len(counts) == 101
+
+
+def test_range_clustered_files_are_disjoint(spark, tmp_path):
+    from id3c_spark.sources.bucketing import file_column_ranges, write_range_clustered
+
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("ts"), (F.col("id") % 97).alias("v")
+    )
+    clustered = str(tmp_path / "clustered")
+    write_range_clustered(df, clustered, ["ts"], num_files=8)
+    ranges = sorted(file_column_ranges(clustered, "ts"))
+    assert len(ranges) >= 4
+    # pairwise disjoint: each file owns a slice of the ts domain, so a
+    # ts-range predicate skips every other file via footer stats
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, ranges
+
+    # contrast: a hash-shuffled write spreads the full domain into every
+    # file — no stats-based skipping possible
+    plain = str(tmp_path / "plain")
+    df.repartition(8).write.parquet(plain)
+    pranges = file_column_ranges(plain, "ts")
+    overlapping = sum(
+        1 for (lo1, hi1) in pranges for (lo2, hi2) in pranges
+        if (lo1, hi1) != (lo2, hi2) and lo1 <= hi2 and lo2 <= hi1
+    )
+    assert overlapping > 0

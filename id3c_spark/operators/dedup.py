@@ -455,6 +455,39 @@ def dedup_clusters(
     return labels.select(F.col("node").alias("id"), F.col("label").alias("cluster"))
 
 
+def cluster_representatives(
+    clusters: DataFrame,
+    members: DataFrame,
+    order_by: list,
+    id_col: str = "id",
+) -> DataFrame:
+    """Collapse each near-dup cluster to its best member — the curation
+    step after clustering: keep ONE document per duplicate group, chosen
+    by a quality ordering rather than arbitrary id.
+
+    *clusters* is dedup_clusters output (id, cluster); *members* carries
+    the per-id quality features (joined on *id_col*); *order_by* ranks
+    within a cluster (pass a unique tiebreaker last). Returns one row per
+    cluster: (cluster, rep_id, n_members) plus the representative's
+    member columns.
+
+    Scale shape: one equi-join of the (small) cluster relation to member
+    features on the id key, then a single window shuffle keyed by
+    cluster — both keyed on blocking outputs, never corpus-quadratic.
+    Unclustered documents are not in the relation (they keep themselves);
+    the caller unions them back if it wants the full kept-corpus.
+    """
+    from id3c_spark.operators.topk import distinct_on
+
+    joined = clusters.join(
+        members.withColumnRenamed(id_col, "id") if id_col != "id" else members,
+        "id",
+    )
+    sizes = clusters.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    best = distinct_on(joined, ["cluster"], order_by)
+    return best.join(sizes, "cluster").withColumnRenamed("id", "rep_id")
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """32-bit SimHash over word tokens (md5-derived token hashes).
 

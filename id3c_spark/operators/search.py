@@ -42,6 +42,54 @@ def term_frequencies(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return tf.join(dl, "id")
 
 
+def tfidf_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document: (id, term, tf, score, rank).
+
+        score = tf · ln((N + 1) / (df + 1))
+
+    The standard per-document salient-term extraction (corpus audits,
+    topic labeling, cluster naming). Plan shape at 100 TB: the tf
+    relation aggregates map-side on (id, term); document frequency is a
+    vocabulary-sized relation joined back ON THE TERM KEY (shuffle join —
+    AQE broadcasts it when the vocabulary is small); the per-doc top-k
+    window shuffles once on the doc key, which is unskewed by
+    construction (documents have bounded length). No corpus-sized
+    relation crosses the driver.
+
+    Determinism: idf inputs are exact integers in both engines; score is
+    rounded to 6 dp before ranking, term asc tiebreak.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(words_array(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_by_term = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_by_term, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "term", "tf", "score", "rank")
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],

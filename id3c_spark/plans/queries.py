@@ -2300,6 +2300,180 @@ def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(emb, emb, books, k=5, nlist=16, nprobe=2)
 
 
+# ---------------------------------------------------------------------------
+# n-gram LM corpus operators (operators/lm.py): TF-IDF keywords, bigram-LM
+# cross-entropy scoring (CCNet-style filtering), DSIR importance selection
+# ---------------------------------------------------------------------------
+
+@query(
+    "tfidf_keywords_docs",
+    oracle=f"""
+    WITH {_WORDS_CTE},
+    tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    sc AS (
+      SELECT doc_id, term, tf,
+             round(tf * ln((n.n_docs + 1.0) / (dfx.df + 1.0)), 6) AS score
+      FROM tf JOIN dfx USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, score,
+           CAST(row_number() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+    FROM sc
+    QUALIFY rank <= 3
+    """,
+)
+def tfidf_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (operators/search.py
+    tfidf_keywords): map-side-combined tf, vocabulary-sized df relation
+    joined on the term key, one doc-keyed window for the per-doc top-k."""
+    from id3c_spark.operators.search import tfidf_keywords
+
+    docs = t(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, k=3)
+
+
+@query(
+    "lm_cross_entropy_docs",
+    oracle=f"""
+    WITH {_WORDS_CTE},
+    tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+    v AS (SELECT count(DISTINCT w) AS vsz FROM tok),
+    bgu AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(ws) >= 2
+               THEN list_transform(range(1, len(ws)),
+                                   i -> array_to_string(ws[i:i+1], ' '))
+               ELSE [] END) AS bg
+      FROM w),
+    bgh AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM bgu),
+    cb AS (SELECT bg, count(*) AS cbg FROM bgh GROUP BY bg),
+    c1 AS (SELECT w1, count(*) AS ch FROM bgh GROUP BY w1),
+    sc AS (
+      SELECT b.doc_id,
+             CAST(round(ln((cb.cbg + 1.0) / (c1.ch + v.vsz)), 8)
+                  AS DECIMAL(18,8)) AS lp
+      FROM bgh b JOIN cb USING (bg) JOIN c1 USING (w1) CROSS JOIN v)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS cross_entropy
+    FROM sc GROUP BY doc_id
+    """,
+)
+def lm_cross_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram-LM self-scoring (operators/lm.py
+    bigram_lm_score), the CCNet-style quality-filter signal: bigrams are
+    built row-locally (zip_with shingles, no pairing shuffle); count
+    relations are vocabulary-sized and join on their own keys."""
+    from id3c_spark.operators.lm import bigram_lm_score
+
+    docs = t(spark, sf_dir, "documents")
+    return bigram_lm_score(docs)
+
+
+@query(
+    "dsir_top_docs",
+    oracle="""
+    WITH w2 AS (
+      SELECT doc_id, (lang = 'en') AS is_t,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> x != '') AS ws
+      FROM documents),
+    tk AS (
+      SELECT doc_id, is_t,
+             ('0x' || substr(md5(u.w), 1, 7))::BIGINT % 256 AS bkt
+      FROM w2, unnest(ws) AS u(w)),
+    b AS (
+      SELECT bkt, count(*) AS cr,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+      FROM tk GROUP BY bkt),
+    tot AS (SELECT sum(cr) AS r, sum(ct) AS t FROM b),
+    ratio AS (
+      SELECT bkt,
+             CAST(round(ln(((ct + 1.0) / (t + 256.0))
+                           / ((cr + 1.0) / (r + 256.0))), 8)
+                  AS DECIMAL(18,8)) AS lr
+      FROM b CROSS JOIN tot),
+    sc AS (
+      SELECT tk.doc_id, count(*) AS n_tokens,
+             round(CAST(sum(lr) AS DOUBLE), 6) AS weight
+      FROM tk JOIN ratio USING (bkt) GROUP BY tk.doc_id)
+    SELECT doc_id, n_tokens, weight,
+           CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS INT) AS rank
+    FROM sc
+    QUALIFY rank <= 50
+    """,
+)
+def dsir_top_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance selection toward the English slice (operators/lm.py
+    dsir_top_docs): 256-bucket hashed-unigram model — ONE map-side-combined
+    corpus agg builds raw+target counts together, the B-row log-ratio model
+    broadcasts, and scoring is a second scan joined to the broadcast."""
+    from id3c_spark.operators.lm import dsir_top_docs
+
+    docs = t(spark, sf_dir, "documents")
+    return dsir_top_docs(docs, F.col("lang") == "en", n_buckets=256, k=50)
+
+
+@query(
+    "dup_cluster_reps",
+    # CC reachability (as in embedding_dup_clusters) + per-cluster best
+    # member by (label desc, id asc) + member count.
+    oracle="""
+    WITH RECURSIVE
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE round(
+               list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i])))),
+               6) >= 0.35),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM p
+      UNION
+      SELECT id_b, id_a FROM p),
+    reach(node, r) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r),
+    cl AS (
+      SELECT node AS id, CAST(min(r) AS BIGINT) AS cluster
+      FROM reach GROUP BY node),
+    sized AS (
+      SELECT cluster, count(*) AS n_members FROM cl GROUP BY cluster),
+    best AS (
+      SELECT cl.cluster, cl.id AS rep_id, emb.label,
+             row_number() OVER (
+               PARTITION BY cl.cluster
+               ORDER BY emb.label DESC, cl.id) AS rn
+      FROM cl JOIN embeddings emb ON emb.vec_id = cl.id)
+    SELECT b.cluster, b.rep_id, b.label, s.n_members
+    FROM best b JOIN sized s USING (cluster)
+    WHERE b.rn = 1
+    """,
+)
+def dup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster collapse (dedup.cluster_representatives): cosine
+    pair generation (blocked GEMM) → connected components → keep the
+    best-quality member per duplicate group (label desc, id tiebreak) —
+    the decision step that turns dup evidence into a kept corpus."""
+    from id3c_spark.operators.dedup import cluster_representatives, dedup_clusters
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = ann.cosine_pairs_above(emb, threshold=0.35)
+    clusters = dedup_clusters(pairs)
+    return cluster_representatives(
+        clusters,
+        emb.select("vec_id", "label"),
+        order_by=[F.col("label").desc(), F.col("id").asc()],
+        id_col="vec_id",
+    ).select("cluster", "rep_id", "label", "n_members")
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

@@ -284,3 +284,45 @@ def test_ivf_recall_and_determinism(spark, sf_dir):
     # deterministic pivots → identical result on re-run
     rows2 = ann.ivf_topk(emb, emb, k=3, nlist=8, nprobe=3).collect()
     assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+
+
+def test_cluster_representatives_pick_best_member(spark):
+    from id3c_spark.operators.dedup import cluster_representatives, dedup_clusters
+
+    # two components: {1,2,3} and {10,11}; quality favors 2 and 11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    members = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 7), (10, 1), (11, 4), (99, 100)],
+        "vec_id long, quality long",
+    )
+    from pyspark.sql import functions as F
+
+    out = cluster_representatives(
+        dedup_clusters(pairs),
+        members,
+        order_by=[F.col("quality").desc(), F.col("id").asc()],
+        id_col="vec_id",
+    ).collect()
+    by_cluster = {r.cluster: r for r in out}
+    assert set(by_cluster) == {1, 10}          # min-id canonical labels
+    assert by_cluster[1].rep_id == 2 and by_cluster[1].n_members == 3
+    assert by_cluster[10].rep_id == 11 and by_cluster[10].n_members == 2
+    # unclustered member 99 is not in the relation (caller unions it back)
+    assert all(r.rep_id != 99 for r in out)
+
+
+def test_cluster_representatives_tiebreak_deterministic(spark):
+    from id3c_spark.operators.dedup import cluster_representatives, dedup_clusters
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame([(7, 8)], "id_a long, id_b long")
+    members = spark.createDataFrame(
+        [(7, 3), (8, 3)], "vec_id long, quality long"
+    )
+    out = cluster_representatives(
+        dedup_clusters(pairs), members,
+        order_by=[F.col("quality").desc(), F.col("id").asc()], id_col="vec_id",
+    ).collect()
+    assert len(out) == 1 and out[0].rep_id == 7  # equal quality -> id asc

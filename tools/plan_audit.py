@@ -33,6 +33,10 @@ DEFAULT_QUERIES = [
     "kmeans_embeddings",
     "pq_topk_embeddings",
     "ivfpq_topk_embeddings",
+    "tfidf_keywords_docs",
+    "lm_cross_entropy_docs",
+    "dsir_top_docs",
+    "dup_cluster_reps",
 ]
 
 

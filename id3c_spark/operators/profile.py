@@ -1,0 +1,95 @@
+"""Data profiling / skew diagnostics (north-star ops tooling).
+
+Pipelines over 100 TB start with two questions: what does each column
+look like (nulls, cardinality, range), and which join keys are skewed?
+The reference answers these ad hoc (import stats via `count(*) filter`,
+`/root/reference/lib/id3c/cli/command/location.py:271-279`; manifest QC
+dedup counts, `manifest.py:568-611`); here they are first-class
+operators.
+
+Scale shape:
+  - `profile_table` is ONE aggregation job producing a single row that
+    is then unpivoted driver-free (the row is one row — the unpivot is
+    a constant-size projection). Exact distinct counts over several
+    columns make Catalyst plan an Expand (input duplicated once per
+    distinct aggregate) — acceptable for a handful of profiled columns;
+    at very large scale pass ``exact=False`` to use
+    approx_count_distinct (HLL, no Expand) — the oracle covers the
+    exact mode.
+  - `heavy_hitters` is groupBy(key).count + TakeOrderedAndProject —
+    per-partition heaps, k rows to the driver; the canonical "find the
+    skewed keys before they find you" probe feeding operators/skew.py's
+    salted join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None, exact: bool = True
+) -> DataFrame:
+    """Per-column profile: (col_name, n_rows, n_nulls, n_distinct,
+    min_num, max_num, min_str, max_str).
+
+    Numeric columns report min/max as DOUBLE (min_str/max_str null);
+    string columns report lexicographic min/max (min_num/max_num null);
+    other types report counts only. One scan, one aggregation row,
+    constant-size unpivot.
+    """
+    cols = columns or df.columns
+    dtypes = dict((f.name, f.dataType) for f in df.schema.fields)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(
+            (F.count_distinct(F.col(c)) if exact
+             else F.approx_count_distinct(F.col(c))).alias(f"__nd_{c}")
+        )
+        if isinstance(dtypes[c], _NUMERIC):
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"__mn_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"__mx_{c}"))
+        elif isinstance(dtypes[c], T.StringType):
+            aggs.append(F.min(F.col(c)).alias(f"__mns_{c}"))
+            aggs.append(F.max(F.col(c)).alias(f"__mxs_{c}"))
+    one = df.agg(*aggs)
+
+    # Unpivot WITHOUT a union of per-column selects (that shape would
+    # duplicate the aggregation subtree once per column): one array of
+    # structs over the single agg row, exploded — the agg runs once.
+    def struct_for(c: str):
+        num = isinstance(dtypes[c], _NUMERIC)
+        s = isinstance(dtypes[c], T.StringType)
+        return F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            (F.col(f"__mn_{c}") if num else F.lit(None).cast("double")).alias("min_num"),
+            (F.col(f"__mx_{c}") if num else F.lit(None).cast("double")).alias("max_num"),
+            (F.col(f"__mns_{c}") if s else F.lit(None).cast("string")).alias("min_str"),
+            (F.col(f"__mxs_{c}") if s else F.lit(None).cast("string")).alias("max_str"),
+        )
+
+    return one.select(
+        F.explode(F.array(*[struct_for(c) for c in cols])).alias("p")
+    ).select("p.*")
+
+
+def heavy_hitters(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
+    """Top-k most frequent key values: (key, cnt, rank) — the join-key
+    skew probe. Ties break by key ascending (deterministic)."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key")).limit(k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        F.col("key").alias(key_col), "cnt", "rank"
+    )

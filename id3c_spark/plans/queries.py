@@ -2474,6 +2474,66 @@ def dup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("cluster", "rep_id", "label", "n_members")
 
 
+# ---------------------------------------------------------------------------
+# data profiling / skew diagnostics (operators/profile.py)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COL = """
+    SELECT '{c}' AS col_name, count(*) AS n_rows,
+           count(*) - count({c}) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           {minmax}
+    FROM orders"""
+
+_PROFILE_NUM = "CAST(min({c}) AS DOUBLE) AS min_num, CAST(max({c}) AS DOUBLE) AS max_num, CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+_PROFILE_STR = "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, min({c}) AS min_str, max({c}) AS max_str"
+_PROFILE_OTH = "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+
+
+@query(
+    "orders_profile",
+    oracle=" UNION ALL ".join(
+        _PROFILE_COL.format(c=c, minmax=mm.format(c=c))
+        for c, mm in [
+            ("o_orderkey", _PROFILE_NUM),
+            ("o_custkey", _PROFILE_NUM),
+            ("o_orderstatus", _PROFILE_STR),
+            ("o_totalprice", _PROFILE_NUM),
+            ("o_orderdate", _PROFILE_OTH),
+            ("o_orderpriority", _PROFILE_STR),
+        ]
+    ),
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile (operators/profile.py profile_table):
+    nulls / exact cardinality / range for every orders column in ONE
+    aggregation job (constant-size struct-array unpivot, no per-column
+    scans; ``exact=False`` switches to HLL when Expand would hurt)."""
+    from id3c_spark.operators.profile import profile_table
+
+    return profile_table(t(spark, sf_dir, "orders"))
+
+
+@query(
+    "custkey_heavy_hitters",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey)
+    SELECT o_custkey, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, o_custkey) AS INT) AS rank
+    FROM c
+    QUALIFY rank <= 10
+    """,
+)
+def custkey_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew probe (operators/profile.py heavy_hitters): top-10
+    hottest customer keys by order count — groupBy + TakeOrdered, the
+    upstream diagnostic for operators/skew.py's salted join."""
+    from id3c_spark.operators.profile import heavy_hitters
+
+    return heavy_hitters(t(spark, sf_dir, "orders"), "o_custkey", k=10)
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

@@ -2534,6 +2534,81 @@ def custkey_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(t(spark, sf_dir, "orders"), "o_custkey", k=10)
 
 
+# ---------------------------------------------------------------------------
+# exact quantile report + per-group-average join (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_length_quantiles",
+    # Spark percentile() and DuckDB quantile_cont both interpolate
+    # linearly at h = p*(n-1) over the sorted values; inputs are exact
+    # integers so the double arithmetic agrees bit-for-bit (rounded 6 dp
+    # defensively).
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           round(quantile_cont(n_chars, 0.25), 6) AS p25,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50,
+           round(quantile_cont(n_chars, 0.9), 6) AS p90,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact length-distribution report per language — the corpus-audit
+    summary every curation run starts from. percentile() is Spark's
+    exact interpolated quantile (single map-side-combined agg per group;
+    for planet-sized groups switch to approx_percentile — same call
+    shape)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
+@query(
+    "small_qty_revenue",
+    # TPC-H Q17 shape: join the fact table against its own per-group
+    # aggregate. avg goes through the exact-decimal-sum discipline so
+    # the 0.2*avg threshold is identical in both engines.
+    oracle=f"""
+    WITH pa AS (
+      SELECT l_partkey,
+             {DSUM.format(expr='l_quantity')} / count(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey)
+    SELECT round({DSUM.format(expr='l.l_extendedprice')} / 7.0, 6) AS avg_yearly,
+           count(*) AS n_small
+    FROM lineitem l JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE l.l_quantity < 0.2 * pa.avg_qty
+    """,
+)
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity order revenue (TPC-H Q17 analogue): per-part average
+    joined back to the fact table — the per-group-aggregate correlated
+    shape. Plan: two column-pruned scans of the fact table (raw side
+    reads 3 columns, agg side 2), each shuffled ONCE on l_partkey — the
+    group key is the join key, so no additional exchange after the agg —
+    then a partition-local join + final scalar agg. Nothing fact-sized is
+    broadcast or collected."""
+    li = t(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        (dsum(F.col("l_quantity"), "s").cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(dsum(F.col("l_extendedprice"), "s").cast("double") / 7.0, 6).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

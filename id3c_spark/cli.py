@@ -695,6 +695,69 @@ def corpus_snapshot(table_path: str, version: int | None) -> None:
     }))
 
 
+@corpus.command("profile")
+@click.argument("input_parquet")
+@click.option("--columns", default=None, help="comma-separated subset (default: all)")
+@click.option("--approx", is_flag=True,
+              help="HLL cardinality (avoids the multi-distinct Expand at scale)")
+def corpus_profile(input_parquet: str, columns: str | None, approx: bool) -> None:
+    """Per-column profile of a parquet table: nulls, cardinality, range —
+    one aggregation job; JSON lines on stdout."""
+    from id3c_spark.operators.profile import profile_table
+
+    spark = get_spark("corpus-profile")
+    df = spark.read.parquet(input_parquet)
+    cols = [c.strip() for c in columns.split(",")] if columns else None
+    for row in profile_table(df, columns=cols, exact=not approx).collect():
+        click.echo(json.dumps(row.asDict()))
+
+
+@corpus.command("score")
+@click.argument("input_parquet")
+@click.option("--output", required=True, help="parquet of (doc_id, n_bigrams, cross_entropy)")
+@click.option("--id-col", default="doc_id", show_default=True)
+@click.option("--text-col", default="text", show_default=True)
+def corpus_score(input_parquet: str, output: str, id_col: str, text_col: str) -> None:
+    """Bigram-LM cross-entropy scoring (CCNet-style quality signal):
+    self-trained on the corpus; low = typical text, high = outlier."""
+    from id3c_spark.operators.lm import bigram_lm_score
+
+    spark = get_spark("corpus-score")
+    docs = spark.read.parquet(input_parquet)
+    scored = bigram_lm_score(docs, id_col=id_col, text_col=text_col)
+    scored.write.mode("overwrite").parquet(output)
+    click.echo(json.dumps({"scored": spark.read.parquet(output).count()}))
+
+
+@corpus.command("select")
+@click.argument("input_parquet")
+@click.option("--output", required=True, help="parquet of the selected documents")
+@click.option("--target-filter", required=True,
+              help="SQL boolean over the input marking the target slice, e.g. \"lang = 'en'\"")
+@click.option("--top", default=1000, show_default=True, help="documents to keep")
+@click.option("--buckets", default=256, show_default=True, help="hashed-unigram buckets")
+@click.option("--id-col", default="doc_id", show_default=True)
+@click.option("--text-col", default="text", show_default=True)
+def corpus_select(input_parquet: str, output: str, target_filter: str, top: int,
+                  buckets: int, id_col: str, text_col: str) -> None:
+    """DSIR importance selection: keep the documents most target-like
+    under a hashed-unigram log-ratio model (Xie et al. 2023)."""
+    from pyspark.sql import functions as F
+
+    from id3c_spark.operators.lm import dsir_top_docs
+
+    spark = get_spark("corpus-select")
+    docs = spark.read.parquet(input_parquet)
+    picked = dsir_top_docs(
+        docs, F.expr(target_filter), id_col=id_col, text_col=text_col,
+        n_buckets=buckets, k=top,
+    )
+    kept = docs.join(picked.select(id_col), id_col)
+    kept.write.mode("overwrite").parquet(output)
+    click.echo(json.dumps({"selected": spark.read.parquet(output).count(),
+                           "requested": top}))
+
+
 # Load extra commands from extensions AFTER the built-in registrations,
 # mirroring the reference's import-time entry-point scan
 # (lib/id3c/cli/__init__.py:22-31). See id3c_spark/plugins.py for the

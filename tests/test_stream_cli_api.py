@@ -364,3 +364,41 @@ def test_plugin_entry_points_register_cli_and_api(tmp_path, monkeypatch):
     # absent env → nothing loaded, group/app untouched
     monkeypatch.delenv("ID3C_SPARK_CLI_PLUGINS")
     assert load_cli_plugins(cli_module.cli) == []
+
+
+def test_cli_corpus_profile_score_select(spark, tmp_path):
+    runner = CliRunner()
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat", "en"),
+         (2, "the dog sat on the rug", "en"),
+         (3, "el gato y el perro", "es"),
+         (4, "xyzzy qwerty plugh", "es")],
+        "doc_id long, text string, lang string",
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+
+    res = runner.invoke(cli, ["corpus", "profile", src, "--columns", "doc_id,lang"])
+    assert res.exit_code == 0, res.output
+    rows = [json.loads(l) for l in res.output.strip().splitlines() if l.startswith("{")]
+    prof = {r["col_name"]: r for r in rows}
+    assert prof["doc_id"]["n_distinct"] == 4 and prof["doc_id"]["n_nulls"] == 0
+    assert prof["lang"]["n_distinct"] == 2 and prof["lang"]["min_str"] == "en"
+
+    out_sc = str(tmp_path / "scores")
+    res = runner.invoke(cli, ["corpus", "score", src, "--output", out_sc])
+    assert res.exit_code == 0, res.output
+    assert json.loads(res.output.strip().splitlines()[-1])["scored"] == 4
+    sc = {r.doc_id: r.cross_entropy for r in spark.read.parquet(out_sc).collect()}
+    # docs 1-2 share most bigrams -> more typical than the gibberish doc 4
+    assert sc[1] < sc[4] and sc[2] < sc[4]
+
+    out_sel = str(tmp_path / "selected")
+    res = runner.invoke(cli, [
+        "corpus", "select", src, "--output", out_sel,
+        "--target-filter", "lang = 'en'", "--top", "2", "--buckets", "64",
+    ])
+    assert res.exit_code == 0, res.output
+    assert json.loads(res.output.strip().splitlines()[-1])["selected"] == 2
+    kept = {r.doc_id for r in spark.read.parquet(out_sel).collect()}
+    assert kept == {1, 2}  # the English-like docs win the importance ranking

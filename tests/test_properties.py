@@ -203,3 +203,55 @@ def test_segment_dedup_invariants_property(spark, texts):
     got = {r["id"]: (r["text_dedup"], r["n_segments"], r["n_kept"]) for r in out}
     assert got == expect
     assert sum(v[2] for v in got.values()) == len({s for s in segs.values()})
+
+
+WORDS = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+    min_size=2, max_size=20,
+)
+
+
+@given(st.lists(WORDS, min_size=1, max_size=6))
+@settings(max_examples=10, deadline=None)
+def test_bigram_lm_properties(spark, docs_words):
+    """CE is a mean of -log probabilities with P<=1, so it is >= 0; the
+    bigram count per doc is exactly len(words)-1."""
+    from id3c_spark.operators.lm import bigram_lm_score
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_lm_score(df).collect()}
+    assert set(out) == set(range(len(rows)))
+    for i, ws in enumerate(docs_words):
+        assert out[i].n_bigrams == len(ws) - 1
+        assert out[i].cross_entropy >= 0
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50) | st.none(),
+                  st.sampled_from(["x", "y", "z"]) | st.none()),
+        min_size=1, max_size=25,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_profile_table_invariants(spark, rows):
+    """nulls + distinct accounting: n_nulls counts missing, n_distinct
+    counts non-null distinct, min <= max when any value exists."""
+    from id3c_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(rows, "a long, b string")
+    prof = {r.col_name: r for r in profile_table(df).collect()}
+    a_vals = [r[0] for r in rows if r[0] is not None]
+    b_vals = [r[1] for r in rows if r[1] is not None]
+    assert prof["a"].n_rows == prof["b"].n_rows == len(rows)
+    assert prof["a"].n_nulls == len(rows) - len(a_vals)
+    assert prof["a"].n_distinct == len(set(a_vals))
+    assert prof["b"].n_distinct == len(set(b_vals))
+    if a_vals:
+        assert prof["a"].min_num == float(min(a_vals))
+        assert prof["a"].max_num == float(max(a_vals))
+    else:
+        assert prof["a"].min_num is None
+    if b_vals:
+        assert prof["b"].min_str == min(b_vals) and prof["b"].max_str == max(b_vals)

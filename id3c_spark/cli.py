@@ -34,21 +34,37 @@ def _load_identifiers(spark, path: str):
 ETLS = {}
 
 
+def _run_kit(spark, rec, wh, ids):
+    from id3c_spark.etl import kit
+
+    res = kit.run(spark, rec, wh, ids)
+    # res.stats already counts deferred kits (encounter not yet loaded —
+    # retried next run, the reference's EncounterNotFoundError ordering,
+    # etl/kit.py:70-77); the deferred_ids frame itself is CLI-irrelevant
+    return res.stats
+
+
 def _register_etls() -> None:
-    from id3c_spark.etl import enrollments, manifest, presence_absence
+    from id3c_spark.etl import enrollments, fhir, manifest, presence_absence
 
     ETLS.update({
         "enrollments": lambda spark, rec, wh, ids: enrollments.run(spark, rec, wh, ids),
         "manifest": lambda spark, rec, wh, ids: manifest.run(spark, rec, wh, ids),
         "presence-absence": lambda spark, rec, wh, ids: presence_absence.run(spark, rec, wh, ids),
+        "fhir": lambda spark, rec, wh, ids: fhir.run(spark, rec, wh, ids),
+        "kit": _run_kit,
     })
 
 
 @cli.command("etl")
-@click.argument("name", type=click.Choice(["enrollments", "manifest", "presence-absence"]))
+@click.argument("name", type=click.Choice(
+    ["enrollments", "manifest", "presence-absence", "fhir", "kit", "consensus-genome"]))
 @click.option("--input", "input_path", required=True, help="NDJSON receiving file/glob")
 @click.option("--warehouse", "warehouse_dir", required=True)
-@click.option("--identifiers", "identifiers_path", required=True, help="identifier parquet")
+@click.option("--identifiers", "identifiers_path", required=False, default=None,
+              help="identifier parquet (required for all but consensus-genome)")
+@click.option("--organisms", "organisms_path", required=False, default=None,
+              help="organism parquet (consensus-genome only)")
 @click.option(
     "--dry-run", "action", flag_value="rollback", default=True,
     help="Only go through the motions of changing the warehouse (default)",
@@ -61,7 +77,7 @@ def _register_etls() -> None:
     "--commit", "action", flag_value="commit",
     help="Save changes to the warehouse",
 )
-def etl_cmd(name, input_path, warehouse_dir, identifiers_path, action):
+def etl_cmd(name, input_path, warehouse_dir, identifiers_path, organisms_path, action):
     """Transaction policy parity (reference cli/command/__init__.py:57-162):
     three-way --dry-run/--prompt/--commit. dry-run and prompt both run the
     full ETL against a scratch copy; prompt then asks (click.confirm, the
@@ -88,7 +104,18 @@ def etl_cmd(name, input_path, warehouse_dir, identifiers_path, action):
     wh = Warehouse(spark, target_dir)
     committed = action == "commit"
     try:
-        stats = ETLS[name](spark, receiving, wh, _load_identifiers(spark, identifiers_path))
+        if name == "consensus-genome":
+            if not organisms_path:
+                raise click.UsageError("consensus-genome requires --organisms")
+            from id3c_spark.etl import consensus_genome
+
+            stats = consensus_genome.run(
+                spark, receiving, wh, spark.read.parquet(organisms_path)
+            )
+        else:
+            if not identifiers_path:
+                raise click.UsageError(f"{name} requires --identifiers")
+            stats = ETLS[name](spark, receiving, wh, _load_identifiers(spark, identifiers_path))
         if scratch and action == "prompt" and CONFIRM("Commit all changes?"):
             real = Warehouse(spark, warehouse_dir)
             # phase 1: stage every table's new version (expensive writes;

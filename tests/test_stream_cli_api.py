@@ -402,3 +402,76 @@ def test_cli_corpus_profile_score_select(spark, tmp_path):
     assert json.loads(res.output.strip().splitlines()[-1])["selected"] == 2
     kept = {r.doc_id for r in spark.read.parquet(out_sel).collect()}
     assert kept == {1, 2}  # the English-like docs win the importance ranking
+
+
+def test_cli_etl_kit_and_consensus_genome(spark, tmp_path):
+    """The remaining domain ETLs are CLI-operable, not just library calls:
+    kit (after enrollments creates its encounter) and consensus-genome
+    (against a seeded sample + organism parquet)."""
+    runner = CliRunner()
+    ids_path = str(tmp_path / "ids.parquet")
+    rows = fixtures.identifier_rows() + [
+        ("cccccccc-0000-0000-0000-0000deadbee1", "deadbee1", 3),
+    ]
+    spark.createDataFrame(
+        rows, "uuid string, barcode string, identifier_set_id long"
+    ).write.parquet(ids_path)
+    wh_dir = str(tmp_path / "wh")
+
+    def run_etl(name, path, *extra):
+        res = runner.invoke(cli, [
+            "etl", name, "--input", path, "--warehouse", wh_dir,
+            "--identifiers", ids_path, "--commit", *extra,
+        ])
+        assert res.exit_code == 0, res.output
+        return json.loads(res.output.strip().splitlines()[-1])
+
+    fixtures.seed_tract(Warehouse(spark, wh_dir))  # enrollments resolve tracts
+    enr = tmp_path / "enr.ndjson"
+    enr.write_text("\n".join(d for _, d in fixtures.enrollment_documents()[:2]))
+    run_etl("enrollments", str(enr))
+
+    kit_src = tmp_path / "kit.ndjson"
+    kit_src.write_text(json.dumps(
+        {"kit": "DEADBEE1", "encounter": "enc-1", "rdt_sample": "11112222"}) + "\n")
+    out = run_etl("kit", str(kit_src))
+    assert out["ready"] == 1 and out["deferred"] == 0 and out["committed"] is True
+    assert Warehouse(spark, wh_dir).read("kit").count() == 1
+
+    # consensus-genome: seed the sample it attaches to, pass organisms
+    from tests.test_kit_genome_deletes import ORGANISMS
+
+    wh = Warehouse(spark, wh_dir)
+    wh.upsert_sample(spark.createDataFrame(
+        [(fixtures.SAMPLE_BARCODES["11112222"], None)],
+        "identifier string, collection_identifier string",
+    ))
+    org_path = str(tmp_path / "org.parquet")
+    spark.createDataFrame(
+        ORGANISMS,
+        "organism_id long, lineage string, identifiers map<string,string>, details string",
+    ).write.parquet(org_path)
+    cg = tmp_path / "cg.ndjson"
+    cg.write_text(json.dumps({
+        "sample_identifier": fixtures.SAMPLE_BARCODES["11112222"],
+        "reference_organism": "h3n2", "status": "complete",
+        "metadata": {"urls": ["s3://b/r1.fq.gz"]},
+        "masked_consensus": [
+            {"genomic_sequence": "ACGT", "sequence_segment": "PB2",
+             "sequence_identifier": "seq-1"},
+        ],
+    }) + "\n")
+    res = runner.invoke(cli, [
+        "etl", "consensus-genome", "--input", str(cg), "--warehouse", wh_dir,
+        "--organisms", org_path, "--commit",
+    ])
+    assert res.exit_code == 0, res.output
+    out = json.loads(res.output.strip().splitlines()[-1])
+    assert out["genomes"] == 1 and out["sequences"] == 1
+    assert Warehouse(spark, wh_dir).read("consensus_genome").count() == 1
+
+    # missing --organisms is a usage error, not a crash
+    res = runner.invoke(cli, [
+        "etl", "consensus-genome", "--input", str(cg), "--warehouse", wh_dir,
+    ])
+    assert res.exit_code != 0 and "--organisms" in res.output

@@ -756,6 +756,24 @@ def corpus_score(input_parquet: str, output: str, id_col: str, text_col: str) ->
     click.echo(json.dumps({"scored": spark.read.parquet(output).count()}))
 
 
+@corpus.command("keywords")
+@click.argument("input_parquet")
+@click.option("--output", required=True, help="parquet of (doc_id, term, tf, score, rank)")
+@click.option("--top", default=3, show_default=True, help="keywords per document")
+@click.option("--id-col", default="doc_id", show_default=True)
+@click.option("--text-col", default="text", show_default=True)
+def corpus_keywords(input_parquet: str, output: str, top: int,
+                    id_col: str, text_col: str) -> None:
+    """Top-k TF-IDF keywords per document (corpus audits, cluster naming)."""
+    from id3c_spark.operators.search import tfidf_keywords
+
+    spark = get_spark("corpus-keywords")
+    docs = spark.read.parquet(input_parquet)
+    tfidf_keywords(docs, id_col=id_col, text_col=text_col, k=top) \
+        .write.mode("overwrite").parquet(output)
+    click.echo(json.dumps({"rows": spark.read.parquet(output).count()}))
+
+
 @corpus.command("select")
 @click.argument("input_parquet")
 @click.option("--output", required=True, help="parquet of the selected documents")

@@ -475,3 +475,19 @@ def test_cli_etl_kit_and_consensus_genome(spark, tmp_path):
         "etl", "consensus-genome", "--input", str(cg), "--warehouse", wh_dir,
     ])
     assert res.exit_code != 0 and "--organisms" in res.output
+
+
+def test_cli_corpus_keywords(spark, tmp_path):
+    runner = CliRunner()
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    out = str(tmp_path / "kw")
+    res = runner.invoke(cli, ["corpus", "keywords", src, "--output", out, "--top", "1"])
+    assert res.exit_code == 0, res.output
+    assert json.loads(res.output.strip().splitlines()[-1])["rows"] == 2
+    kw = {r.doc_id: r.term for r in spark.read.parquet(out).collect()}
+    assert kw[1] == "apple"  # tf=2 with df=1 beats shared banana

@@ -28,6 +28,12 @@ ALLOWED_CROSS = {
     "embedding_dups": 1,
     "bm25_search_docs": 2,
     "pq_topk_embeddings": 1,
+    # single-row aggregate scalars cross-joined onto a relation (the same
+    # shape as bm25's stats): corpus doc count, unigram vocabulary size,
+    # and the DSIR token totals — each side is exactly one row
+    "tfidf_keywords_docs": 1,
+    "lm_cross_entropy_docs": 1,
+    "dsir_top_docs": 1,
 }
 
 

@@ -37,6 +37,8 @@ DEFAULT_QUERIES = [
     "lm_cross_entropy_docs",
     "dsir_top_docs",
     "dup_cluster_reps",
+    "orders_profile",
+    "small_qty_revenue",
 ]
 
 

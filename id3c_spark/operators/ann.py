@@ -91,14 +91,32 @@ def _unpack(ids_bytes: bytes, mat_bytes: bytes) -> tuple:
     return ids, mat
 
 
+#: Rows per GEMM shard when shard counts are auto-derived: ~32 MB of
+#: float64 at 64 dims. Callers with much fatter vectors should size
+#: shards explicitly (bytes/shard scales linearly with dim).
+AUTO_SHARD_ROWS = 65536
+
+
+def _auto_shards(df: DataFrame, cap: int = 4096) -> int:
+    """Stats-driven shard count: ceil(N / AUTO_SHARD_ROWS), clamped.
+
+    The count is a column-pruned scan (one cheap job) — the same
+    statistics-before-strategy step AQE applies to joins, applied to the
+    block layout: a 2 k-vector corpus becomes ONE matmul task instead of
+    a fixed 8×8 grid of overhead, while 100 M vectors get ~1.5 k shards
+    that each fit a task's memory comfortably."""
+    n = df.count()
+    return max(1, min(cap, -(-n // AUTO_SHARD_ROWS)))
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    corpus_shards: int = 8,
-    query_blocks: int = 8,
+    corpus_shards: int | None = None,
+    query_blocks: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors (excluding self) per query vector.
 
@@ -111,10 +129,12 @@ def cosine_topk(
     |Q|·S·k — never the full |Q|·|C| similarity matrix.
 
     Communication cost is the classic block-matmul bound S·|Q| + B·|C|
-    rows shuffled; pick shard counts so one shard (~|C|/S·dim·8 bytes)
-    fits a task comfortably — at 100 M × 64-dim that is S ≈ 800 for
-    32 MB shards, with FLOPs unchanged (exact search is O(|Q|·|C|·dim)
-    whatever the layout; past that scale use lsh/ivf_topk).
+    rows shuffled. Shard counts default to STATS-DRIVEN (_auto_shards:
+    ceil(N / 65536), ~32 MB per shard at 64-dim float64) so a small
+    corpus runs as one matmul task while 100 M × 64-dim gets ~1.5 k
+    shards that each fit a task comfortably; FLOPs are unchanged by the
+    layout (exact search is O(|Q|·|C|·dim) regardless — past exact-search
+    scale use lsh/ivf_topk). Pass explicit counts for fat vectors.
 
     Similarity is rounded to 6 dp before ranking with an id tiebreak (both
     in the partial and final ranking), so results are deterministic and
@@ -123,6 +143,13 @@ def cosine_topk(
     import numpy as np
     import pandas as pd
 
+    if queries is corpus:
+        auto = (corpus_shards or query_blocks or _auto_shards(corpus))
+        corpus_shards = corpus_shards or auto
+        query_blocks = query_blocks or auto
+    else:
+        corpus_shards = corpus_shards or _auto_shards(corpus)
+        query_blocks = query_blocks or _auto_shards(queries)
     same = queries is corpus and query_blocks == corpus_shards
     qpacked = _packed_blocks(queries, id_col, vec_col, query_blocks, "qb")
     if same:
@@ -173,7 +200,7 @@ def cosine_pairs_above(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    corpus_shards: int = 8,
+    corpus_shards: int | None = None,
 ) -> DataFrame:
     """All unordered pairs (id_a < id_b) with cosine ≥ threshold —
     embedding-based near-dup detection. Same blocked cross-GEMM shape as
@@ -187,6 +214,7 @@ def cosine_pairs_above(
     import numpy as np
     import pandas as pd
 
+    corpus_shards = corpus_shards or _auto_shards(corpus)
     # persisted: feeds both crossJoin sides (n_blocks small rows)
     blocks = _packed_blocks(corpus, id_col, vec_col, corpus_shards, "qb").persist()
     pairs = (

@@ -247,6 +247,51 @@ def stratified_sample(
     return df.filter(hash_bucket(F.col(id_col), buckets) < thresh)
 
 
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    target_docs: int,
+    alpha: float = 0.5,
+    buckets: int = 1000000,
+) -> DataFrame:
+    """Temperature-based (α-scaling) stratum resampling — the standard
+    multilingual mixing rule (sampling probability q_s ∝ n_s^α, α < 1
+    upsamples low-resource strata relative to their raw share; used by
+    mBERT/XLM-R-style corpus mixers).
+
+    Per-stratum keep-rate = min(1, target·q_s / n_s) realized with the
+    same deterministic md5-bucket predicate as stratified_sample, so the
+    sample is reproducible and nested under rate increases.
+
+    Scale shape: one stratum-grain aggregation (map-side combined; the
+    stratum domain — languages, sources — is small by definition), the
+    α-weights normalized through an exact DECIMAL sum (order-independent,
+    engine-identical), and the resulting ≤|strata|-row rate relation
+    broadcast onto a single corpus pass. Unlike stratified_sample's
+    literal rates the predicate is join-derived, so it filters post-scan;
+    inline the collected rates as literals if scan pushdown matters more
+    than plan purity."""
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_s"))
+    w = F.round(F.pow(F.col("n_s").cast("double"), F.lit(alpha)), 8).cast(
+        "decimal(18,8)"
+    )
+    weighted = counts.select(stratum_col, "n_s", w.alias("w"))
+    z = weighted.agg(F.sum("w").cast("double").alias("z"))
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(target_docs))
+        * (F.col("w").cast("double") / F.col("z"))
+        / F.col("n_s"),
+    )
+    rates = weighted.crossJoin(F.broadcast(z)).select(stratum_col, rate.alias("rate"))
+    joined = df.join(F.broadcast(rates), stratum_col)
+    keep = hash_bucket(F.col(id_col), buckets) < F.floor(
+        F.col("rate") * buckets
+    ).cast("bigint")
+    return joined.filter(keep)
+
+
 def budget_sample(
     df: DataFrame,
     id_col: str,

@@ -2609,6 +2609,37 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "temperature_sample_docs",
+    # α-weights go through round(·,8)→DECIMAL and an exact sum, so the
+    # normalizer z and every keep-rate are engine-identical doubles.
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+    p AS (SELECT lang, n_s,
+                 CAST(round(pow(n_s, 0.5), 8) AS DECIMAL(18,8)) AS w
+          FROM c),
+    z AS (SELECT CAST(sum(w) AS DOUBLE) AS z FROM p),
+    r AS (SELECT lang,
+                 least(1.0, 150.0 * (CAST(w AS DOUBLE) / z.z) / n_s) AS rate
+          FROM p CROSS JOIN z)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r USING (lang)
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT % 1000000
+          < CAST(floor(rate * 1000000) AS BIGINT)
+    """,
+)
+def temperature_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature resampling over languages targeting ~150 docs
+    (corpus.temperature_sample): low-resource languages keep everything,
+    the dominant one is subsampled — the standard multilingual mixing
+    rule, realized as a broadcast rate relation + one md5-predicate
+    corpus pass."""
+    docs = t(spark, sf_dir, "documents")
+    return corpus.temperature_sample(
+        docs, "doc_id", "lang", target_docs=150, alpha=0.5
+    ).select("doc_id", "lang")
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

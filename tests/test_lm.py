@@ -108,3 +108,32 @@ def test_dsir_weights_all_docs_scored_regardless_of_membership(spark):
     # identical text -> identical weight; target membership is model-only
     assert out[1].weight == out[2].weight
     assert len(out) == 2
+
+
+def test_temperature_sample_upsamples_low_resource(spark):
+    from id3c_spark.operators.corpus import temperature_sample
+
+    rows = [(i, "big") for i in range(900)] + [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    out = temperature_sample(df, "doc_id", "stratum", target_docs=400, alpha=0.5)
+    kept = out.groupBy("stratum").count().collect()
+    by = {r.stratum: r["count"] for r in kept}
+    # alpha=0.5: w_big=30, w_small=10 -> q_big=.75, q_small=.25
+    # rate_big = 400*.75/900 = 1/3 ; rate_small = 400*.25/100 = 1 (capped)
+    assert by["small"] == 100                    # low-resource keeps ALL
+    assert 240 <= by["big"] <= 360               # ~300 expected, md5-uniform
+    # deterministic: identical second run
+    again = temperature_sample(df, "doc_id", "stratum", target_docs=400, alpha=0.5)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_temperature_sample_nested_under_target_increase(spark):
+    from id3c_spark.operators.corpus import temperature_sample
+
+    rows = [(i, "a") for i in range(500)] + [(1000 + i, "b") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    small = {r.doc_id for r in temperature_sample(df, "doc_id", "stratum", 100).collect()}
+    big = {r.doc_id for r in temperature_sample(df, "doc_id", "stratum", 300).collect()}
+    assert small <= big  # raising the target strictly grows the sample

@@ -34,6 +34,7 @@ ALLOWED_CROSS = {
     "tfidf_keywords_docs": 1,
     "lm_cross_entropy_docs": 1,
     "dsir_top_docs": 1,
+    "temperature_sample_docs": 1,  # α-weight normalizer z (one row)
 }
 
 

@@ -137,3 +137,32 @@ def test_temperature_sample_nested_under_target_increase(spark):
     small = {r.doc_id for r in temperature_sample(df, "doc_id", "stratum", 100).collect()}
     big = {r.doc_id for r in temperature_sample(df, "doc_id", "stratum", 300).collect()}
     assert small <= big  # raising the target strictly grows the sample
+
+
+def test_new_operators_handle_empty_and_degenerate_inputs(spark):
+    """Empty corpus / absent target slice / single stratum must produce
+    empty-or-total results, never crash."""
+    from id3c_spark.operators.corpus import temperature_sample
+    from id3c_spark.operators.lm import bigram_lm_score, dsir_top_docs
+    from id3c_spark.operators.profile import heavy_hitters, profile_table
+    from id3c_spark.operators.search import tfidf_keywords
+
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert bigram_lm_score(empty).count() == 0
+    assert tfidf_keywords(empty).count() == 0
+    assert dsir_top_docs(empty, F.col("lang") == "en").count() == 0
+    assert heavy_hitters(empty, "doc_id").count() == 0
+
+    r = profile_table(empty).collect()[0]
+    assert r.n_rows == 0 and r.n_distinct == 0 and r.min_num is None
+
+    # target slice empty -> pure smoothing model, still scores every doc
+    one = spark.createDataFrame(
+        [(1, "x y", "r")], "doc_id long, text string, lang string"
+    )
+    assert dsir_top_docs(one, F.col("lang") == "en").count() == 1
+
+    single = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id long, stratum string")
+    assert temperature_sample(single, "doc_id", "stratum", 10).count() == 2
+    estr = spark.createDataFrame([], "doc_id long, stratum string")
+    assert temperature_sample(estr, "doc_id", "stratum", 10).count() == 0

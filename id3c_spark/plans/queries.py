@@ -2640,6 +2640,54 @@ def temperature_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+@query(
+    "rich_idle_customers",
+    # TPC-H Q22 shape: scalar-subquery threshold (exact-decimal avg over
+    # the positive balances) + NOT EXISTS orders + per-nation rollup.
+    oracle=f"""
+    WITH t AS (
+      SELECT {DSUM.format(expr='c_acctbal')} / count(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c_nationkey,
+           count(*) AS numcust,
+           {DSUM.format(expr='c_acctbal')} AS totacctbal
+    FROM customer CROSS JOIN t
+    WHERE c_acctbal > t.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+)
+def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with no urgent orders, per nation
+    (TPC-H Q22 analogue): broadcast single-row scalar threshold, LEFT
+    ANTI against the (pushdown-filtered) fact table keyed on custkey,
+    then a small rollup — scalar-subquery + anti-join + agg in one
+    declarative plan."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg((dsum(F.col("c_acctbal"), "s").cast("double") / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT")
+            .select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal"), "totacctbal"),
+        )
+    )
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

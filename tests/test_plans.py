@@ -35,6 +35,7 @@ ALLOWED_CROSS = {
     "lm_cross_entropy_docs": 1,
     "dsir_top_docs": 1,
     "temperature_sample_docs": 1,  # α-weight normalizer z (one row)
+    "rich_idle_customers": 1,      # scalar avg-balance threshold (one row)
 }
 
 

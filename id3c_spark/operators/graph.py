@@ -1,0 +1,92 @@
+"""Graph analytics over similarity/duplicate pair relations.
+
+The dedup family (dedup.py) produces pair relations (near-duplicate
+edges); dedup_clusters gives connected components. PageRank adds the
+next graph question a corpus pipeline asks of that graph: *which
+documents are the most-connected hubs of a duplicate neighborhood* —
+useful for picking cluster representatives by centrality rather than
+min-id, and for down-weighting documents sitting inside dense
+boilerplate cliques.
+
+Scale shape: classic iterative PageRank — per iteration ONE shuffle of
+the edge relation keyed on the source id (join with the current rank
+relation, which is node-keyed), then a map-side-combined aggregation
+keyed on the destination. The edge relation is symmetrized once and
+localCheckpoint'ed, so every iteration starts from a constant-depth
+plan (no lineage growth — the same discipline as dedup.dedup_clusters'
+pointer-jumping loop). Nothing is collected to the driver except the
+node count (a single long).
+
+Determinism contract (the catalog oracle unrolls the same iterations as
+a DuckDB CTE chain): per-edge contributions are floor(rank/deg · 1e12)
+BIGINTs — floor of an identical double is unambiguous (no round-half
+coincidence window at all), and bigint sums are exact and
+order-independent — then one double division per node. Every float op
+is a single IEEE op on identical inputs, so both engines produce
+bit-identical ranks regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Fixed-point scale for per-edge contributions. Σ contributions ≤ 1e12
+#: per node (ranks sum to ~1), so bigint sums cannot overflow.
+SCALE = 1e12
+
+
+def pagerank(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    damping: float = 0.85,
+    iters: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """PageRank over an undirected pair relation → (node, rank).
+
+    *pairs* holds one row per undirected edge (a < b convention is fine);
+    the relation is symmetrized here, so every node has out-degree ≥ 1
+    and the classic dangling-mass correction is unnecessary. Fixed
+    *iters* power iterations with teleport (1-damping)/N. Ranks are
+    rounded to *round_dp* dp at the end (stable across engines).
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"))
+    n = nodes.count()  # single scalar — the only driver-side value
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    teleport = (1.0 - damping) / float(n)  # same double both engines
+    ranks = nodes.withColumn("rank", F.lit(1.0 / float(n)))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.floor(F.col("rank") / F.col("deg") * F.lit(SCALE)).alias("c"),
+            )
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg(
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (F.sum("c").cast("double") / F.lit(SCALE))
+                ).alias("rank")
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round("rank", round_dp).alias("rank"))

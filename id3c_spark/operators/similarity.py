@@ -123,3 +123,50 @@ def mint_identifiers(
     import logging
     logging.getLogger(__name__).info("id3c_minting_performance::%s", stats)
     return minted
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    max_distance: int = 2,
+) -> DataFrame:
+    """(id_a < id_b, dist) — near-duplicate strings by Levenshtein
+    distance in (0, max_distance], within *block_col* blocks.
+
+    The generalization of hamming_close_pairs to variable-length edits
+    (fuzzy product/name matching). Blocking is an equi-join on
+    block_col, so the shuffle is keyed and each block's candidate set is
+    local; a |len(a) − len(b)| ≤ max_distance prefilter (implied by the
+    distance bound, so it never changes the result) prunes candidates
+    before the O(len²) DP, and levenshtein's threshold form lets Spark
+    abandon a row early once the bound is exceeded. Distance-0 rows
+    (identical strings) are excluded — exact duplicates belong to
+    exact_dedup, this operator reports the *near* misses.
+
+    At 100 TB the block key choice carries the cost: a key giving blocks
+    of b rows costs Σ b²/2 DPs; skewed blocks should be pre-split
+    (operators.skew.salted_join) or sub-blocked on a length band.
+    """
+    a = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("_ta"),
+    )
+    b = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("_tb"),
+    )
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.abs(F.length("_ta") - F.length("_tb")) <= F.lit(max_distance)
+        )
+        .filter(F.col("_ta") != F.col("_tb"))
+        .filter(dist <= F.lit(max_distance))
+        .select("id_a", "id_b", dist.alias("dist"))
+    )

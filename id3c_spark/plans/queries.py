@@ -25,7 +25,16 @@ from pyspark.sql import functions as F
 
 from id3c_spark.functions.strings import iso_week_label
 from id3c_spark.functions.text import LANG_MARKERS, TOKEN_REGEX
-from id3c_spark.operators import ann, corpus, dedup, merge as merge_op, similarity
+from id3c_spark.operators import (
+    ann,
+    bloom,
+    corpus,
+    dedup,
+    funnel,
+    graph,
+    merge as merge_op,
+    similarity,
+)
 from id3c_spark.operators.asof import asof_join, asof_lag_us
 from id3c_spark.operators.range_join import range_containment_join
 from id3c_spark.operators.topk import distinct_on
@@ -2685,6 +2694,259 @@ def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             dsum(F.col("c_acctbal"), "totacctbal"),
         )
+    )
+
+
+@query(
+    "late_ship_priority",
+    # TPC-H Q4 shape: EXISTS correlated semi-join with a non-equi date
+    # predicate, then a tiny rollup.
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with any line shipped > 60 days after order date, counted
+    by priority (TPC-H Q4 analogue). Plan: LEFT SEMI join keyed on
+    orderkey (the non-equi date predicate rides along as a join
+    condition, evaluated post-match — no fan-out), both scans
+    column-pruned to 2-3 columns, then a 5-group map-side-combined agg."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (li["l_orderkey"] == orders["o_orderkey"])
+            & (
+                li["l_shipdate"]
+                > orders["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "brand_supplier_counts",
+    # TPC-H Q16 shape: distinct fact projection as the partsupp proxy,
+    # NOT IN exclusion subquery, count(DISTINCT) rollup.
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    SELECT p.p_brand, p.p_size,
+           count(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE ps.l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per (brand, size) excluding negative-balance
+    suppliers (TPC-H Q16 analogue). Plan: the fact table reduces to a
+    distinct 2-column projection (one keyed shuffle), the exclusion set
+    and the part dimension both broadcast (anti + inner), and the
+    count(DISTINCT) agg partially aggregates map-side."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    bad = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(
+            F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"), "p_brand", "p_size")),
+            "l_partkey",
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "edit_distance_part_pairs",
+    # dist is cast BIGINT both sides (DuckDB levenshtein yields BIGINT)
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE a.p_name <> b.p_name
+      AND abs(len(a.p_name) - len(b.p_name)) <= 2
+      AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def edit_distance_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate part names by Levenshtein ≤ 2 within brand blocks
+    (operators.similarity.edit_distance_pairs): the variable-length
+    generalization of the barcode Hamming join — blocked equi-join, a
+    result-preserving length-band prefilter, then the DP refine."""
+    part = t(spark, sf_dir, "part")
+    return similarity.edit_distance_pairs(
+        part, "p_partkey", "p_name", "p_brand", max_distance=2
+    ).select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+
+
+@query(
+    "funnel_signup_purchase",
+    # strict-order 3-step funnel: min-after-previous chain, unix micros
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+    s0 AS (SELECT user_id, min(ts_us) AS ts_0
+           FROM e WHERE event_type = 'signup' GROUP BY user_id),
+    s1 AS (SELECT e.user_id, s0.ts_0, min(e.ts_us) AS ts_1
+           FROM e JOIN s0 ON e.user_id = s0.user_id
+           WHERE e.event_type = 'click' AND e.ts_us > s0.ts_0
+           GROUP BY e.user_id, s0.ts_0),
+    s2 AS (SELECT e.user_id, s1.ts_0, s1.ts_1, min(e.ts_us) AS ts_2
+           FROM e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'purchase' AND e.ts_us > s1.ts_1
+           GROUP BY e.user_id, s1.ts_0, s1.ts_1)
+    SELECT user_id, ts_0, ts_1, ts_2 FROM s2
+    """,
+)
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup → click → purchase strict-order funnel
+    (operators.funnel.funnel_steps): earliest in-order chain per user,
+    one user-keyed shuffle per step, no global windows."""
+    ev = t(spark, sf_dir, "events")
+    return funnel.funnel_steps(
+        ev, ["signup", "click", "purchase"]
+    ).withColumnRenamed("user", "user_id")
+
+
+@query(
+    "weekly_retention_cohorts",
+    # exact 7-day periods from the epoch — integer micros, no calendar
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+    f AS (SELECT user_id, min(ts_us) AS first_us FROM e GROUP BY user_id)
+    SELECT (f.first_us // 604800000000) * 604800000000 AS cohort_us,
+           (e.ts_us - f.first_us) // 604800000000 AS week_n,
+           count(DISTINCT e.user_id) AS n_users
+    FROM e JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention grid (operators.funnel.retention_cohorts):
+    first-seen 7-day cohort × whole weeks since first event × distinct
+    active users — two aggregations and one co-keyed join on user."""
+    return funnel.retention_cohorts(t(spark, sf_dir, "events"))
+
+
+@query(
+    "bloom_decontaminate_docs",
+    # Bloom membership replayed exactly: a probe is a candidate iff all
+    # 3 of its md5-derived positions appear in the benchmark's distinct
+    # position set — identical arithmetic both engines (m = 2^20).
+    oracle=f"""
+    WITH {_WORDS_CTE},
+    sh5 AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(ws) >= 5
+               THEN list_transform(range(1, len(ws) - 3),
+                                   i -> array_to_string(ws[i:i+4], ' '))
+               ELSE []::VARCHAR[] END) AS s
+      FROM w),
+    ds5 AS (SELECT DISTINCT doc_id, s FROM sh5),
+    js AS (SELECT unnest(range(0, 3)) AS j),
+    bpos AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 12))::BIGINT
+               % 1048576 AS pos
+      FROM ds5 CROSS JOIN js WHERE doc_id % 97 = 0),
+    cpos AS (
+      SELECT doc_id, s, j,
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 12))::BIGINT
+               % 1048576 AS pos
+      FROM ds5 CROSS JOIN js WHERE doc_id % 97 <> 0),
+    cand AS (
+      SELECT doc_id, s FROM cpos JOIN bpos USING (pos)
+      GROUP BY doc_id, s HAVING count(DISTINCT j) = 3)
+    SELECT doc_id, count(*) AS n_candidates FROM cand GROUP BY doc_id
+    """,
+)
+def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (operators.bloom): benchmark shingle
+    set packed into a 2^20-bit broadcast bitset built distributedly
+    (collect bounded by filter bytes, not key count); the corpus side is
+    probe-only — no corpus-vs-benchmark join at all. Supersets the exact
+    decontaminate answer by design (false positives only)."""
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    rest = docs.filter(F.col("doc_id") % 97 != 0)
+    return bloom.bloom_decontaminate(
+        rest, bench, "doc_id", "text", k_shingle=5, m=1 << 20, k_hash=3
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Unrolled PageRank CTE chain over the k=3 Jaccard ≥ 0.4 dup graph
+    — the same iteration-unrolling discipline as the k-means/PQ oracles.
+    Contributions are floor(rank/deg · 1e12) BIGINTs (floor of an
+    identical double — no round-half coincidence window), summed
+    exactly, one double division per node per iteration."""
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f"""
+    r{i} AS (
+      SELECT e.dst AS node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+             + CAST(0.85 AS DOUBLE)
+               * (CAST(SUM(CAST(floor(r.rank / d.deg * 1e12) AS BIGINT)) AS DOUBLE)
+                  / 1e12) AS rank
+      FROM e JOIN r{i - 1} r ON r.node = e.src
+             JOIN deg d ON d.src = e.src
+             CROSS JOIN nn
+      GROUP BY e.dst, nn.n)""")
+    chain = ",".join(its)
+    return f"""
+    WITH {_SHINGLES_CTE},
+    stop AS (SELECT s FROM ds GROUP BY s HAVING count(*) > 200),
+    bl AS (SELECT doc_id, s FROM ds WHERE s NOT IN (SELECT s FROM stop)),
+    bsizes AS (SELECT doc_id, count(*) AS n FROM bl GROUP BY doc_id),
+    binter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+      FROM bl a JOIN bl b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    p AS (
+      SELECT id_a, id_b FROM binter
+      JOIN bsizes na ON na.doc_id = id_a
+      JOIN bsizes nb ON nb.doc_id = id_b
+      WHERE round(ni::DOUBLE / (na.n + nb.n - ni), 6) >= 0.4),
+    e AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+    deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+           FROM deg CROSS JOIN nn),{chain}
+    SELECT node AS doc_id, round(rank, 6) AS rank FROM r{iters}
+    """
+
+
+@query("pagerank_dup_docs", oracle=_pagerank_oracle(iters=5))
+def pagerank_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-duplicate graph
+    (operators.graph.pagerank on dedup.ngram_jaccard_pairs edges):
+    which documents are hubs of duplicate neighborhoods. Per iteration
+    one edge-keyed shuffle + one map-side-combined agg; the edge
+    relation is symmetrized and checkpointed once."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.4, max_df=200
+    )
+    return graph.pagerank(pairs, "id_a", "id_b", damping=0.85, iters=5).select(
+        F.col("node").alias("doc_id"), "rank"
     )
 
 

@@ -1,0 +1,160 @@
+"""Unit tests for the round-6 additions: PageRank, Bloom membership,
+funnels/retention, and the Levenshtein blocked pair join."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from id3c_spark.operators import similarity
+from id3c_spark.operators.bloom import (
+    bit_positions,
+    bloom_decontaminate,
+    bloom_member,
+    build_bloom,
+)
+from id3c_spark.operators.funnel import funnel_steps, retention_cohorts
+from id3c_spark.operators.graph import pagerank
+
+
+def test_pagerank_two_cliques_hub_ranks_highest(spark):
+    # path a-b, a-c, a-d (star on a) plus isolated pair e-f
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r["node"]: r["rank"] for r in pagerank(pairs, iters=10).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    # hub of the star outranks its leaves; ranks sum to ~1
+    assert out[1] > out[2] == out[3] == out[4]
+    assert abs(sum(out.values()) - 1.0) < 1e-3
+    # symmetric pair splits evenly
+    assert out[5] == out[6]
+
+
+def test_pagerank_empty_edges(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert pagerank(pairs).count() == 0
+
+
+def test_pagerank_preserves_string_ids(spark):
+    pairs = spark.createDataFrame([("x", "y")], "id_a string, id_b string")
+    out = pagerank(pairs, iters=2).collect()
+    assert {r["node"] for r in out} == {"x", "y"}
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    keys = spark.createDataFrame([(f"key-{i}",) for i in range(200)], "s string")
+    bloom = build_bloom(keys, "s", m=1 << 16, k=3)
+    probes = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(400)], "s string"
+    ).withColumn("hit", bloom_member(spark, bloom, bit_positions(F.col("s"), 1 << 16, 3), 3))
+    rows = {r["s"]: r["hit"] for r in probes.collect()}
+    # every inserted key hits (no false negatives — the Bloom guarantee)
+    assert all(rows[f"key-{i}"] for i in range(200))
+    # at 16 Kib for 200 keys false positives are overwhelmingly unlikely
+    fp = sum(rows[f"key-{i}"] for i in range(200, 400))
+    assert fp <= 2
+
+
+def test_bloom_decontaminate_supersets_exact(spark):
+    from id3c_spark.operators.corpus import decontaminate
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),       # bench
+        (2, "alpha beta gamma delta epsilon zeta eta"),   # overlaps bench
+        (3, "one two three four five six seven"),         # clean
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.filter("doc_id = 1")
+    rest = docs.filter("doc_id > 1")
+    exact = {r["id"] for r in decontaminate(rest, bench, "doc_id", "text", k=5).collect()}
+    bloomed = {
+        r["id"]
+        for r in bloom_decontaminate(
+            rest, bench, "doc_id", "text", k_shingle=5, m=1 << 16, k_hash=3
+        ).collect()
+    }
+    assert exact == {2}
+    assert exact <= bloomed  # false positives only, never negatives
+
+
+def _ts(minute: int) -> datetime.datetime:
+    return datetime.datetime(2026, 1, 1, 0, minute)
+
+
+def test_funnel_strict_order(spark):
+    ev = spark.createDataFrame(
+        [
+            # u1 completes in order
+            ("u1", _ts(0), "signup"),
+            ("u1", _ts(5), "click"),
+            ("u1", _ts(9), "purchase"),
+            # u2 purchases BEFORE clicking — not a completion
+            ("u2", _ts(0), "signup"),
+            ("u2", _ts(8), "click"),
+            ("u2", _ts(4), "purchase"),
+            # u3 never signs up
+            ("u3", _ts(1), "click"),
+            ("u3", _ts(2), "purchase"),
+        ],
+        "user_id string, ts timestamp, event_type string",
+    )
+    out = funnel_steps(ev, ["signup", "click", "purchase"]).collect()
+    assert [r["user"] for r in out] == ["u1"]
+    r = out[0]
+    assert r["ts_0"] < r["ts_1"] < r["ts_2"]
+
+
+def test_funnel_greedy_earliest_chain_is_complete(spark):
+    # earliest click precedes the only purchase: greedy chain must find it
+    ev = spark.createDataFrame(
+        [
+            ("u", _ts(0), "signup"),
+            ("u", _ts(2), "click"),
+            ("u", _ts(30), "click"),
+            ("u", _ts(10), "purchase"),
+        ],
+        "user_id string, ts timestamp, event_type string",
+    )
+    out = funnel_steps(ev, ["signup", "click", "purchase"]).collect()
+    assert len(out) == 1 and out[0]["ts_1"] < out[0]["ts_2"]
+
+
+def test_retention_cohorts_grid(spark):
+    week = datetime.timedelta(days=7)
+    base = datetime.datetime(2026, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            ("a", base), ("a", base + week), ("a", base + 2 * week),
+            ("b", base), ("b", base + week),
+            ("c", base + week),
+        ],
+        "user_id string, ts timestamp",
+    )
+    grid = {
+        (r["cohort_us"], r["week_n"]): r["n_users"]
+        for r in retention_cohorts(ev).collect()
+    }
+    cohorts = sorted({c for c, _ in grid})
+    assert len(cohorts) == 2  # base week and base+1 week cohorts
+    c0, c1 = cohorts
+    assert grid[(c0, 0)] == 2 and grid[(c0, 1)] == 2 and grid[(c0, 2)] == 1
+    assert grid[(c1, 0)] == 1 and (c1, 1) not in grid
+
+
+def test_edit_distance_pairs_blocked(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "red widget", "B1"),
+            (2, "red widgets", "B1"),   # dist 1, same block
+            (3, "red widget", "B2"),    # same name, other block — no pair
+            (4, "blue bolt", "B1"),     # far from everything
+            (5, "red widget", "B1"),    # identical to 1 → excluded (dist 0)
+        ],
+        "id long, name string, blk string",
+    )
+    out = similarity.edit_distance_pairs(df, "id", "name", "blk", max_distance=2)
+    pairs = {(r["id_a"], r["id_b"], r["dist"]) for r in out.collect()}
+    assert pairs == {(1, 2, 1), (2, 5, 1)}

@@ -2950,6 +2950,98 @@ def pagerank_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "orders_expectations",
+    # every row-local rule is one FILTER count over the shared scan;
+    # unique = surplus copies; fk = NOT IN count — mirrored per rule
+    oracle="""
+    SELECT 'not_null(o_custkey)' AS rule,
+           CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'in_range(o_totalprice,0.0,600000.0)',
+           CAST(count(*) FILTER (WHERE o_totalprice IS NOT NULL
+                 AND (o_totalprice < 0.0 OR o_totalprice > 600000.0)) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'in_set(o_orderstatus)',
+           CAST(count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                 AND o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'matches(o_orderpriority)',
+           CAST(count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                 AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'foreign_key(o_custkey)',
+           CAST(count(*) FILTER (WHERE o_custkey IS NOT NULL
+                 AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+    FROM orders
+    """,
+)
+def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality gate (operators.expect):
+    five row-local + unique rules share ONE aggregation pass over a
+    single scan; the foreign-key rule adds one broadcast anti-join
+    count. The report is (rule, n_violations)."""
+    from id3c_spark.operators import expect
+
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    return expect.check(
+        orders,
+        [
+            expect.not_null("o_custkey"),
+            expect.in_range("o_totalprice", 0.0, 600000.0),
+            expect.in_set("o_orderstatus", ["F", "O", "P"]),
+            expect.matches("o_orderpriority", "^[1-5]-"),
+            expect.unique("o_orderkey"),
+            expect.foreign_key("o_custkey", customer, "c_custkey"),
+        ],
+    )
+
+
+@query(
+    "user_type_scd2",
+    # changelog → SCD2 compaction: change points kept, each closed by
+    # the next change's timestamp (windows share one shuffle+sort)
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+               FROM events),
+    m AS (SELECT user_id, event_type, ts_us, event_id,
+                 lag(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+          FROM e),
+    s AS (SELECT user_id, event_type, ts_us,
+                 lead(ts_us) OVER
+                   (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to
+          FROM m WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type, ts_us AS valid_from, valid_to FROM s
+    """,
+)
+def user_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history compacted from the append-only event log
+    (operators.scd.scd2_from_changelog): one row per (user, run of
+    equal event_type), with [valid_from, valid_to) unix-micros
+    intervals and NULL valid_to for the current version."""
+    from id3c_spark.operators.scd import scd2_from_changelog
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+    )
+    return scd2_from_changelog(
+        ev, "user_id", ["event_type"], "ts_us", tiebreak_col="event_id"
+    ).withColumnRenamed("ts_us", "valid_from")
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

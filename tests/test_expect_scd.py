@@ -1,0 +1,131 @@
+"""Unit tests for declarative expectations (operators.expect) and SCD2
+temporal versioning (operators.scd)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from id3c_spark.operators import expect
+from id3c_spark.operators.scd import as_of_snapshot, scd2_apply, scd2_from_changelog
+
+
+def _report(df):
+    return {r["rule"]: r["n_violations"] for r in df.collect()}
+
+
+def test_expect_row_local_rules(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "ok", "a@b.com"),
+            (2, -5.0, "ok", "nope"),
+            (None, 3.0, "bad", "c@d.org"),
+            (4, None, "ok", None),
+        ],
+        "id long, amount double, status string, email string",
+    )
+    rep = _report(
+        expect.check(
+            df,
+            [
+                expect.not_null("id"),
+                expect.in_range("amount", 0.0, 100.0),
+                expect.in_set("status", ["ok"]),
+                expect.matches("email", r"^[^@]+@[^@]+$"),
+            ],
+        )
+    )
+    assert rep["not_null(id)"] == 1
+    assert rep["in_range(amount,0.0,100.0)"] == 1   # null amount passes
+    assert rep["in_set(status)"] == 1
+    assert rep["matches(email)"] == 1               # null email passes
+
+
+def test_expect_unique_fk_and_custom(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (1, 100), (1, 200), (2, 999)], "k long, ref long"
+    )
+    dim = spark.createDataFrame([(100,), (200,)], "d long")
+    rep = _report(
+        expect.check(
+            df,
+            [
+                expect.unique("k"),
+                expect.unique("k", "ref"),
+                expect.foreign_key("ref", dim, "d"),
+                expect.satisfies("k_le_ref", F.col("k") < F.col("ref")),
+            ],
+        )
+    )
+    assert rep["unique(k)"] == 2          # three copies of k=1 → 2 surplus
+    assert rep["unique(k,ref)"] == 1      # one duplicated (k, ref) pair
+    assert rep["foreign_key(ref)"] == 1   # 999 not in dim
+    assert rep["k_le_ref"] == 0
+
+
+def test_expect_empty_rules(spark):
+    df = spark.createDataFrame([(1,)], "a long")
+    assert expect.check(df, []).count() == 0
+
+
+def test_scd2_from_changelog_runs(spark):
+    ev = spark.createDataFrame(
+        [
+            ("u", 10, "A", 1),
+            ("u", 20, "A", 2),   # no change — absorbed into the first run
+            ("u", 30, "B", 3),
+            ("u", 40, "A", 4),
+            ("v", 15, "C", 5),
+        ],
+        "k string, ts long, attr string, eid long",
+    )
+    hist = scd2_from_changelog(ev, "k", ["attr"], "ts", tiebreak_col="eid")
+    rows = {
+        (r["k"], r["attr"], r["valid_from"]): r["valid_to"]
+        for r in hist.collect()
+    }
+    assert rows == {
+        ("u", "A", 10): 30,
+        ("u", "B", 30): 40,
+        ("u", "A", 40): None,
+        ("v", "C", 15): None,
+    }
+
+
+def test_scd2_apply_and_as_of(spark):
+    hist = spark.createDataFrame(
+        [
+            ("u", "A", 10, 30),      # closed version
+            ("u", "B", 30, None),    # current
+            ("w", "X", 5, None),     # current, will vanish from snapshot
+        ],
+        "k string, attr string, valid_from long, valid_to long",
+    )
+    snap = spark.createDataFrame(
+        [("u", "C"), ("z", "N")], "k string, attr string"
+    )
+    out = scd2_apply(hist, snap, "k", ["attr"], as_of=50, close_missing=True)
+    rows = {(r["k"], r["attr"], r["valid_from"]): r["valid_to"] for r in out.collect()}
+    assert rows == {
+        ("u", "A", 10): 30,
+        ("u", "B", 30): 50,   # changed → closed at as_of
+        ("u", "C", 50): None,  # new version opened
+        ("w", "X", 5): 50,    # missing from snapshot → closed
+        ("z", "N", 50): None,  # brand-new entity
+    }
+    # time travel: at t=20 only the original versions were current
+    at20 = {(r["k"], r["attr"]) for r in as_of_snapshot(out, 20).collect()}
+    assert at20 == {("u", "A"), ("w", "X")}
+    at60 = {(r["k"], r["attr"]) for r in as_of_snapshot(out, 60).collect()}
+    assert at60 == {("u", "C"), ("z", "N")}
+
+
+def test_scd2_apply_unchanged_and_keep_missing(spark):
+    hist = spark.createDataFrame(
+        [("u", "B", 30, None), ("w", "X", 5, None)],
+        "k string, attr string, valid_from long, valid_to long",
+    )
+    snap = spark.createDataFrame([("u", "B")], "k string, attr string")
+    out = scd2_apply(hist, snap, "k", ["attr"], as_of=50, close_missing=False)
+    rows = {(r["k"], r["attr"], r["valid_from"]): r["valid_to"] for r in out.collect()}
+    # nothing changed: both rows stay open, no new versions
+    assert rows == {("u", "B", 30): None, ("w", "X", 5): None}

@@ -1,0 +1,127 @@
+"""Distributed linear algebra over embedding columns.
+
+power_iteration finds the dominant principal direction of the
+(uncentered) Gram matrix AᵀA of an N×d embedding relation — the
+workhorse behind PCA whitening, spectral outlier detection, and
+"is this embedding space collapsing" diagnostics over a 100 TB corpus.
+
+Scale shape (the Krylov pattern): the N×d matrix never moves. Per
+iteration:
+  1. each row computes its dot with the broadcast d-vector ROW-LOCALLY
+     (a 64-term codegen expression — no join, no shuffle, no UDF);
+  2. per-dimension contribution sums reduce through ONE map-side-
+     combined aggregation with exactly d groups;
+  3. the driver normalizes a d-float vector.
+Driver state is d floats; cluster traffic per iteration is
+d × partitions partial rows. That is the communication lower bound for
+AᵀAv.
+
+Determinism contract (the catalog oracle unrolls iterations as a CTE
+chain, like k-means/PQ/PageRank): every cross-row sum is a bigint sum
+of floor(x · SCALE) terms — exact and order-independent, floor of an
+identical double has no round-half window — and every remaining float
+op is a single IEEE op on identical inputs, including the driver-side
+normalization (mirrored with the same floor-to-int discipline). Both
+engines produce bit-identical vectors.
+
+Overflow bound: Σ_rows |floor(val·dot·SCALE)| ≲ N·SCALE for unit-ish
+embeddings; the default SCALE=1e9 is safe beyond 1e9 rows. For corpora
+past that, pass contrib_scale=1e6 (precision cost: 6 exact digits per
+term, still far below float noise after normalization).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scales (see determinism contract above)
+DOT_SCALE = 1e9
+NORM_SCALE = 1e12
+
+
+def power_iteration(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 3,
+    contrib_scale: float = DOT_SCALE,
+) -> list[float]:
+    """Dominant eigenvector of AᵀA after *iters* power iterations.
+
+    Returns the unit d-vector (sign is deterministic: iteration from the
+    uniform 1/√d start). Empty input returns the start vector.
+    """
+    e = df.select(F.col(vec_col).cast("array<double>").alias("e"))
+    n = e.count()
+    v = [1.0 / math.sqrt(float(dim))] * dim
+    if n == 0:
+        return v
+    for _ in range(iters):
+        dot_terms = [
+            F.floor(
+                F.element_at("e", d) * F.lit(v[d - 1]) * F.lit(DOT_SCALE)
+            )
+            for d in range(1, dim + 1)
+        ]
+        dot = (
+            reduce(lambda a, b: a + b, dot_terms).cast("double")
+            / F.lit(DOT_SCALE)
+        ).alias("dot")
+        sums = (
+            e.select(dot, F.posexplode("e").alias("pos", "val"))
+            .groupBy((F.col("pos") + 1).alias("dim"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("val") * F.col("dot") * F.lit(contrib_scale))
+                ).alias("c")
+            )
+            .collect()
+        )
+        c = {row["dim"]: row["c"] for row in sums}
+        q = [(c[d] / contrib_scale) / float(n) for d in range(1, dim + 1)]
+        nm = sum(math.floor(x * x * NORM_SCALE) for x in q)
+        if nm == 0:  # degenerate (all-zero) input — keep current vector
+            break
+        norm = math.sqrt(nm / NORM_SCALE)
+        v = [x / norm for x in q]
+    return v
+
+
+def principal_direction(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 3,
+) -> DataFrame:
+    """(dim, v) relation of the dominant principal direction, rounded
+    6 dp in Spark (so the rounding engine matches the catalog oracle)."""
+    v = power_iteration(df, vec_col, dim, iters)
+    out = df.sparkSession.createDataFrame(
+        [(d, v[d - 1]) for d in range(1, dim + 1)], "dim long, v double"
+    )
+    return out.select("dim", F.round("v", 6).alias("v"))
+
+
+def pc_projection(
+    df: DataFrame,
+    v: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, score): each row's exact-int-floored projection onto *v* —
+    row-local (no shuffle); feeds spectral outlier cuts and 1-D
+    binning/sorting of an embedding corpus."""
+    dim = len(v)
+    e = F.col(vec_col).cast("array<double>")
+    terms = [
+        F.floor(F.element_at(e, d) * F.lit(v[d - 1]) * F.lit(DOT_SCALE))
+        for d in range(1, dim + 1)
+    ]
+    score = (
+        reduce(lambda a, b: a + b, terms).cast("double") / F.lit(DOT_SCALE)
+    )
+    return df.select(F.col(id_col).alias("id"), F.round(score, 6).alias("score"))

@@ -3042,6 +3042,60 @@ def user_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("ts_us", "valid_from")
 
 
+def _power_oracle(iters: int = 3, dim: int = 64) -> str:
+    """Unrolled power-iteration CTE chain mirroring linalg.power_iteration
+    exactly: bigint sums of floor(x·1e9) terms for the dot and the AᵀAv
+    components, floor(q²·1e12) for the norm — every cross-row sum exact
+    and order-free, every float op a single IEEE op on identical inputs."""
+    sql = f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings),
+    x AS (SELECT vec_id, r.i AS dim, e[r.i] AS val
+          FROM v, unnest(range(1, {dim + 1})) AS r(i)),
+    nr AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+    v0 AS (SELECT r.i AS dim,
+                  CAST(1.0 AS DOUBLE) / sqrt(CAST({dim} AS DOUBLE)) AS vv
+           FROM unnest(range(1, {dim + 1})) AS r(i))"""
+    prev = "v0"
+    for t in range(1, iters + 1):
+        sql += f""",
+    dt{t} AS (
+      SELECT x.vec_id,
+             CAST(SUM(CAST(floor(x.val * p.vv * 1e9) AS BIGINT)) AS DOUBLE)
+               / 1e9 AS dot
+      FROM x JOIN {prev} p ON p.dim = x.dim GROUP BY x.vec_id),
+    w{t} AS (
+      SELECT x.dim,
+             CAST(SUM(CAST(floor(x.val * d.dot * 1e9) AS BIGINT)) AS BIGINT) AS c
+      FROM x JOIN dt{t} d ON d.vec_id = x.vec_id GROUP BY x.dim),
+    q{t} AS (SELECT dim, (CAST(c AS DOUBLE) / 1e9) / nr.n AS q
+             FROM w{t} CROSS JOIN nr),
+    nm{t} AS (SELECT CAST(SUM(CAST(floor(q * q * 1e12) AS BIGINT)) AS DOUBLE) AS s
+              FROM q{t}),
+    v{t} AS (SELECT dim, q / sqrt(nm{t}.s / 1e12) AS vv
+             FROM q{t} CROSS JOIN nm{t})"""
+        prev = f"v{t}"
+    sql += f"""
+    SELECT dim, round(vv, 6) AS v FROM {prev}
+    """
+    return sql
+
+
+@query("principal_direction_embeddings", oracle=_power_oracle(iters=3))
+def principal_direction_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus by
+    distributed power iteration (operators.linalg): per iteration the
+    corpus is scanned once — row-local 64-term dot expression (codegen,
+    no join/UDF), one 64-group map-side-combined agg — and the driver
+    holds d floats. Communication-optimal AᵀAv; the Krylov pattern for
+    spectral diagnostics at 100 TB."""
+    from id3c_spark.operators.linalg import principal_direction
+
+    emb = t(spark, sf_dir, "embeddings")
+    return principal_direction(emb, "embedding", dim=64, iters=3)
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

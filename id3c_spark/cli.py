@@ -739,6 +739,48 @@ def corpus_profile(input_parquet: str, columns: str | None, approx: bool) -> Non
         click.echo(json.dumps(row.asDict()))
 
 
+@corpus.command("check")
+@click.argument("input_parquet")
+@click.option("--not-null", "not_null_cols", multiple=True,
+              help="column that must be non-null (repeatable)")
+@click.option("--unique", "unique_cols", multiple=True,
+              help="column (or comma-joined columns) that must be unique (repeatable)")
+@click.option("--in-range", "range_specs", multiple=True,
+              help="COL:LO:HI numeric bound (repeatable)")
+@click.option("--matches", "match_specs", multiple=True,
+              help="COL:REGEX pattern rule (repeatable)")
+@click.option("--fail-on-violations", is_flag=True,
+              help="exit 1 if any rule has violations (CI/ingest gate)")
+def corpus_check(input_parquet: str, not_null_cols, unique_cols, range_specs,
+                 match_specs, fail_on_violations: bool) -> None:
+    """Declarative data-quality gate (operators.expect): all row-local
+    and unique rules share ONE aggregation pass; JSON lines of
+    (rule, n_violations) on stdout."""
+    from id3c_spark.operators import expect
+
+    rules = []
+    for c in not_null_cols:
+        rules.append(expect.not_null(c))
+    for c in unique_cols:
+        rules.append(expect.unique(*[x.strip() for x in c.split(",")]))
+    for spec in range_specs:
+        col, lo, hi = spec.rsplit(":", 2)
+        rules.append(expect.in_range(col, float(lo), float(hi)))
+    for spec in match_specs:
+        col, pattern = spec.split(":", 1)
+        rules.append(expect.matches(col, pattern))
+    if not rules:
+        raise click.UsageError("no rules given")
+    spark = get_spark("corpus-check")
+    report = expect.check(spark.read.parquet(input_parquet), rules).collect()
+    bad = 0
+    for row in report:
+        click.echo(json.dumps(row.asDict()))
+        bad += row["n_violations"]
+    if fail_on_violations and bad:
+        raise SystemExit(1)
+
+
 @corpus.command("score")
 @click.argument("input_parquet")
 @click.option("--output", required=True, help="parquet of (doc_id, n_bigrams, cross_entropy)")

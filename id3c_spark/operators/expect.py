@@ -102,8 +102,10 @@ def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
                 if len(r.unique_cols) > 1
                 else F.col(r.unique_cols[0])
             )
+            # count(key) not count(*): SQL UNIQUE exempts NULL keys, and
+            # count_distinct ignores them too — both sides must agree
             aggs.append(
-                (F.count(F.lit(1)) - F.count_distinct(key))
+                (F.count(key) - F.count_distinct(key))
                 .cast("long")
                 .alias(f"__v{len(names)}")
             )

@@ -90,3 +90,39 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select("node", F.round("rank", round_dp).alias("rank"))
+
+
+def triangle_count(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """Single-row (n_triangles) of the undirected pair relation.
+
+    The classic two-join oriented count: with every edge stored once as
+    (lo < hi), a triangle {a < b < c} is counted exactly once as the
+    wedge (a,b)+(b,c) closed by (a,c). Two equi-joins keyed on real
+    columns — no enumeration of open wedges beyond the join's own
+    matching, no driver state. At 100 TB-scale graphs the refinement is
+    degree-based orientation (point each edge at the higher-degree
+    endpoint) so hub vertices don't own O(deg²) wedges; with lo<hi
+    orientation the skew bound is the max same-lo fan-out, which AQE
+    skew-join splitting handles.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("lo"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        # the edge relation is consumed three times by the join chain —
+        # materialize once so an expensive upstream pair-generation
+        # pipeline (shingles/LSH) doesn't execute per reference
+        .localCheckpoint()
+    )
+    wedge = e.select(F.col("lo").alias("a"), F.col("hi").alias("b")).join(
+        e.select(F.col("lo").alias("b"), F.col("hi").alias("c")), "b"
+    )
+    closed = wedge.join(
+        e.select(F.col("lo").alias("a"), F.col("hi").alias("c")), ["a", "c"]
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -129,3 +129,35 @@ def test_scd2_apply_unchanged_and_keep_missing(spark):
     rows = {(r["k"], r["attr"], r["valid_from"]): r["valid_to"] for r in out.collect()}
     # nothing changed: both rows stay open, no new versions
     assert rows == {("u", "B", 30): None, ("w", "X", 5): None}
+
+
+def test_cli_corpus_check(spark, tmp_path):
+    import json
+
+    from click.testing import CliRunner
+
+    from id3c_spark.cli import cli
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(1, 5.0), (1, -2.0), (None, 3.0)], "id long, amount double"
+    ).write.parquet(p)
+    runner = CliRunner()
+    res = runner.invoke(cli, [
+        "corpus", "check", p,
+        "--not-null", "id", "--unique", "id",
+        "--in-range", "amount:0:10",
+    ])
+    assert res.exit_code == 0, res.output
+    rep = {
+        json.loads(line)["rule"]: json.loads(line)["n_violations"]
+        for line in res.output.strip().splitlines()
+    }
+    assert rep["not_null(id)"] == 1
+    assert rep["unique(id)"] == 1
+    assert rep["in_range(amount,0.0,10.0)"] == 1
+    # gate mode: violations → nonzero exit
+    res2 = runner.invoke(cli, [
+        "corpus", "check", p, "--not-null", "id", "--fail-on-violations",
+    ])
+    assert res2.exit_code == 1

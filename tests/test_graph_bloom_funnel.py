@@ -158,3 +158,20 @@ def test_edit_distance_pairs_blocked(spark):
     out = similarity.edit_distance_pairs(df, "id", "name", "blk", max_distance=2)
     pairs = {(r["id_a"], r["id_b"], r["dist"]) for r in out.collect()}
     assert pairs == {(1, 2, 1), (2, 5, 1)}
+
+
+def test_triangle_count(spark):
+    from id3c_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles) plus a pendant edge and a dup edge
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges += [(4, 5), (2, 1)]  # pendant + reversed duplicate of (1,2)
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    assert triangle_count(pairs).collect()[0]["n_triangles"] == 4
+
+
+def test_triangle_count_no_triangles(spark):
+    from id3c_spark.operators.graph import triangle_count
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+    assert triangle_count(pairs).collect()[0]["n_triangles"] == 0

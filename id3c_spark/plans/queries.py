@@ -3197,6 +3197,61 @@ def triangle_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_count(pairs, "id_a", "id_b")
 
 
+@query(
+    "order_window_overlaps",
+    # interval × interval overlap: 14-day order-activity intervals vs 20
+    # overlapping 21-day campaign windows laid every 10 days from the
+    # first order (integer micros throughout)
+    oracle="""
+    WITH o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS a_s,
+                      epoch_us(o_orderdate) + 1209600000000 AS a_e
+               FROM orders),
+    base AS (SELECT min(a_s) AS b FROM o),
+    w AS (SELECT r.k AS window_id,
+                 base.b + r.k * 864000000000 AS w_s,
+                 base.b + r.k * 864000000000 + 1814400000000 AS w_e
+          FROM base, unnest(range(0, 20)) AS r(k))
+    SELECT w.window_id, count(*) AS n_orders
+    FROM o JOIN w ON o.a_s < w.w_e AND w.w_s < o.a_e
+    GROUP BY w.window_id
+    """,
+)
+def order_window_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose 14-day activity interval overlaps each 21-day
+    campaign window (operators.interval.overlap_join): both sides
+    explode to fixed-width buckets and meet in a plain EQUI-join keyed
+    on the bucket — no broadcast non-equi scan, both sides scale — with
+    one-bucket pair attribution instead of a distinct pass."""
+    from id3c_spark.operators.interval import overlap_join
+
+    DAY_US = 86400000000
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate")).alias("a_s"),
+        (F.unix_micros(F.col("o_orderdate")) + F.lit(14 * DAY_US)).alias("a_e"),
+    )
+    base = o.agg(F.min("a_s").alias("b"))
+    w = (
+        spark.range(0, 20)
+        .withColumnRenamed("id", "window_id")
+        .crossJoin(F.broadcast(base))
+        .select(
+            "window_id",
+            (F.col("b") + F.col("window_id") * F.lit(10 * DAY_US)).alias("w_s"),
+            (
+                F.col("b")
+                + F.col("window_id") * F.lit(10 * DAY_US)
+                + F.lit(21 * DAY_US)
+            ).alias("w_e"),
+        )
+    )
+    pairs = overlap_join(
+        o, w, bucket_width=21 * DAY_US,
+        l_start="a_s", l_end="a_e", r_start="w_s", r_end="w_e",
+    )
+    return pairs.groupBy("window_id").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

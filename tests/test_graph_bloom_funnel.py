@@ -175,3 +175,45 @@ def test_triangle_count_no_triangles(spark):
 
     pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
     assert triangle_count(pairs).collect()[0]["n_triangles"] == 0
+
+
+def test_overlap_join_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from id3c_spark.operators.interval import overlap_join
+
+    rnd = random.Random(7)
+    L = [(i, rnd.randrange(0, 200), 0) for i in range(30)]
+    L = [(i, s, s + rnd.randrange(1, 60)) for i, s, _ in L]
+    R = [(j, rnd.randrange(0, 200), 0) for j in range(20)]
+    R = [(j, s, s + rnd.randrange(1, 40)) for j, s, _ in R]
+    left = spark.createDataFrame(L, "lid long, ls long, le long")
+    right = spark.createDataFrame(R, "rid long, rs long, re long")
+    expected = {
+        (i, j)
+        for (i, ls, le), (j, rs, re) in itertools.product(L, R)
+        if ls < re and rs < le
+    }
+    for width in (7, 64, 500):  # exact for any width
+        got = {
+            (r["lid"], r["rid"])
+            for r in overlap_join(
+                left, right, width, "ls", "le", "rs", "re"
+            ).collect()
+        }
+        assert got == expected, f"width={width}"
+
+
+def test_overlap_join_half_open_boundaries(spark):
+    from id3c_spark.operators.interval import overlap_join
+
+    left = spark.createDataFrame([(1, 0, 10)], "lid long, ls long, le long")
+    right = spark.createDataFrame(
+        [(1, 10, 20), (2, 9, 20)], "rid long, rs long, re long"
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in overlap_join(left, right, 8, "ls", "le", "rs", "re").collect()
+    }
+    assert got == {(1, 2)}  # touching endpoints do not overlap

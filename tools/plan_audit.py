@@ -39,6 +39,17 @@ DEFAULT_QUERIES = [
     "dup_cluster_reps",
     "orders_profile",
     "small_qty_revenue",
+    # round-6 additions
+    "pagerank_dup_docs",
+    "triangle_count_docs",
+    "bloom_decontaminate_docs",
+    "edit_distance_part_pairs",
+    "principal_direction_embeddings",
+    "funnel_signup_purchase",
+    "waiting_suppliers",
+    "order_window_overlaps",
+    "user_type_scd2",
+    "orders_expectations",
 ]
 
 

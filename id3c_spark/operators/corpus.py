@@ -531,3 +531,30 @@ def segment_dedup(
         F.col("n_segments").cast("long").alias("n_segments"),
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
     )
+
+
+def group_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group — a deterministic
+    reservoir: rank rows inside each group by md5(id) (a uniform random
+    permutation that any engine reproduces) and keep the first k.
+
+    Complements stratified_sample (rate-based, shuffle-free): use this
+    when each stratum must contribute a FIXED count (eval-set carving,
+    per-domain spot checks) rather than a proportion. One group-keyed
+    window shuffle; for a planet-sized single group the same two-pass
+    cutoff trick as budget_sample_twopass applies (sample the md5-rank
+    distribution, take the k-th quantile as a filter cutoff).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -3252,6 +3252,30 @@ def order_window_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("window_id").agg(F.count(F.lit(1)).alias("n_orders"))
 
 
+@query(
+    "group_sample_docs",
+    # fixed-k deterministic reservoir per language: md5 rank, id tiebreak
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 5
+    """,
+)
+def group_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-5-per-language deterministic reservoir sample
+    (corpus.group_sample): fixed-count carving per stratum (eval sets,
+    per-domain spot checks) vs stratified_sample's rate-based filter.
+    One group-keyed window shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    return corpus.group_sample(docs, "lang", "doc_id", k=5).select(
+        "doc_id", "lang"
+    )
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

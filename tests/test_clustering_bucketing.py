@@ -283,3 +283,37 @@ def test_range_clustered_files_are_disjoint(spark, tmp_path):
         if (lo1, hi1) != (lo2, hi2) and lo1 <= hi2 and lo2 <= hi1
     )
     assert overlapping > 0
+
+
+def test_zordered_files_have_narrow_spans_on_both_columns(spark, tmp_path):
+    from id3c_spark.sources.bucketing import file_column_ranges, write_zordered
+
+    # two independent uniform dimensions — hash layout gives every file
+    # the full domain on both; z-order confines each file to a small
+    # hyper-rectangle
+    df = spark.range(0, 16384).select(
+        (F.col("id") % 128).alias("x"),
+        ((F.col("id") * 2654435761) % 128).alias("y"),
+    )
+    zpath = str(tmp_path / "zordered")
+    write_zordered(df, zpath, ["x", "y"], num_files=16)
+
+    def avg_span(path, col):
+        rng = file_column_ranges(path, col)
+        return sum(hi - lo for lo, hi in rng) / len(rng)
+
+    plain = str(tmp_path / "plain")
+    df.repartition(16).write.parquet(plain)
+    # both dimensions individually skippable: file spans well under the
+    # 0..127 domain that every hash-layout file covers
+    for col in ("x", "y"):
+        assert avg_span(plain, col) > 100
+        assert avg_span(zpath, col) < 70, (col, avg_span(zpath, col))
+
+
+def test_zorder_key_constant_column_degenerates_gracefully(spark):
+    from id3c_spark.sources.bucketing import zorder_key
+
+    df = spark.range(0, 100).select(F.col("id").alias("a"), F.lit(7).alias("b"))
+    keys = df.select(zorder_key(df, ["a", "b"]).alias("z")).distinct().count()
+    assert keys > 50  # the varying column still spreads the key space

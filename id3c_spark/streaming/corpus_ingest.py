@@ -59,10 +59,28 @@ def curate_batch(
     corpus: DataFrame | None,
     min_words: int = 3,
     jaccard_threshold: float = 0.5,
+    expectations: list | None = None,
 ) -> DataFrame:
     """One batch of the ingest loop, also usable stand-alone: survivors of
     (within-batch exact dedup → quality gate → corpus id + near-dup
-    guards). Returns (doc_id, text)."""
+    guards). Returns (doc_id, text).
+
+    *expectations* (operators.expect Rule list) runs as a batch-level
+    admission gate BEFORE any curation work: if any rule reports
+    violations the whole batch is rejected (empty survivors) — the
+    Deequ-style circuit breaker that keeps a malformed upstream delivery
+    out of the published corpus. One extra aggregation pass per batch.
+    """
+    if expectations:
+        from id3c_spark.operators.expect import check
+
+        bad = (
+            check(batch, expectations)
+            .agg(F.sum("n_violations").alias("v"))
+            .collect()[0]["v"]
+        )
+        if bad:
+            return batch.filter(F.lit(False))
     # first occurrence per id within the batch (re-delivered lines)
     batch = batch.dropDuplicates(["doc_id"])
     metrics = repetition_metrics(batch, "doc_id", "text")

@@ -161,3 +161,26 @@ def test_cli_corpus_check(spark, tmp_path):
         "corpus", "check", p, "--not-null", "id", "--fail-on-violations",
     ])
     assert res2.exit_code == 1
+
+
+def test_curate_batch_expectation_circuit_breaker(spark):
+    from id3c_spark.operators import expect
+    from id3c_spark.streaming.corpus_ingest import curate_batch
+
+    good = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine"),
+        ],
+        "doc_id long, text string",
+    )
+    rules = [expect.not_null("doc_id"), expect.unique("doc_id")]
+    assert curate_batch(good, None, expectations=rules).count() == 2
+    # a null id anywhere rejects the WHOLE batch (admission gate)
+    bad = good.unionByName(
+        spark.createDataFrame(
+            [(None, "ten eleven twelve thirteen fourteen fifteen sixteen")],
+            "doc_id long, text string",
+        )
+    )
+    assert curate_batch(bad, None, expectations=rules).count() == 0

@@ -3276,6 +3276,140 @@ def group_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_tumbling_hours",
+    # F.window tumbling semantics = epoch-aligned floor buckets
+    oracle="""
+    SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_tumbling_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation via F.window — the batch
+    face of the streaming windowed-agg operator (same expression powers
+    the watermarked streaming path in streaming/stateful.py). Output
+    keyed by epoch-aligned window start (unix micros)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value"), "sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "customer_balance_deciles",
+    # ntile over a total order (acctbal, custkey tiebreak) per segment
+    oracle="""
+    SELECT c_mktsegment, decile,
+           count(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+    FROM (
+      SELECT c_mktsegment, c_acctbal,
+             ntile(10) OVER (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer)
+    GROUP BY c_mktsegment, decile
+    """,
+)
+def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment account-balance deciles (ntile window with a total
+    order so bucket boundaries are engine-identical) rolled up to
+    (segment, decile, n, total) — the ranking-window family beyond
+    row_number/lag/lead already covered."""
+    cust = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("c_acctbal"), "total_bal"),
+        )
+    )
+
+
+@query(
+    "part_entity_resolution",
+    # the full MDM composition: (exact-name ∪ Levenshtein≤2) pairs
+    # within brand blocks → connected components (recursive
+    # reachability) → canonical min-id record + member count
+    oracle="""
+    WITH RECURSIVE
+    pnear AS (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      WHERE a.p_name <> b.p_name
+        AND abs(len(a.p_name) - len(b.p_name)) <= 2
+        AND levenshtein(a.p_name, b.p_name) <= 2),
+    pexact AS (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_name = b.p_name
+           AND a.p_partkey < b.p_partkey),
+    p AS (SELECT * FROM pnear UNION SELECT * FROM pexact),
+    edges AS (SELECT id_a AS a, id_b AS b FROM p
+              UNION SELECT id_b, id_a FROM p),
+    reach(node, r) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r),
+    cl AS (SELECT node AS id, min(r) AS cluster FROM reach GROUP BY node)
+    SELECT cl.cluster AS canonical_id, pp.p_name AS canonical_name,
+           count(*) AS n_members
+    FROM cl JOIN part pp ON pp.p_partkey = cl.cluster
+    GROUP BY cl.cluster, pp.p_name
+    """,
+)
+def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end (the classic MDM composition):
+    blocked candidate pairs — exact-name plus Levenshtein ≤ 2 — feed
+    connected components (dedup.dedup_clusters), and each entity
+    resolves to its canonical min-id record with a member count. Every
+    stage is the already-scale-shaped operator: block-keyed joins,
+    pointer-jumping components past the driver cutoff, broadcast dim
+    attach."""
+    part = t(spark, sf_dir, "part")
+    near = similarity.edit_distance_pairs(
+        part, "p_partkey", "p_name", "p_brand", max_distance=2
+    ).select("id_a", "id_b")
+    keyed = part.select("p_brand", "p_name", "p_partkey")
+    exact = (
+        keyed.withColumnRenamed("p_partkey", "id_a")
+        .join(keyed.withColumnRenamed("p_partkey", "id_b"), ["p_brand", "p_name"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    clusters = dedup.dedup_clusters(near.unionByName(exact).distinct())
+    return (
+        clusters.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(
+            F.broadcast(
+                part.select(
+                    F.col("p_partkey").alias("cluster"),
+                    F.col("p_name").alias("canonical_name"),
+                )
+            ),
+            "cluster",
+        )
+        .select(
+            F.col("cluster").alias("canonical_id"), "canonical_name", "n_members"
+        )
+    )
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

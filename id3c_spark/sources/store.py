@@ -92,10 +92,27 @@ class ParquetTable:
         self.flip(v)
         return v
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, evolve: bool = False) -> int:
+        """Append rows as a new version. With *evolve*, either side may
+        carry columns the other lacks (schema evolution on append): the
+        union fills the gaps with NULLs, so old rows acquire new columns
+        as NULL and late producers of a dropped column keep working —
+        the additive-only evolution contract a training corpus needs
+        (never silently drops or retypes existing columns)."""
         if self.exists():
-            return self.publish(self.read().unionByName(df))
+            return self.publish(
+                self.read().unionByName(df, allowMissingColumns=evolve)
+            )
         return self.publish(df)
+
+    def compact(self, target_files: int) -> int:
+        """Rewrite the current version into *target_files* files (small-
+        file compaction after many incremental appends — the OPTIMIZE
+        step). Data is unchanged: readers see the same rows, just fewer,
+        larger files; published as a normal new version so time travel
+        and the atomic pointer flip still hold. coalesce() not
+        repartition(): no shuffle, partitions merge in place."""
+        return self.publish(self.read().coalesce(target_files))
 
     def _vacuum(self, keep: int) -> None:
         v = self.current_version() or 0

@@ -69,3 +69,36 @@ def test_store_time_travel_and_retention(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError, match="keep_versions"):
         s.read(version=1)
+
+
+def test_store_compact_and_evolve(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from id3c_spark.sources.store import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "tbl"), keep_versions=5)
+    t.publish(spark.range(0, 100).repartition(16).select("id"))
+    t.append(spark.range(100, 120).repartition(8).select("id"))
+    v_files = glob.glob(f"{t.path}/v{t.current_version()}/*.parquet")
+    assert len(v_files) > 2
+
+    v = t.compact(target_files=2)
+    files = glob.glob(f"{t.path}/v{v}/*.parquet")
+    assert len(files) <= 2
+    assert t.read().count() == 120
+    assert set(r["id"] for r in t.read().collect()) == set(range(120))
+
+    # additive schema evolution: new column arrives → old rows get NULL
+    evolved = spark.range(120, 125).select(
+        "id", F.lit("fresh").alias("source")
+    )
+    t.append(evolved, evolve=True)
+    out = t.read()
+    assert set(out.columns) == {"id", "source"}
+    assert out.filter(F.col("source").isNull()).count() == 120
+    assert out.filter(F.col("source") == "fresh").count() == 5
+    # and a producer still on the OLD schema keeps working
+    t.append(spark.range(125, 126).select("id"), evolve=True)
+    assert t.read().count() == 126

@@ -255,3 +255,100 @@ def test_profile_table_invariants(spark, rows):
         assert prof["a"].min_num is None
     if b_vals:
         assert prof["b"].min_str == min(b_vals) and prof["b"].max_str == max(b_vals)
+
+
+_EV = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # user
+        st.integers(min_value=0, max_value=50),   # ts
+        st.sampled_from(["a", "b", "c"]),         # step type
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(_EV)
+@settings(max_examples=15, deadline=None)
+def test_funnel_matches_bruteforce_model(spark, events):
+    """funnel_steps == 'any strictly-increasing (a,b,c) chain exists',
+    with the greedy earliest chain timestamps."""
+    from id3c_spark.operators.funnel import funnel_steps
+
+    rows = [
+        (f"u{u}", __import__("datetime").datetime(2026, 1, 1, 0, 0, t), s)
+        for u, t, s in events
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_type string"
+    ) if rows else spark.createDataFrame(
+        [], "user_id string, ts timestamp, event_type string"
+    )
+    got = {
+        r["user"]: (r["ts_0"], r["ts_1"], r["ts_2"])
+        for r in funnel_steps(df, ["a", "b", "c"]).collect()
+    }
+
+    # brute-force greedy model per user
+    expected = {}
+    by_user: dict = {}
+    for u, t, s in events:
+        by_user.setdefault(f"u{u}", []).append((t, s))
+    for u, evs in by_user.items():
+        t0 = min((t for t, s in evs if s == "a"), default=None)
+        if t0 is None:
+            continue
+        t1 = min((t for t, s in evs if s == "b" and t > t0), default=None)
+        if t1 is None:
+            continue
+        t2 = min((t for t, s in evs if s == "c" and t > t1), default=None)
+        if t2 is None:
+            continue
+        expected[u] = (t0, t1, t2)
+    assert set(got) == set(expected)
+    for u, (t0, t1, t2) in expected.items():
+        g0, g1, g2 = got[u]
+        secs = lambda us: (us // 1_000_000) % 3600  # noqa: E731
+        assert (secs(g0), secs(g1), secs(g2)) == (t0, t1, t2)
+
+
+_LOG = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # key
+        st.sampled_from(["X", "Y"]),              # attr
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(_LOG)
+@settings(max_examples=15, deadline=None)
+def test_scd2_changelog_model(spark, log):
+    """scd2_from_changelog == run-length encoding per key: versions are
+    maximal runs of equal attrs; intervals tile [first_ts, None)."""
+    from id3c_spark.operators.scd import scd2_from_changelog
+
+    rows = [(f"k{k}", i * 10, a, i) for i, (k, a) in enumerate(log)]
+    df = spark.createDataFrame(
+        rows, "k string, ts long, attr string, eid long"
+    ) if rows else spark.createDataFrame([], "k string, ts long, attr string, eid long")
+    got = sorted(
+        (r["k"], r["attr"], r["valid_from"], r["valid_to"])
+        for r in scd2_from_changelog(df, "k", ["attr"], "ts", "eid").collect()
+    )
+
+    expected = []
+    by_key: dict = {}
+    for k, ts, a, _ in rows:
+        by_key.setdefault(k, []).append((ts, a))
+    for k, evs in by_key.items():
+        evs.sort()
+        runs = []
+        for ts, a in evs:
+            if not runs or runs[-1][1] != a:
+                runs.append([ts, a])
+        for i, (ts, a) in enumerate(runs):
+            end = runs[i + 1][0] if i + 1 < len(runs) else None
+            expected.append((k, a, ts, end))
+    assert got == sorted(expected)

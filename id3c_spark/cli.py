@@ -739,6 +739,40 @@ def corpus_profile(input_parquet: str, columns: str | None, approx: bool) -> Non
         click.echo(json.dumps(row.asDict()))
 
 
+@corpus.command("compact")
+@click.argument("table_path")
+@click.option("--target-files", default=8, show_default=True, type=int)
+def corpus_compact(table_path: str, target_files: int) -> None:
+    """Compact the current corpus version into fewer, larger files
+    (post-ingest OPTIMIZE; published as a normal new version so time
+    travel and atomic reads hold)."""
+    from id3c_spark.sources.store import ParquetTable
+
+    spark = get_spark("corpus-compact")
+    table = ParquetTable(spark, table_path)
+    v = table.compact(target_files=target_files)
+    click.echo(json.dumps({"version": v, "target_files": target_files}))
+
+
+@corpus.command("zorder")
+@click.argument("input_parquet")
+@click.option("--output", required=True)
+@click.option("--by", "cols", required=True,
+              help="comma-separated numeric columns to cluster on")
+@click.option("--num-files", default=None, type=int)
+def corpus_zorder(input_parquet: str, output: str, cols: str,
+                  num_files: int | None) -> None:
+    """Rewrite a parquet table Z-order-clustered on multiple columns so
+    footer min/max stats skip files for predicates on ANY of them."""
+    from id3c_spark.sources.bucketing import write_zordered
+
+    spark = get_spark("corpus-zorder")
+    df = spark.read.parquet(input_parquet)
+    write_zordered(df, output, [c.strip() for c in cols.split(",")],
+                   num_files=num_files)
+    click.echo(json.dumps({"output": output, "cols": cols}))
+
+
 @corpus.command("check")
 @click.argument("input_parquet")
 @click.option("--not-null", "not_null_cols", multiple=True,

@@ -184,3 +184,32 @@ def test_curate_batch_expectation_circuit_breaker(spark):
         )
     )
     assert curate_batch(bad, None, expectations=rules).count() == 0
+
+
+def test_cli_corpus_compact_and_zorder(spark, tmp_path):
+    import glob
+    import json
+
+    from click.testing import CliRunner
+
+    from id3c_spark.cli import cli
+    from id3c_spark.sources.store import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "tbl"))
+    t.publish(spark.range(0, 500).repartition(12))
+    runner = CliRunner()
+    res = runner.invoke(cli, ["corpus", "compact", t.path, "--target-files", "2"])
+    assert res.exit_code == 0, res.output
+    v = json.loads(res.output)["version"]
+    assert len(glob.glob(f"{t.path}/v{v}/*.parquet")) <= 2
+    assert t.read().count() == 500
+
+    src = str(tmp_path / "src.parquet")
+    spark.range(0, 1000).selectExpr("id % 50 AS x", "(id * 7) % 50 AS y").write.parquet(src)
+    out = str(tmp_path / "z")
+    res = runner.invoke(cli, [
+        "corpus", "zorder", src, "--output", out, "--by", "x,y", "--num-files", "4",
+    ])
+    assert res.exit_code == 0, res.output
+    zdf = spark.read.parquet(out)
+    assert zdf.count() == 1000 and set(zdf.columns) == {"x", "y"}

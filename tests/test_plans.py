@@ -36,6 +36,7 @@ ALLOWED_CROSS = {
     "dsir_top_docs": 1,
     "temperature_sample_docs": 1,  # α-weight normalizer z (one row)
     "rich_idle_customers": 1,      # scalar avg-balance threshold (one row)
+    "order_window_overlaps": 1,    # min-orderdate base scalar (one row)
 }
 
 

@@ -3410,6 +3410,122 @@ def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "margin_mined_pairs",
+    # Artetxe-Schwenk-style ratio-margin mining between two embedding
+    # slices: best cross-side neighbor, scored against the mean of the
+    # top-4 (exact DECIMAL sum → identical mean both engines)
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(
+               list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i])))),
+               6) AS sim
+      FROM v a CROSS JOIN v b
+      WHERE a.label < 5 AND b.label >= 5),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+      FROM p),
+    k4 AS (SELECT * FROM r WHERE rn <= 4),
+    m AS (SELECT query_id,
+                 CAST(sum(CAST(sim AS DECIMAL(10,6))) AS DOUBLE) AS ssum,
+                 CAST(count(*) AS DOUBLE) AS nk
+          FROM k4 GROUP BY query_id)
+    SELECT k4.query_id, k4.neighbor_id, k4.sim,
+           round(k4.sim / (m.ssum / m.nk), 6) AS margin
+    FROM k4 JOIN m ON m.query_id = k4.query_id
+    WHERE k4.rn = 1
+      AND round(k4.sim / (m.ssum / m.nk), 6) >= 1.02
+    """,
+)
+def margin_mined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based candidate mining between two embedding slices (the
+    LASER/CCMatrix bitext-mining criterion, forward ratio-margin form):
+    a source vector's best cross-side neighbor survives only if it
+    stands out against the mean of the top-4 — filtering out hubs that
+    are 'near everything'. Rides the distributed blocked-GEMM top-k
+    (ann.cosine_topk) + one query-keyed agg/join."""
+    emb = t(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("label") < 5)
+    tgt = emb.filter(F.col("label") >= 5)
+    nn = ann.cosine_topk(src, tgt, k=4)
+    m = nn.groupBy("query_id").agg(
+        F.sum(F.col("sim").cast("decimal(10,6)")).cast("double").alias("ssum"),
+        F.count(F.lit(1)).cast("double").alias("nk"),
+    )
+    margin = F.round(F.col("sim") / (F.col("ssum") / F.col("nk")), 6)
+    return (
+        nn.filter(F.col("rank") == 1)
+        .join(m, "query_id")
+        .filter(margin >= 1.02)
+        .select("query_id", "neighbor_id", "sim", margin.alias("margin"))
+    )
+
+
+@query(
+    "order_trend_by_segment",
+    # grouped closed-form OLS: all four sufficient statistics are exact
+    # (bigint/decimal sums), the slope/intercept are then single double
+    # ops on identical inputs — distributed regression with NO iteration
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg,
+             epoch_us(o.o_orderdate) // 86400000000 AS x,
+             CAST(o.o_totalprice AS DECIMAL(18,4)) AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    s AS (
+      SELECT seg,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(18,0)) * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx
+      FROM j GROUP BY seg)
+    SELECT seg,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept
+    FROM s
+    """,
+)
+def order_trend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment order-value trend by closed-form least squares: the
+    four sufficient statistics (Σx, Σy, Σxy, Σx²) reduce in ONE
+    map-side-combined aggregation — grouped regression over any corpus
+    size with no iteration and no driver math beyond none at all."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("seg")
+    )
+    j = orders.join(F.broadcast(cust), "o_custkey").select(
+        "seg",
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("x"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("y"),
+    )
+    s = j.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        "seg",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

@@ -558,3 +558,39 @@ def group_sample(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Weighted sample of k rows by Priority Sampling (Duffield-Lund-
+    Thorup): each row gets priority q = w / u with u uniform in (0, 1],
+    and the k highest-priority rows are kept — inclusion probability
+    ∝ min(1, w/τ), giving unbiased weighted-subset estimates. The
+    uniform variate is md5-derived, so the sample is deterministic and
+    engine-replayable: u = (md5_48(id) + 1) / 2^48 and q = w/u are
+    single IEEE ops on exact integer inputs.
+
+    Scale shape: one TakeOrdered (per-partition heaps, k rows to the
+    driver) — no global sort, no shuffle beyond the final k. The
+    uniform samplers (stratified_sample et al.) ignore weights; use
+    this when longer/higher-quality documents must be proportionally
+    favored (token-weighted eval carving, importance-weighted audits).
+    """
+    u48 = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+    )
+    u = (u48 + F.lit(1)).cast("double") / F.lit(float(1 << 48))
+    q = F.col(weight_col).cast("double") / u
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition heaps),
+    # never a single-partition global sort window
+    return (
+        df.withColumn("__q", F.round(q, 6))
+        .orderBy(F.desc("__q"), F.col(id_col))
+        .limit(k)
+        .drop("__q")
+    )

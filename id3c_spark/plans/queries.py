@@ -3526,6 +3526,35 @@ def order_trend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "priority_sample_docs",
+    # Duffield-Lund-Thorup priority sampling: q = w/u, top-40 —
+    # u=(md5_48+1)/2^48 and w/u are single IEEE ops, 6-dp rounded rank
+    oracle="""
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars,
+             round(
+               CAST(n_chars AS DOUBLE) /
+               ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 1)
+                / 281474976710656.0),
+               6) AS q
+      FROM documents)
+    ORDER BY q DESC, doc_id
+    LIMIT 40
+    """,
+)
+def priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted 40-doc sample by priority sampling
+    (corpus.priority_sample): longer documents are proportionally
+    favored with unbiased weighted-subset semantics — the weighted
+    counterpart to the uniform stratified/reservoir samplers. Plans as
+    TakeOrderedAndProject: per-partition heaps, only k rows move."""
+    docs = t(spark, sf_dir, "documents")
+    return corpus.priority_sample(docs, "n_chars", "doc_id", k=40).select(
+        "doc_id", "n_chars"
+    )
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

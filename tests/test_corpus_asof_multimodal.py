@@ -432,3 +432,22 @@ def test_mp3_metadata_through_spark(spark):
     assert row.sample_rate == 44100 and row.channels == 2
     assert row.duration_ms == 250
     assert row.rms is None                        # sample decode needs a codec
+
+
+def test_priority_sample_weight_bias_and_determinism(spark):
+    from id3c_spark.operators.corpus import priority_sample
+
+    # 200 light docs (w=10) vs 200 heavy docs (w=1000): heavy docs must
+    # dominate the weighted sample
+    rows = [(i, 10) for i in range(200)] + [(i, 1000) for i in range(200, 400)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [r["doc_id"] for r in priority_sample(df, "w", "doc_id", 50).collect()]
+    assert len(got) == 50
+    heavy = sum(1 for i in got if i >= 200)
+    assert heavy >= 40  # ~99% expected; md5 determinism makes this stable
+    # deterministic replay
+    again = [r["doc_id"] for r in priority_sample(df, "w", "doc_id", 50).collect()]
+    assert got == again
+    # plans as TakeOrdered, not a global sort
+    plan = priority_sample(df, "w", "doc_id", 50)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

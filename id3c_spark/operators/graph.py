@@ -126,3 +126,49 @@ def triangle_count(
         e.select(F.col("lo").alias("a"), F.col("hi").alias("c")), ["a", "c"]
     )
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def hop_distances(
+    pairs: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    seed_col: str = "id",
+) -> DataFrame:
+    """(node, dist): BFS hop distance from the *seeds* set over the
+    undirected pair relation, capped at *max_hops* (unreached nodes are
+    absent). Per hop ONE edge-keyed join + a min aggregation — all
+    integer arithmetic, so the catalog oracle unrolls the same hops as
+    a CTE chain with exact equality. Frontier-style pruning is implicit:
+    min() is monotone, so re-relaxing settled nodes is idempotent; the
+    localCheckpoint keeps the per-hop plan constant-depth (the same
+    discipline as pagerank/dedup_clusters).
+
+    The classic use over the duplicate graph: "how close is this
+    document to a known-bad seed set" — contamination blast-radius
+    scoring beyond direct pairs.
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = seeds.select(F.col(seed_col).alias("node")).distinct().withColumn(
+        "dist", F.lit(0).cast("long")
+    )
+    for _ in range(max_hops):
+        relaxed = (
+            edges.join(dist, edges["src"] == dist["node"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist

@@ -3555,6 +3555,63 @@ def priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hops_oracle(hops: int = 4) -> str:
+    """Unrolled BFS min-propagation over the k=3 Jaccard ≥ 0.4 dup graph
+    from the doc_id%97 seed set — all-integer, exact equality."""
+    sql = f"""
+    WITH {_SHINGLES_CTE},
+    stop AS (SELECT s FROM ds GROUP BY s HAVING count(*) > 200),
+    bl AS (SELECT doc_id, s FROM ds WHERE s NOT IN (SELECT s FROM stop)),
+    bsizes AS (SELECT doc_id, count(*) AS n FROM bl GROUP BY doc_id),
+    binter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+      FROM bl a JOIN bl b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    p AS (
+      SELECT id_a, id_b FROM binter
+      JOIN bsizes na ON na.doc_id = id_a
+      JOIN bsizes nb ON nb.doc_id = id_b
+      WHERE round(ni::DOUBLE / (na.n + nb.n - ni), 6) >= 0.4),
+    e AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION SELECT id_b, id_a FROM p),
+    d0 AS (SELECT doc_id AS node, CAST(0 AS BIGINT) AS dist
+           FROM documents WHERE doc_id % 97 = 0)"""
+    prev = "d0"
+    for h in range(1, hops + 1):
+        sql += f""",
+    d{h} AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM {prev}
+        UNION ALL
+        SELECT e.b AS node, d.dist + 1 AS dist
+        FROM e JOIN {prev} d ON e.a = d.node)
+      GROUP BY node)"""
+        prev = f"d{h}"
+    sql += f"""
+    SELECT node AS doc_id, dist FROM {prev}
+    """
+    return sql
+
+
+@query("doc_blast_radius", oracle=_hops_oracle(hops=4))
+def doc_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance from a known-bad seed set over the near-dup
+    graph (operators.graph.hop_distances): contamination blast-radius
+    scoring — documents two or three duplicate-hops from a flagged seed
+    are quarantine candidates even without a direct pair. Per hop one
+    edge-keyed join + min agg, all integer."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.4, max_df=200
+    )
+    seeds = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    return graph.hop_distances(pairs, seeds, max_hops=4).select(
+        F.col("node").alias("doc_id"), "dist"
+    )
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

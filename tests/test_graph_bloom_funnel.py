@@ -217,3 +217,15 @@ def test_overlap_join_half_open_boundaries(spark):
         for r in overlap_join(left, right, 8, "ls", "le", "rs", "re").collect()
     }
     assert got == {(1, 2)}  # touching endpoints do not overlap
+
+
+def test_hop_distances_bfs(spark):
+    from id3c_spark.operators.graph import hop_distances
+
+    # path 1-2-3-4-5, seed {1}; plus isolated seed 99
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    seeds = spark.createDataFrame([(1,), (99,)], "id long")
+    got = {r["node"]: r["dist"] for r in hop_distances(pairs, seeds, 3).collect()}
+    assert got == {1: 0, 99: 0, 2: 1, 3: 2, 4: 3}  # 5 beyond the cap

@@ -122,3 +122,60 @@ def sessionize_stateful(events: DataFrame, watermark_delay: str = "1 hour") -> D
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = "user_id long, ts_0 long, ts_1 long, ts_2 long"
+#: earliest in-order chain progress: -1 sentinels for steps not reached
+FUNNEL_STATE_SCHEMA = "t0 long, t1 long, t2 long, emitted boolean"
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def _funnel_group(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Advance the greedy earliest in-order chain with each micro-batch;
+    emit the user's completion row exactly once, when step 3 first
+    lands. Earliest-first is order-insensitive across batches as long
+    as each batch's events are replayed in time order: taking the min
+    feasible timestamp per step is monotone."""
+    (user_id,) = key
+    t0, t1, t2, emitted = state.get if state.exists else (-1, -1, -1, False)
+    evs = sorted(
+        (int(t.timestamp() * 1_000_000), s)
+        for pdf in pdfs
+        for t, s in zip(pd.to_datetime(pdf["ts"]), pdf["event_type"])
+    )
+    for ts, step in evs:
+        if step == FUNNEL_STEPS[0] and t0 == -1:
+            t0 = ts
+        elif step == FUNNEL_STEPS[1] and t0 != -1 and ts > t0 and t1 == -1:
+            t1 = ts
+        elif step == FUNNEL_STEPS[2] and t1 != -1 and ts > t1 and t2 == -1:
+            t2 = ts
+    out: list[tuple] = []
+    if t2 != -1 and not emitted:
+        out.append((user_id, t0, t1, t2))
+        emitted = True
+    state.update((t0, t1, t2, emitted))
+    if out:
+        yield pd.DataFrame(out, columns=["user_id", "ts_0", "ts_1", "ts_2"])
+
+
+def funnel_stateful(events: DataFrame) -> DataFrame:
+    """Streaming strict-order funnel: per-user chain progress lives in
+    applyInPandasWithState; each completion emits exactly once. The
+    streaming face of operators/funnel.funnel_steps (exact for per-user
+    in-order delivery; late out-of-order steps can only delay, never
+    corrupt, a completion)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_group,
+            FUNNEL_OUTPUT_SCHEMA,
+            FUNNEL_STATE_SCHEMA,
+            "append",  # each completion row is emitted exactly once
+            GroupStateTimeout.NoTimeout,
+        )
+    )

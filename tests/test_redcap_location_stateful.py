@@ -532,3 +532,55 @@ def test_redcap_sync_delete_end_to_end(spark, tmp_path, monkeypatch):
         assert {r.individual_id for r in wh.read("individual").collect()} == {10}
     finally:
         stub.close()
+
+
+def test_streaming_funnel_stateful(spark, tmp_path):
+    """Per-user funnel progress carried in state across micro-batches;
+    completion emits exactly once."""
+    from id3c_spark.streaming.stateful import funnel_stateful
+
+    src = tmp_path / "fstream"
+    src.mkdir()
+    out_dir = str(tmp_path / "fout")
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, event_type string"
+        ).json(str(src))
+        q = (
+            funnel_stateful(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "fckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: signup + click for user 1; full chain OUT OF ORDER for
+    # user 2 (purchase before click in event time → no completion)
+    (src / "b1.json").write_text(
+        '{"user_id": 1, "ts": "2024-01-01T00:00:00Z", "event_type": "signup"}\n'
+        '{"user_id": 1, "ts": "2024-01-01T00:05:00Z", "event_type": "click"}\n'
+        '{"user_id": 2, "ts": "2024-01-01T00:00:00Z", "event_type": "signup"}\n'
+        '{"user_id": 2, "ts": "2024-01-01T00:10:00Z", "event_type": "click"}\n'
+        '{"user_id": 2, "ts": "2024-01-01T00:03:00Z", "event_type": "purchase"}\n'
+    )
+    run_once()
+    assert spark.read.parquet(out_dir).count() == 0  # nobody finished
+
+    # batch 2: user 1 purchases → completion emits once with the chain
+    (src / "b2.json").write_text(
+        '{"user_id": 1, "ts": "2024-01-01T00:09:00Z", "event_type": "purchase"}\n'
+    )
+    run_once()
+    rows = spark.read.parquet(out_dir).collect()
+    assert [(r.user_id, r.ts_1 < r.ts_2) for r in rows] == [(1, True)]
+
+    # batch 3: more user-1 events do NOT re-emit
+    (src / "b3.json").write_text(
+        '{"user_id": 1, "ts": "2024-01-01T01:00:00Z", "event_type": "purchase"}\n'
+    )
+    run_once()
+    assert spark.read.parquet(out_dir).count() == 1

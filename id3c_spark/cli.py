@@ -201,6 +201,149 @@ def mint_cmd(n, set_id, set_name, existing, seed, labels, layout, label_api):
         click.echo(f"wrote {len(pdf)} bytes of labels to {labels}")
 
 
+@cli.group("identifier")
+def identifier_group() -> None:
+    """Identifier batches, label PDFs, and set registries (reference
+    lib/id3c/cli/command/identifier.py)."""
+
+
+@identifier_group.command("labels")
+@click.argument("filename", type=click.Path())
+@click.option("--identifiers", "ids_path", required=True,
+              help="NDJSON lines of {uuid, barcode} (mint output) or a "
+                   "parquet with a barcode column — replaces the "
+                   "reference's interactive batch picker "
+                   "(identifier.py:125-160) for non-interactive runs")
+@click.option("--set-name", default="samples", show_default=True)
+@click.option("--layout", default="default", show_default=True)
+@click.option("--copies-per-barcode", type=click.Choice(["1", "2"]), default=None)
+@click.option("--label-api", default=None, help="Lab Labels service URL")
+@click.option("--spec-only", is_flag=True,
+              help="write the Lab Labels layout spec JSON instead of "
+                   "POSTing it for PDF rendering (offline/air-gapped runs; "
+                   "the reference always delegates rendering to the "
+                   "external service)")
+def identifier_labels(filename, ids_path, set_name, layout,
+                      copies_per_barcode, label_api, spec_only) -> None:
+    """Make barcode labels for an EXISTING batch of identifiers
+    (identifier.py:109-160)."""
+    import os as _os
+
+    from id3c_spark import labelmaker
+
+    if ids_path.endswith(".parquet") or _os.path.isdir(ids_path):
+        spark = get_spark("identifier-labels")
+        barcodes = [r["barcode"] for r in
+                    spark.read.parquet(ids_path).select("barcode").collect()]
+    else:
+        with open(ids_path) as f:
+            barcodes = [json.loads(line)["barcode"] for line in f if line.strip()]
+    lay, codes = labelmaker.layout_identifiers(
+        set_name, barcodes, layout,
+        copies_per_barcode=int(copies_per_barcode) if copies_per_barcode else None,
+    )
+    if spec_only:
+        with open(filename, "w") as f:
+            json.dump(lay.spec(codes), f)
+    else:
+        kwargs = {"api": label_api} if label_api else {}
+        pdf = labelmaker.generate_pdf(lay, codes, **kwargs)
+        with open(filename, "wb") as f:
+            f.write(pdf)
+    click.echo(json.dumps({"labels": filename, "n_barcodes": len(codes)}))
+
+
+def _registry(spark, warehouse: str, name: str):
+    from id3c_spark.sources.store import ParquetTable
+
+    return ParquetTable(spark, f"{warehouse.rstrip('/')}/{name}")
+
+
+@identifier_group.group("set")
+def identifier_set_group() -> None:
+    """Identifier set registry (identifier.py:199-257)."""
+
+
+@identifier_set_group.command("ls")
+@click.option("--warehouse", required=True)
+def identifier_set_ls(warehouse) -> None:
+    spark = get_spark("identifier-set")
+    t = _registry(spark, warehouse, "identifier_set")
+    if t.exists():
+        for r in t.read().orderBy("name").collect():
+            click.echo(json.dumps(
+                {"name": r["name"], "use": r["use"],
+                 "description": r["description"]}))
+
+
+@identifier_set_group.command("create")
+@click.argument("name")
+@click.argument("use")
+@click.argument("description")
+@click.option("--warehouse", required=True)
+def identifier_set_create(name, use, description, warehouse) -> None:
+    """Create a set; *use* must exist in the set-use registry (the
+    reference's FK constraint, identifier.py:228-256)."""
+    from pyspark.sql import functions as F
+
+    spark = get_spark("identifier-set")
+    uses = _registry(spark, warehouse, "identifier_set_use")
+    known = (
+        {r["use"] for r in uses.read().collect()} if uses.exists() else set()
+    )
+    if use not in known:
+        raise click.UsageError(
+            f"unknown use {use!r}; create it first (known: {sorted(known)})"
+        )
+    t = _registry(spark, warehouse, "identifier_set")
+    row = spark.createDataFrame(
+        [(name, use, description)], "name string, use string, description string"
+    )
+    if t.exists():
+        if t.read().filter(F.col("name") == name).count():
+            raise click.UsageError(f"set {name!r} exists")
+        t.append(row)
+    else:
+        t.publish(row)
+    click.echo(json.dumps({"created": name, "use": use}))
+
+
+@identifier_group.group("set-use")
+def identifier_set_use_group() -> None:
+    """Identifier set-use registry (identifier.py:258-300)."""
+
+
+@identifier_set_use_group.command("ls")
+@click.option("--warehouse", required=True)
+def identifier_set_use_ls(warehouse) -> None:
+    spark = get_spark("identifier-set-use")
+    t = _registry(spark, warehouse, "identifier_set_use")
+    if t.exists():
+        for r in t.read().orderBy("use").collect():
+            click.echo(json.dumps({"use": r["use"], "description": r["description"]}))
+
+
+@identifier_set_use_group.command("create")
+@click.argument("use")
+@click.argument("description")
+@click.option("--warehouse", required=True)
+def identifier_set_use_create(use, description, warehouse) -> None:
+    from pyspark.sql import functions as F
+
+    spark = get_spark("identifier-set-use")
+    t = _registry(spark, warehouse, "identifier_set_use")
+    row = spark.createDataFrame(
+        [(use, description)], "use string, description string"
+    )
+    if t.exists():
+        if t.read().filter(F.col("use") == use).count():
+            raise click.UsageError(f"use {use!r} exists")
+        t.append(row)
+    else:
+        t.publish(row)
+    click.echo(json.dumps({"created": use}))
+
+
 @cli.command("de-identify")
 @click.option("--input", "input_path", required=True, help="CSV file")
 @click.option("--columns", required=True, help="comma-separated hash inputs")

@@ -213,3 +213,52 @@ def test_cli_corpus_compact_and_zorder(spark, tmp_path):
     assert res.exit_code == 0, res.output
     zdf = spark.read.parquet(out)
     assert zdf.count() == 1000 and set(zdf.columns) == {"x", "y"}
+
+
+def test_cli_identifier_sets_and_labels(spark, tmp_path):
+    import json
+
+    from click.testing import CliRunner
+
+    from id3c_spark.cli import cli
+
+    wh = str(tmp_path / "wh")
+    runner = CliRunner()
+    # set-use must exist before a set can reference it (reference FK)
+    res = runner.invoke(cli, [
+        "identifier", "set", "create", "samples", "sample", "swab barcodes",
+        "--warehouse", wh,
+    ])
+    assert res.exit_code != 0  # unknown use
+    assert runner.invoke(cli, [
+        "identifier", "set-use", "create", "sample", "specimen barcodes",
+        "--warehouse", wh,
+    ]).exit_code == 0
+    assert runner.invoke(cli, [
+        "identifier", "set", "create", "samples", "sample", "swab barcodes",
+        "--warehouse", wh,
+    ]).exit_code == 0
+    # duplicate set name rejected
+    assert runner.invoke(cli, [
+        "identifier", "set", "create", "samples", "sample", "again",
+        "--warehouse", wh,
+    ]).exit_code != 0
+    ls = runner.invoke(cli, ["identifier", "set", "ls", "--warehouse", wh])
+    assert json.loads(ls.output)["name"] == "samples"
+
+    # labels for an existing batch from NDJSON mint output
+    ids = tmp_path / "ids.ndjson"
+    ids.write_text(
+        '{"uuid": "u1", "barcode": "aacd1234"}\n'
+        '{"uuid": "u2", "barcode": "bbcd5678"}\n'
+    )
+    spec_path = str(tmp_path / "labels.json")
+    res = runner.invoke(cli, [
+        "identifier", "labels", spec_path, "--identifiers", str(ids),
+        "--set-name", "samples", "--spec-only",
+    ])
+    assert res.exit_code == 0, res.output
+    assert json.loads(res.output.strip().splitlines()[-1])["n_barcodes"] == 2
+    spec = json.load(open(spec_path))
+    texts = [e.get("text") for e in spec["labels"] if e.get("text")]
+    assert any("aacd1234" in t for t in texts)

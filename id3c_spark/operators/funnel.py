@@ -89,3 +89,43 @@ def retention_cohorts(
         .groupBy("cohort_us", "week_n")
         .agg(F.count_distinct("user").alias("n_users"))
     )
+
+
+def funnel_report(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(step_index, step, n_users): how many users reached each funnel
+    prefix in order — the conversion report over funnel_steps'
+    machinery. Step 0 counts users with the first event; step i counts
+    users whose greedy chain extends through step i. Same shuffle
+    profile as funnel_steps (one user-keyed agg per step)."""
+    ev = events.select(
+        F.col(user_col).alias("user"),
+        F.unix_micros(F.col(ts_col)).alias("_ts"),
+        F.col(type_col).alias("_type"),
+    )
+    spark = events.sparkSession
+    counts = []
+    cur = (
+        ev.filter(F.col("_type") == steps[0])
+        .groupBy("user")
+        .agg(F.min("_ts").alias("prev"))
+    )
+    counts.append(cur.count())
+    for step in steps[1:]:
+        nxt = ev.filter(F.col("_type") == step).select("user", "_ts")
+        cur = (
+            cur.join(nxt, "user")
+            .filter(F.col("_ts") > F.col("prev"))
+            .groupBy("user")
+            .agg(F.min("_ts").alias("prev"))
+        )
+        counts.append(cur.count())
+    return spark.createDataFrame(
+        [(i, s, n) for i, (s, n) in enumerate(zip(steps, counts))],
+        "step_index long, step string, n_users long",
+    )

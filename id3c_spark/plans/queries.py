@@ -3612,6 +3612,37 @@ def doc_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "funnel_conversion_report",
+    # step-wise conversion counts: the greedy chain prefix counts
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+    s0 AS (SELECT user_id, min(ts_us) AS t FROM e
+           WHERE event_type = 'signup' GROUP BY user_id),
+    s1 AS (SELECT e.user_id, min(e.ts_us) AS t
+           FROM e JOIN s0 ON e.user_id = s0.user_id
+           WHERE e.event_type = 'click' AND e.ts_us > s0.t
+           GROUP BY e.user_id),
+    s2 AS (SELECT e.user_id, min(e.ts_us) AS t
+           FROM e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'purchase' AND e.ts_us > s1.t
+           GROUP BY e.user_id)
+    SELECT CAST(0 AS BIGINT) AS step_index, 'signup' AS step,
+           (SELECT count(*) FROM s0) AS n_users
+    UNION ALL
+    SELECT 1, 'click', (SELECT count(*) FROM s1)
+    UNION ALL
+    SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+    """,
+)
+def funnel_conversion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-wise funnel conversion counts (operators.funnel.
+    funnel_report): users reaching each in-order prefix of
+    signup → click → purchase."""
+    ev = t(spark, sf_dir, "events")
+    return funnel.funnel_report(ev, ["signup", "click", "purchase"])
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

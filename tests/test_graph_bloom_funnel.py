@@ -229,3 +229,22 @@ def test_hop_distances_bfs(spark):
     seeds = spark.createDataFrame([(1,), (99,)], "id long")
     got = {r["node"]: r["dist"] for r in hop_distances(pairs, seeds, 3).collect()}
     assert got == {1: 0, 99: 0, 2: 1, 3: 2, 4: 3}  # 5 beyond the cap
+
+
+def test_funnel_report_counts(spark):
+    from id3c_spark.operators.funnel import funnel_report
+
+    ev = spark.createDataFrame(
+        [
+            ("u1", _ts(0), "signup"), ("u1", _ts(1), "click"), ("u1", _ts(2), "purchase"),
+            ("u2", _ts(0), "signup"), ("u2", _ts(1), "click"),
+            ("u3", _ts(0), "signup"),
+            ("u4", _ts(5), "click"),  # never signed up
+        ],
+        "user_id string, ts timestamp, event_type string",
+    )
+    rep = {
+        r["step"]: r["n_users"]
+        for r in funnel_report(ev, ["signup", "click", "purchase"]).collect()
+    }
+    assert rep == {"signup": 3, "click": 2, "purchase": 1}

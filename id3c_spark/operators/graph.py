@@ -172,3 +172,51 @@ def hop_distances(
             .localCheckpoint()
         )
     return dist
+
+
+def label_propagation(
+    pairs: DataFrame,
+    iters: int = 3,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """(node, community) by synchronous label propagation: each round a
+    node adopts the most frequent label among its neighbors (ties → the
+    smallest label). Where connected components answer "what touches
+    what", LPA finds DENSE regions — boilerplate families inside a
+    loosely chained duplicate blob.
+
+    Fixed *iters* synchronous rounds (deterministic; the classic
+    async/random variant is not replayable). All-integer: per round one
+    edge-keyed join, a (node,label) count, and a node-keyed top-1
+    window — the catalog oracle unrolls the identical rounds.
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(iters):
+        votes = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.desc("cnt"), F.asc("label")
+        )
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return labels.withColumnRenamed("label", "community")

@@ -3643,6 +3643,62 @@ def funnel_conversion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel.funnel_report(ev, ["signup", "click", "purchase"])
 
 
+def _lpa_oracle(iters: int = 3) -> str:
+    """Unrolled synchronous label propagation over the k=3 Jaccard dup
+    graph — all-integer (count majority, min-label tie-break)."""
+    sql = f"""
+    WITH {_SHINGLES_CTE},
+    stop AS (SELECT s FROM ds GROUP BY s HAVING count(*) > 200),
+    bl AS (SELECT doc_id, s FROM ds WHERE s NOT IN (SELECT s FROM stop)),
+    bsizes AS (SELECT doc_id, count(*) AS n FROM bl GROUP BY doc_id),
+    binter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+      FROM bl a JOIN bl b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    p AS (
+      SELECT id_a, id_b FROM binter
+      JOIN bsizes na ON na.doc_id = id_a
+      JOIN bsizes nb ON nb.doc_id = id_b
+      WHERE round(ni::DOUBLE / (na.n + nb.n - ni), 6) >= 0.4),
+    e AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM e)"""
+    prev = "l0"
+    for i in range(1, iters + 1):
+        sql += f""",
+    v{i} AS (
+      SELECT e.dst AS node, l.label, count(*) AS cnt
+      FROM e JOIN {prev} l ON l.node = e.src
+      GROUP BY e.dst, l.label),
+    l{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label) AS rn
+        FROM v{i})
+      WHERE rn = 1)"""
+        prev = f"l{i}"
+    sql += f"""
+    SELECT node AS doc_id, label AS community FROM {prev}
+    """
+    return sql
+
+
+@query("lpa_communities_docs", oracle=_lpa_oracle(iters=3))
+def lpa_communities_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense duplicate communities by synchronous label propagation
+    (operators.graph.label_propagation): majority-vote label adoption
+    over the near-dup graph — separates tight boilerplate families from
+    loose chains that connected components would lump together."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.4, max_df=200
+    )
+    return graph.label_propagation(pairs, iters=3).select(
+        F.col("node").alias("doc_id"), "community"
+    )
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

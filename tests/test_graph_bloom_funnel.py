@@ -248,3 +248,18 @@ def test_funnel_report_counts(spark):
         for r in funnel_report(ev, ["signup", "click", "purchase"]).collect()
     }
     assert rep == {"signup": 3, "click": 2, "purchase": 1}
+
+
+def test_label_propagation_separates_dense_communities(spark):
+    from id3c_spark.operators.graph import label_propagation
+
+    # two K4 cliques bridged by one edge: LPA keeps them apart where
+    # connected components would merge them
+    k4a = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    k4b = [(a, b) for a in range(11, 15) for b in range(a + 1, 15)]
+    bridge = [(4, 11)]
+    pairs = spark.createDataFrame(k4a + k4b + bridge, "id_a long, id_b long")
+    out = {r["node"]: r["community"] for r in label_propagation(pairs, iters=4).collect()}
+    ca = {out[n] for n in (1, 2, 3)}
+    cb = {out[n] for n in (12, 13, 14)}
+    assert len(ca) == 1 and len(cb) == 1 and ca != cb

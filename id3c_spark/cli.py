@@ -449,6 +449,28 @@ def manifest_parse_config(config_file, output):
     click.echo(f"wrote {len(records)} manifest records to {output}")
 
 
+@manifest_group.command("upload")
+@click.argument("manifest_file", type=click.Path(exists=True))
+@click.option("--receiving-dir", required=True)
+def manifest_upload(manifest_file, receiving_dir):
+    """Upload parsed manifest records into the receiving area
+    (manifest.py:439-469): the dedicated form of `id3c upload` pinned to
+    the manifest receiving table; the manifest ETL then reconciles the
+    records against identifiers and samples. All-or-nothing like the
+    reference's transaction: lines are validated before any append."""
+    import os
+
+    with open(manifest_file) as src:
+        lines = [ln.rstrip("\n") for ln in src if ln.strip()]
+    for ln in lines:
+        json.loads(ln)  # validate everything BEFORE appending anything
+    os.makedirs(receiving_dir, exist_ok=True)
+    with open(os.path.join(receiving_dir, "manifest.ndjson"), "a") as out:
+        for ln in lines:
+            out.write(ln + "\n")
+    click.echo(json.dumps({"table": "manifest", "uploaded": len(lines)}))
+
+
 @manifest_group.command("diff")
 @click.argument("manifest_a", type=click.Path(exists=True))
 @click.argument("manifest_b", type=click.Path(exists=True))
@@ -669,6 +691,16 @@ def location_import_cmd(features_path, warehouse_dir, scale, simplified_path, mo
             simplified = stage_features(spark, json.load(f), scale)
     stats = import_locations(spark, Warehouse(spark, warehouse_dir), staged, simplified, mode)
     click.echo(json.dumps(stats))
+
+
+@location_group.command("lookup")
+@click.option("--points", required=True, help="CSV with lat,lng columns")
+@click.option("--locations", required=True, help="location parquet (polygon_wkt)")
+@click.option("--output", required=True)
+def location_lookup(points, locations, output):
+    """Point-in-polygon lookup (the reference's `id3c location lookup`,
+    location.py:354) — same engine as the top-level `lookup` alias."""
+    lookup_cmd.callback(points, locations, output)
 
 
 @cli.command("refresh-materialized-view")

@@ -262,3 +262,31 @@ def test_cli_identifier_sets_and_labels(spark, tmp_path):
     spec = json.load(open(spec_path))
     texts = [e.get("text") for e in spec["labels"] if e.get("text")]
     assert any("aacd1234" in t for t in texts)
+
+
+def test_cli_manifest_upload_validates_before_append(spark, tmp_path):
+    import json as _json
+
+    from click.testing import CliRunner
+
+    from id3c_spark.cli import cli
+
+    runner = CliRunner()
+    rec = str(tmp_path / "recv")
+    good = tmp_path / "m.ndjson"
+    good.write_text('{"sample": "s1"}\n{"sample": "s2"}\n')
+    res = runner.invoke(cli, [
+        "manifest", "upload", str(good), "--receiving-dir", rec,
+    ])
+    assert res.exit_code == 0, res.output
+    assert _json.loads(res.output)["uploaded"] == 2
+
+    bad = tmp_path / "bad.ndjson"
+    bad.write_text('{"sample": "s3"}\nnot-json\n')
+    res = runner.invoke(cli, [
+        "manifest", "upload", str(bad), "--receiving-dir", rec,
+    ])
+    assert res.exit_code != 0
+    # all-or-nothing: the bad file appended NOTHING
+    with open(f"{rec}/manifest.ndjson") as f:
+        assert len(f.readlines()) == 2

@@ -562,3 +562,51 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("distance") <= max_distance)
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b, containment) with max-directional shingle
+    containment |A∩B| / min(|A|, |B|) ≥ threshold — Broder's containment
+    measure, symmetrized by the smaller side.
+
+    Jaccard misses subset duplication: a paragraph fully embedded in a
+    10× longer page scores |A|/|B| ≈ 0.1 Jaccard but 1.0 containment.
+    Same exact shared-shingle blocking + candidate-restricted verify as
+    ngram_jaccard_pairs (any pair with containment > 0 shares a
+    shingle), same max_df stop-shingle skew cap.
+    """
+    sh = _distinct_shingles(df, id_col, text_col, k)
+    if max_df is not None:
+        stop = (
+            sh.groupBy("sh").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .persist()
+        )
+        if stop.limit(1).count():
+            sh = sh.join(F.broadcast(stop.select("sh")), "sh", "left_anti").persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    containment = F.round(
+        F.col("n_inter").cast("double")
+        / F.least(F.col("n_a"), F.col("n_b")).cast("double"),
+        6,
+    )
+    return (
+        inter
+        .join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+        .filter(containment >= threshold)
+        .select("id_a", "id_b", containment.alias("containment"))
+    )

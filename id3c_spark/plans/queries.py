@@ -3699,6 +3699,38 @@ def lpa_communities_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ngram_containment_pairs",
+    # Broder containment |A∩B|/min(|A|,|B|): catches subset duplication
+    # Jaccard dilutes away (stop-shingle cap mirrored as in jaccard)
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    stop AS (SELECT s FROM ds GROUP BY s HAVING count(*) > 200),
+    bl AS (SELECT doc_id, s FROM ds WHERE s NOT IN (SELECT s FROM stop)),
+    bsizes AS (SELECT doc_id, count(*) AS n FROM bl GROUP BY doc_id),
+    binter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+      FROM bl a JOIN bl b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(ni::DOUBLE / least(na.n, nb.n), 6) AS containment
+    FROM binter
+    JOIN bsizes na ON na.doc_id = id_a
+    JOIN bsizes nb ON nb.doc_id = id_b
+    WHERE round(ni::DOUBLE / least(na.n, nb.n), 6) >= 0.5
+    """,
+)
+def ngram_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric subset-duplication pairs by shingle containment
+    (dedup.ngram_containment_pairs): a short document embedded in a
+    long one scores ~1.0 here but near-zero Jaccard — the measure C4
+    and friends use for page-in-page boilerplate."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.ngram_containment_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5, max_df=200
+    )
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

@@ -326,3 +326,24 @@ def test_cluster_representatives_tiebreak_deterministic(spark):
         order_by=[F.col("quality").desc(), F.col("id").asc()], id_col="vec_id",
     ).collect()
     assert len(out) == 1 and out[0].rep_id == 7  # equal quality -> id asc
+
+
+def test_containment_catches_subset_duplication(spark):
+    from id3c_spark.operators.dedup import ngram_containment_pairs, ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " one two three four five six seven eight nine ten " \
+                   "eleven twelve thirteen fourteen fifteen sixteen"
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally different words here entirely")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(docs, "doc_id", "text", k=3, threshold=0.8).collect()
+    }
+    # the short doc's shingles are ALL inside the long doc → containment 1.0
+    assert cont == {(1, 2): 1.0}
+    # jaccard on the same pair is diluted far below the dup threshold
+    jac = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8).collect()
+    assert jac == []

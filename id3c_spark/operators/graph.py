@@ -43,6 +43,7 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 5,
     round_dp: int = 6,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank over an undirected pair relation → (node, rank).
 
@@ -51,32 +52,52 @@ def pagerank(
     and the classic dangling-mass correction is unnecessary. Fixed
     *iters* power iterations with teleport (1-damping)/N. Ranks are
     rounded to *round_dp* dp at the end (stable across engines).
+
+    With *weight_col* (e.g. the pair's jaccard), mass splits
+    proportionally to edge weight instead of 1/deg: similarity-weighted
+    centrality. Weights must be non-negative with a deterministic value
+    (the dedup operators' 6-dp rounded scores qualify); per-source
+    totals sum exactly as DECIMAL(18,6), and the per-edge share w/W is
+    a single double division — the oracle discipline is unchanged.
     """
+    wcols = [F.col(weight_col).alias("w")] if weight_col else []
     edges = pairs.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst"), *wcols
     )
+    back = [F.col("w")] if weight_col else []
     edges = (
         edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), *back
+            )
         )
         .distinct()
         .localCheckpoint()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    if weight_col:
+        deg = edges.groupBy("src").agg(
+            F.sum(F.col("w").cast("decimal(18,6)")).cast("double").alias("deg")
+        )
+    else:
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("src").alias("node"))
     n = nodes.count()  # single scalar — the only driver-side value
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     teleport = (1.0 - damping) / float(n)  # same double both engines
     ranks = nodes.withColumn("rank", F.lit(1.0 / float(n)))
+    # NB: the two arithmetic forms are kept verbatim per mode — the
+    # oracles replay the exact op sequence (rank/deg vs rank·(w/W))
+    contrib_c = (
+        F.floor(F.col("rank") * (F.col("w") / F.col("deg")) * F.lit(SCALE))
+        if weight_col
+        else F.floor(F.col("rank") / F.col("deg") * F.lit(SCALE))
+    )
     for _ in range(iters):
         contrib = (
             edges.join(ranks, edges["src"] == ranks["node"])
             .join(deg, "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.floor(F.col("rank") / F.col("deg") * F.lit(SCALE)).alias("c"),
-            )
+            .select(F.col("dst").alias("node"), contrib_c.alias("c"))
         )
         ranks = (
             contrib.groupBy("node")

@@ -3731,6 +3731,67 @@ def ngram_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wpagerank_oracle(iters: int = 5) -> str:
+    """Weighted PageRank unrolled: mass splits by jaccard edge weight
+    (exact DECIMAL(18,6) per-source totals; share = w/W single double
+    division; contributions floor-int as in the unweighted chain)."""
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f"""
+    r{i} AS (
+      SELECT e.dst AS node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+             + CAST(0.85 AS DOUBLE)
+               * (CAST(SUM(CAST(floor(r.rank * (e.w / d.deg) * 1e12) AS BIGINT))
+                       AS DOUBLE) / 1e12) AS rank
+      FROM e JOIN r{i - 1} r ON r.node = e.src
+             JOIN deg d ON d.src = e.src
+             CROSS JOIN nn
+      GROUP BY e.dst, nn.n)""")
+    chain = ",".join(its)
+    return f"""
+    WITH {_SHINGLES_CTE},
+    stop AS (SELECT s FROM ds GROUP BY s HAVING count(*) > 200),
+    bl AS (SELECT doc_id, s FROM ds WHERE s NOT IN (SELECT s FROM stop)),
+    bsizes AS (SELECT doc_id, count(*) AS n FROM bl GROUP BY doc_id),
+    binter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+      FROM bl a JOIN bl b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pj AS (
+      SELECT id_a, id_b,
+             round(ni::DOUBLE / (na.n + nb.n - ni), 6) AS j
+      FROM binter
+      JOIN bsizes na ON na.doc_id = id_a
+      JOIN bsizes nb ON nb.doc_id = id_b
+      WHERE round(ni::DOUBLE / (na.n + nb.n - ni), 6) >= 0.4),
+    e AS (SELECT id_a AS src, id_b AS dst, j AS w FROM pj
+          UNION SELECT id_b, id_a, j FROM pj),
+    deg AS (SELECT src,
+                   CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS deg
+            FROM e GROUP BY src),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+           FROM deg CROSS JOIN nn),{chain}
+    SELECT node AS doc_id, round(rank, 6) AS rank FROM r{iters}
+    """
+
+
+@query("pagerank_weighted_docs", oracle=_wpagerank_oracle(iters=5))
+def pagerank_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-weighted PageRank over the dup graph: rank mass flows
+    proportionally to pair jaccard, so a hub of NEAR-identical copies
+    outranks one with many weak resemblances — the weighted-graph face
+    of operators.graph.pagerank."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.4, max_df=200
+    )
+    return graph.pagerank(
+        pairs, "id_a", "id_b", damping=0.85, iters=5, weight_col="jaccard"
+    ).select(F.col("node").alias("doc_id"), "rank")
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

@@ -263,3 +263,17 @@ def test_label_propagation_separates_dense_communities(spark):
     ca = {out[n] for n in (1, 2, 3)}
     cb = {out[n] for n in (12, 13, 14)}
     assert len(ca) == 1 and len(cb) == 1 and ca != cb
+
+
+def test_weighted_pagerank_favors_strong_edges(spark):
+    from id3c_spark.operators.graph import pagerank
+
+    # hub h has one strong edge to s (w=1.0) and one weak to t (w=0.1):
+    # s should receive more of h's mass than t
+    pairs = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 0.1)], "id_a long, id_b long, w double"
+    )
+    out = {r["node"]: r["rank"] for r in
+           pagerank(pairs, iters=8, weight_col="w").collect()}
+    assert out[1] > out[2]
+    assert abs(sum(out.values()) - 1.0) < 1e-3

@@ -176,3 +176,40 @@ def bm25_topk(
     return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
         F.col("id").alias(id_col), "score", "n_terms_matched", "rank"
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists: score(d) = Σ 1/(c+rank)
+    over the lists that ranked d (Cormack et al.) — the standard way to
+    merge lexical (BM25) and vector (cosine) retrieval without score
+    calibration, since ranks are scale-free.
+
+    Each input needs (id_col, rank_col). Missing membership contributes
+    0. One full-outer join chain keyed on the id + a TakeOrdered top-k;
+    per-list terms are single double divisions, so the fused score is
+    engine-exact (6-dp rounded for rank stability).
+    """
+    fused = None
+    for i, r in enumerate(rankings):
+        side = r.select(
+            F.col(id_col), F.col(rank_col).alias(f"__r{i}")
+        )
+        fused = side if fused is None else fused.join(side, id_col, "full_outer")
+    score = None
+    for i in range(len(rankings)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(c) + F.col(f"__r{i}")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    return (
+        fused.withColumn("rrf", F.round(score, 6))
+        .select(id_col, "rrf")
+        .orderBy(F.desc("rrf"), F.col(id_col))
+        .limit(k)
+    )

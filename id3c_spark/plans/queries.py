@@ -3792,6 +3792,110 @@ def pagerank_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("node").alias("doc_id"), "rank")
 
 
+@query(
+    "hybrid_search_docs",
+    # BM25 top-50 ⊕ cosine-to-query-vec top-50 fused by reciprocal rank
+    # (c=60); embeddings.vec_id aligns with documents.doc_id
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> x != '') AS ws
+      FROM documents),
+    tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (
+      SELECT (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT count(*) FROM tok)::DOUBLE
+               / (SELECT count(DISTINCT doc_id) FROM tok) AS avgdl),
+    m AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dl.dl
+      FROM tf JOIN dl USING (doc_id)
+      WHERE term IN ('spark', 'join', 'merge', 'window')),
+    dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM m GROUP BY term),
+    sc AS (
+      SELECT m.doc_id,
+             CAST(round(
+               ln(1 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+               * (m.tf * 2.2)
+               / (m.tf + 1.2 * (1 - 0.75 + 0.75 * m.dl / s.avgdl)),
+             8) AS DECIMAL(18,8)) AS ts
+      FROM m JOIN dfx USING (term) CROSS JOIN stats s),
+    agg AS (
+      SELECT doc_id, round(CAST(sum(ts) AS DOUBLE), 6) AS score
+      FROM sc GROUP BY doc_id),
+    rlex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM agg QUALIFY rank <= 50),
+    v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+          FROM embeddings),
+    q AS (SELECT e AS qe FROM v WHERE vec_id = 7),
+    sims AS (
+      SELECT v.vec_id AS doc_id,
+             round(
+               list_sum(list_transform(range(1, 65), i -> v.e[i] * q.qe[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> v.e[i] * v.e[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> q.qe[i] * q.qe[i])))),
+               6) AS sim
+      FROM v CROSS JOIN q WHERE v.vec_id != 7),
+    rsem AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY sim DESC, doc_id) AS rank
+      FROM sims QUALIFY rank <= 50),
+    f AS (
+      SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+             round(coalesce(CAST(1.0 AS DOUBLE) / (60 + l.rank), 0.0)
+                   + coalesce(CAST(1.0 AS DOUBLE) / (60 + s.rank), 0.0),
+                   6) AS rrf
+      FROM rlex l FULL OUTER JOIN rsem s ON s.doc_id = l.doc_id)
+    SELECT doc_id, rrf FROM f
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def hybrid_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword top-50 and cosine-to-query-vector
+    top-50 merged by reciprocal-rank fusion (operators.search.rrf_fuse)
+    — the standard calibration-free lexical⊕vector merge of a RAG
+    stack. Vector side is one row-local cosine pass against the
+    broadcast query vector; fusion is a full-outer join on the id +
+    TakeOrdered."""
+    from id3c_spark.operators.ann import cosine
+    from id3c_spark.operators.search import bm25_topk, rrf_fuse
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, _BM25_TERMS, k=50).select("doc_id", "rank")
+    qvec = (
+        emb.filter(F.col("vec_id") == 7)
+        .select(F.col("embedding").cast("array<double>").alias("e"))
+        .collect()[0]["e"]
+    )
+    e = F.col("embedding").cast("array<double>")
+    sims = (
+        emb.filter(F.col("vec_id") != 7)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(e, F.array(*[F.lit(x) for x in qvec])), 6).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    # TakeOrdered the k=50 FIRST (per-partition heaps), then rank only
+    # those 50 rows — the global-sort window never sees the full corpus
+    sem = (
+        sims.orderBy(F.desc("sim"), F.col("doc_id"))
+        .limit(50)
+        .withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.desc("sim"), F.col("doc_id"))),
+        )
+        .select("doc_id", "rank")
+    )
+    return rrf_fuse([lex, sem], "doc_id", "rank", k=10, c=60)
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

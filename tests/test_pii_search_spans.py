@@ -185,3 +185,17 @@ def test_auto_nlist_is_ceil_sqrt():
     assert _auto_nlist(500) == 23
     assert _auto_nlist(2000) == 45
     assert _auto_nlist(400) == 20  # perfect square stays exact (isqrt)
+
+
+def test_rrf_fuse_merges_disjoint_and_overlapping(spark):
+    from id3c_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(3, 1), (4, 2)], "doc_id long, rank int")
+    out = {r["doc_id"]: r["rrf"] for r in rrf_fuse([a, b], k=10).collect()}
+    # doc 3 appears in both lists → sum of both reciprocal terms
+    assert abs(out[3] - round(1 / 63 + 1 / 61, 6)) < 1e-9
+    assert abs(out[1] - round(1 / 61, 6)) < 1e-9
+    assert set(out) == {1, 2, 3, 4}
+    # 3 (two lists) outranks 1 (rank 1 in a single list)
+    assert out[3] > out[1]

@@ -26,6 +26,7 @@ ALLOWED_CROSS = {
     # ADC scorer of pq.pq_topk
     "embedding_topk": 1,
     "embedding_dups": 1,
+    "margin_mined_pairs": 1,  # cosine_topk's B×S blocked-GEMM crossJoin
     "bm25_search_docs": 2,
     "pq_topk_embeddings": 1,
     # single-row aggregate scalars cross-joined onto a relation (the same

@@ -26,7 +26,12 @@ ALLOWED_CROSS = {
     # ADC scorer of pq.pq_topk
     "embedding_topk": 1,
     "embedding_dups": 1,
-    "margin_mined_pairs": 1,  # cosine_topk's B×S blocked-GEMM crossJoin
+    # cosine_topk's B×S blocked-GEMM crossJoin + the single-row top-4
+    # mean relation joined back for the margin ratio
+    "margin_mined_pairs": 2,
+    # bm25's two single-row stats scalars (as in bm25_search_docs);
+    # the broadcast query vector rides as a literal, not a join
+    "hybrid_search_docs": 2,
     "bm25_search_docs": 2,
     "pq_topk_embeddings": 1,
     # single-row aggregate scalars cross-joined onto a relation (the same

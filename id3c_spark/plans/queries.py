@@ -3896,6 +3896,49 @@ def hybrid_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex, sem], "doc_id", "rank", k=10, c=60)
 
 
+@query(
+    "hashed_doc_embeddings",
+    # feature hashing: md5 bucket + md5 ±1 sign, exact int sums, one
+    # double division per (doc, dim)
+    oracle=f"""
+    WITH {_WORDS_CTE},
+    tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(w), 1, 7))::BIGINT % 64 AS bucket,
+             CASE WHEN ('0x' || substr(md5('sg:' || w), 1, 7))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS sign
+      FROM tok),
+    v AS (SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS s
+          FROM h GROUP BY 1, 2),
+    n2 AS (SELECT doc_id, CAST(sum(s * s) AS BIGINT) AS nrm2
+           FROM v GROUP BY 1),
+    grid AS (SELECT d.doc_id, r.i - 1 AS dim
+             FROM documents d, unnest(range(1, 65)) AS r(i))
+    SELECT g.doc_id, g.dim,
+           round(CASE WHEN n2.nrm2 > 0
+                      THEN coalesce(v.s, 0)::DOUBLE
+                           / sqrt(CAST(n2.nrm2 AS DOUBLE))
+                      ELSE 0.0 END, 6) AS v
+    FROM grid g
+    LEFT JOIN v ON v.doc_id = g.doc_id AND v.bucket = g.dim
+    LEFT JOIN n2 ON n2.doc_id = g.doc_id
+    """,
+)
+def hashed_doc_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free 64-dim document embeddings by the hashing trick
+    (operators.embed.hashed_doc_embeddings): signed hashed bag-of-words,
+    L2-normalized — feeds the whole vector family (ANN/semantic dedup/
+    k-means) straight from text with no encoder artifact. One
+    bucket-keyed exact-integer aggregation; no vocabulary shipped."""
+    from id3c_spark.operators.embed import hashed_doc_embeddings
+
+    docs = t(spark, sf_dir, "documents")
+    return hashed_doc_embeddings(docs, "doc_id", "text", dim=64).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

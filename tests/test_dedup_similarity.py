@@ -347,3 +347,32 @@ def test_containment_catches_subset_duplication(spark):
     # jaccard on the same pair is diluted far below the dup threshold
     jac = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8).collect()
     assert jac == []
+
+
+def test_hashed_embeddings_similarity_structure(spark):
+    from id3c_spark.operators.embed import hashed_doc_embeddings
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),      # near-dup of 1
+            (3, "one two three four five six"),      # unrelated
+            (4, ""),                                  # empty → zero vector
+        ],
+        "doc_id long, text string",
+    )
+    rows = hashed_doc_embeddings(docs, "doc_id", "text", dim=32).collect()
+    vecs = {}
+    for r in rows:
+        vecs.setdefault(r["id"], {})[r["dim"]] = r["v"]
+    assert all(len(v) == 32 for v in vecs.values())
+
+    def dot(a, b):
+        return sum(a[d] * b[d] for d in range(32))
+
+    # unit norms (except the empty doc)
+    for i in (1, 2, 3):
+        assert abs(dot(vecs[i], vecs[i]) - 1.0) < 1e-3
+    assert dot(vecs[4], vecs[4]) == 0.0
+    # shared-vocabulary pair far more similar than the unrelated one
+    assert dot(vecs[1], vecs[2]) > 0.5 > abs(dot(vecs[1], vecs[3]))

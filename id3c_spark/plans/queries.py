@@ -1542,13 +1542,13 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle() -> str:
+def _bpe_token_counts() -> dict[int, int]:
     """Independent pure-Python mirror of bpe_tokenize_docs: re-derives word
     frequencies, the 50-merge Sennrich loop (max count, lexicographic
     tie-break), and per-doc token counts with none of the Spark operator's
-    code, then returns the expected output as a VALUES literal. Single
-    process, no memoization, dict-based — a genuinely different execution
-    path over the same fixture."""
+    code. Single process, no memoization, dict-based — a genuinely
+    different execution path over the same fixture. Feeds both the BPE
+    VALUES oracle and the token-packing oracle."""
     import re
     from collections import Counter
 
@@ -1609,10 +1609,12 @@ def _bpe_oracle() -> str:
             syms[i:i + 2] = [syms[i] + syms[i + 1]]
         return len(syms)
 
-    values = ", ".join(
-        f"({doc_id}, {sum(n_tokens(w) for w in ws)})"
-        for doc_id, ws in doc_words.items()
-    )
+    return {doc_id: sum(n_tokens(w) for w in ws) for doc_id, ws in doc_words.items()}
+
+
+def _bpe_oracle() -> str:
+    counts = _bpe_token_counts()
+    values = ", ".join(f"({d}, {n})" for d, n in counts.items())
     return (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
         " CAST(n_tokens AS INTEGER) AS n_tokens"
@@ -1621,6 +1623,63 @@ def _bpe_oracle() -> str:
 
 
 LAZY_ORACLES["bpe_tokenize_docs"] = _bpe_oracle
+
+
+def _pack_tokens_oracle() -> str:
+    """Token-budget packing oracle: the BPE mirror's per-doc token counts
+    (VALUES literal) fed through the same recursive-CTE next-fit replay
+    as pack_docs_by_chars (budget 256, 8 buckets)."""
+    counts = _bpe_token_counts()
+    values = ", ".join(f"({d}, {n})" for d, n in counts.items())
+    return f"""
+    WITH RECURSIVE tc AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n AS BIGINT) AS n
+      FROM (VALUES {values}) AS t(doc_id, n)),
+    d AS (
+      SELECT doc_id, n,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                  % 1000000 % 8 AS INTEGER) AS bucket,
+             row_number() OVER (
+               PARTITION BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                            % 1000000 % 8
+               ORDER BY doc_id) AS rn
+      FROM tc),
+    step AS (
+      SELECT bucket, rn, doc_id, n, 0::BIGINT AS bin, n AS fill, 0 AS pos
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT nxt.bucket, nxt.rn, nxt.doc_id, nxt.n,
+             CASE WHEN s.fill > 0 AND s.fill + nxt.n > 256 THEN s.bin + 1 ELSE s.bin END,
+             CASE WHEN s.fill > 0 AND s.fill + nxt.n > 256 THEN nxt.n ELSE s.fill + nxt.n END,
+             CASE WHEN s.fill > 0 AND s.fill + nxt.n > 256 THEN 0 ELSE s.pos + 1 END
+      FROM step s JOIN d nxt ON nxt.bucket = s.bucket AND nxt.rn = s.rn + 1)
+    SELECT doc_id, bucket::BIGINT * 4294967296 + bin AS bin,
+           pos AS pos_in_bin, fill AS bin_fill
+    FROM step
+    """
+
+
+@query("pack_docs_by_tokens")  # oracle generated lazily (see below)
+def pack_docs_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing end-to-end: BPE-tokenize (the
+    trained 50-merge tokenizer) then next-fit pack by ACTUAL token
+    counts — the real batch-construction composition (pack_docs_by_chars
+    approximates budget by characters; training batches are token-
+    budgeted). Same hash-bucketed parallel next-fit; the only new cost
+    is the tokenize pass."""
+    from id3c_spark.operators import bpe
+
+    docs = t(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(docs, "text", num_merges=50)
+    counts = bpe.tokenize(docs, "doc_id", "text", merges).select(
+        "id", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+    return corpus.pack_sequences(
+        counts, "id", "n_tokens", budget=256, n_buckets=8
+    ).withColumnRenamed("id", "doc_id")
+
+
+LAZY_ORACLES["pack_docs_by_tokens"] = _pack_tokens_oracle
 
 
 # ---------------------------------------------------------------------------

@@ -39,6 +39,7 @@ def curate(
     jaccard_threshold: float = 0.8,
     token_budget: int = 2048,
     n_shards: int = 8,
+    pair_fn=None,
 ) -> dict[str, DataFrame]:
     """Run the full curation flow; returns each stage's output keyed by
     stage name (callers act on ``packed``/``shards``, or inspect
@@ -56,8 +57,14 @@ def curate(
     exact_keep = dedup.exact_dedup(clean, text_col, id_col).select(id_col)
     exact = clean.join(exact_keep, id_col, "left_semi")
 
-    pairs = dedup.minhash_lsh_pairs(
-        exact, id_col, text_col, threshold=jaccard_threshold
+    # pair_fn injects the near-dup candidate strategy (minhash banding by
+    # default; exact n-gram jaccard where full-recall verification is
+    # wanted — the oracle-backed composition query uses that)
+    pairs = (
+        pair_fn(exact) if pair_fn is not None
+        else dedup.minhash_lsh_pairs(
+            exact, id_col, text_col, threshold=jaccard_threshold
+        )
     )
     clusters = dedup.dedup_clusters(pairs)
     non_canonical = clusters.filter(F.col("id") != F.col("cluster")).select(

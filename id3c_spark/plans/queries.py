@@ -3998,6 +3998,178 @@ def hashed_doc_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "curation_pipeline_docs",
+    # the END-TO-END curation composition replayed stage by stage:
+    # quality gate → decontamination → exact dedup → jaccard≥0.8
+    # components keep-canonical → stratified sample. Every CTE reuses
+    # the per-stage oracle arithmetic verified individually elsewhere.
+    oracle="""
+    WITH RECURSIVE
+    bench_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+    corpus_docs AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 97 <> 0),
+    w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> x != '') AS ws
+      FROM corpus_docs),
+    cnt AS (
+      SELECT doc_id, word, count(*) AS c
+      FROM (SELECT doc_id, unnest(ws) AS word FROM w) GROUP BY 1, 2),
+    stats AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+             count(*) AS n_distinct, max(c) AS top_c
+      FROM cnt GROUP BY doc_id),
+    quality AS (
+      SELECT doc_id FROM stats
+      WHERE round(top_c::DOUBLE / n_words, 6) <= 0.2
+        AND round(n_distinct::DOUBLE / n_words, 6) >= 0.3),
+    qsh AS (
+      SELECT w.doc_id,
+             unnest(CASE WHEN len(ws) >= 5
+               THEN list_transform(range(1, len(ws) - 3),
+                                   i -> array_to_string(ws[i:i+4], ' '))
+               ELSE []::VARCHAR[] END) AS s
+      FROM w JOIN quality USING (doc_id)),
+    bw AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> x != '') AS ws
+      FROM bench_docs),
+    bsh AS (
+      SELECT DISTINCT
+             unnest(CASE WHEN len(ws) >= 5
+               THEN list_transform(range(1, len(ws) - 3),
+                                   i -> array_to_string(ws[i:i+4], ' '))
+               ELSE []::VARCHAR[] END) AS s
+      FROM bw),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM (SELECT DISTINCT doc_id, s FROM qsh)
+      WHERE s IN (SELECT s FROM bsh)),
+    clean AS (
+      SELECT q.doc_id FROM quality q
+      WHERE q.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    exact AS (
+      SELECT min(c.doc_id) AS doc_id
+      FROM clean cl JOIN corpus_docs c ON c.doc_id = cl.doc_id
+      GROUP BY md5(c.text)),
+    sh3 AS (
+      SELECT w.doc_id,
+             unnest(CASE WHEN len(ws) >= 3
+               THEN list_transform(range(1, len(ws) - 1),
+                                   i -> array_to_string(ws[i:i+2], ' '))
+               ELSE []::VARCHAR[] END) AS s
+      FROM w JOIN exact USING (doc_id)),
+    ds3 AS (SELECT DISTINCT doc_id, s FROM sh3),
+    stop AS (SELECT s FROM ds3 GROUP BY s HAVING count(*) > 200),
+    bl AS (SELECT doc_id, s FROM ds3 WHERE s NOT IN (SELECT s FROM stop)),
+    bsizes AS (SELECT doc_id, count(*) AS n FROM bl GROUP BY doc_id),
+    binter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+      FROM bl a JOIN bl b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    p AS (
+      SELECT id_a, id_b FROM binter
+      JOIN bsizes na ON na.doc_id = id_a
+      JOIN bsizes nb ON nb.doc_id = id_b
+      WHERE round(ni::DOUBLE / (na.n + nb.n - ni), 6) >= 0.8),
+    edges AS (SELECT id_a AS a, id_b AS b FROM p
+              UNION SELECT id_b, id_a FROM p),
+    reach(node, r) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r),
+    cl2 AS (SELECT node AS id, min(r) AS cluster FROM reach GROUP BY node),
+    non_canonical AS (SELECT id FROM cl2 WHERE id <> cluster),
+    unique_docs AS (
+      SELECT doc_id FROM exact
+      WHERE doc_id NOT IN (SELECT id FROM non_canonical))
+    SELECT u.doc_id, c.source
+    FROM unique_docs u JOIN corpus_docs c ON c.doc_id = u.doc_id
+    WHERE ('0x' || substr(md5(CAST(u.doc_id AS VARCHAR)), 1, 12))::BIGINT % 1000000
+          < CAST(floor(CASE c.source WHEN 'src1' THEN 0.5
+                                     WHEN 'src2' THEN 0.25
+                                     WHEN 'src3' THEN 0.125
+                                     ELSE 0.0625 END * 1000000) AS BIGINT)
+    """,
+)
+def curation_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline (plans/curation.curate) as one
+    oracle-verified composition: Gopher quality gate → benchmark
+    decontamination → exact dedup → jaccard ≥ 0.8 near-dup components
+    (keep canonical) → deterministic stratified sample. Each stage is
+    the already-scale-shaped catalog operator; the composition stays one
+    lazy DataFrame flow."""
+    from id3c_spark.plans.curation import curate
+
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    rest = docs.filter(F.col("doc_id") % 97 != 0)
+    stages = curate(
+        rest,
+        bench,
+        sample_rates={"src1": 0.5, "src2": 0.25, "src3": 0.125},
+        default_rate=0.0625,
+        pair_fn=lambda exact: dedup.ngram_jaccard_pairs(
+            exact, "doc_id", "text", k=3, threshold=0.8, max_df=200
+        ),
+    )
+    return stages["sampled"].select("doc_id", "source")
+
+
+@query(
+    "event_rate_anomalies",
+    # per (user, hour) event counts z-scored against the global count
+    # distribution: exact bigint sufficient statistics, then single
+    # double ops — the distributed anomaly-scoring shape
+    oracle="""
+    WITH c AS (
+      SELECT user_id,
+             (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+             count(*) AS x
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(x * x) AS DOUBLE) AS sxx
+      FROM c)
+    SELECT c.user_id, c.hour_us, c.x,
+           round((c.x - s.sx / s.n)
+                 / sqrt(s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n)), 6) AS z
+    FROM c CROSS JOIN s
+    WHERE round((c.x - s.sx / s.n)
+                / sqrt(s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n)), 6) >= 3.0
+    """,
+)
+def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: hourly per-user event counts z-scored against
+    the global count distribution (exact integer sufficient statistics
+    in one agg, a single-row broadcast scalar join, row-local scoring) —
+    rows ≥ 3σ are the anomalies. The shape behind rate-limit abuse and
+    crawler-loop detection over any corpus size."""
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "user_id",
+        (F.expr("unix_micros(ts) div 3600000000") * F.lit(3600000000)).alias(
+            "hour_us"
+        ),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    s = c.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    z = F.round(
+        (F.col("x") - mean) / F.sqrt(F.col("sxx") / F.col("n") - mean * mean), 6
+    )
+    return (
+        c.crossJoin(F.broadcast(s))
+        .filter(z >= 3.0)
+        .select("user_id", "hour_us", "x", z.alias("z"))
+    )
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

@@ -43,6 +43,7 @@ ALLOWED_CROSS = {
     "temperature_sample_docs": 1,  # α-weight normalizer z (one row)
     "rich_idle_customers": 1,      # scalar avg-balance threshold (one row)
     "order_window_overlaps": 1,    # min-orderdate base scalar (one row)
+    "event_rate_anomalies": 1,     # global mean/std scalar (one row)
 }
 
 

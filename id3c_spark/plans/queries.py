@@ -4170,6 +4170,376 @@ def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Classic TPC-H planner shapes not yet in the catalog: top-k over a computed
+# key (Q3), tight multi-predicate scan pushdown (Q6), OR-pair nation volume
+# (Q7), conditional-aggregate market share (Q8), returned-item top customers
+# (Q10), promo revenue ratio (Q14), scalar-subquery max over an agg view
+# (Q15), and OR-of-conjunctions disjunctive pushdown (Q19).  Each exercises a
+# distinct Catalyst path (TakeOrderedAndProject, disjunct pruning, reused
+# aggregation exchange) over the same synthetic TPC-H tables.
+# ---------------------------------------------------------------------------
+
+@query(
+    "shipping_priority_topk",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {DSUM.format(expr='l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-06-01'
+      AND l.l_shipdate > TIMESTAMP '1997-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate ASC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: top-10 undelivered orders by revenue for one market
+    segment.  Plans as two shuffle joins (customer filtered map-side,
+    lineitem date filter pushed to the scan) into a partial-agg and a
+    TakeOrderedAndProject — per-partition top-k heaps, never a global
+    sort, so the limit costs k rows per partition at any corpus size.
+    Decimal-exact revenue keeps the heap's ranking engine-identical."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
+    )
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "forecast_revenue",
+    oracle=f"""
+    SELECT {DSUM.format(expr='l_extendedprice * l_discount')} AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: what-if revenue from discount elimination.  The whole
+    query is a single parquet scan with FOUR pushed predicates (two
+    range, one between, one comparison) feeding a partial+final agg —
+    zero shuffles of data rows, only the 1-row partials move.  The
+    canonical 'is pushdown working' probe: at 100 TB this reads only
+    row groups whose min/max stats overlap the ship-date year."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "nation_volume_shipping",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           {DSUM.format(expr='l.l_extendedprice * (1 - l.l_discount)')} AS volume
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    WHERE ((ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_7')
+        OR (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_3'))
+      AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                           AND TIMESTAMP '1997-12-31'
+    GROUP BY 1, 2, 3
+    """,
+)
+def nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral shipping volume between two nations by year.
+    supplier (100 rows) and both nation legs broadcast; the OR-pair
+    predicate lands AFTER the broadcasts so Catalyst evaluates it
+    map-side — lineitem and orders shuffle once each on orderkey, the
+    only big-table exchange.  The date window is scan-pushed."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(ns), F.col("ns_key") == s.s_nationkey)
+        .join(F.broadcast(nc), F.col("nc_key") == c.c_nationkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "volume"))
+    )
+
+
+@query(
+    "market_share_by_year",
+    oracle=f"""
+    WITH v AS (
+      SELECT year(l.l_shipdate) AS l_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS vol,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey)
+    SELECT l_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol
+                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share
+    FROM v GROUP BY l_year
+    """,
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 kernel: one nation's share of total shipped volume per
+    year — the conditional-aggregate ratio shape (sum(CASE)/sum) that
+    underlies every market-share / win-rate report.  Both sums are
+    decimal-exact partials over ONE shuffle; the division is a single
+    double op per output year, rounded before comparison."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    share = F.round(
+        F.sum(
+            F.when(F.col("n_name") == "NATION_5", vol.cast("decimal(18,4)")).otherwise(
+                F.lit(0).cast("decimal(18,4)")
+            )
+        ).cast("double")
+        / F.sum(vol.cast("decimal(18,4)")).cast("double"),
+        6,
+    )
+    return (
+        li.join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .groupBy(F.year("l_shipdate").alias("l_year"))
+        .agg(share.alias("mkt_share"))
+    )
+
+
+@query(
+    "returned_top_customers",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {DSUM.format(expr='l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: customers with the highest returned-merchandise
+    revenue in a six-month window.  Return-flag and date predicates are
+    scan-pushed on the two big tables before their one orderkey
+    shuffle; nation broadcasts; the final top-20 is a TakeOrdered heap
+    keyed on the decimal-exact revenue with a custkey tiebreak."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "promo_revenue_pct",
+    oracle="""
+    SELECT round(
+             100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l.l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: percent of one month's revenue from promotional
+    parts.  The month filter is scan-pushed so only ~1/36 of lineitem
+    survives to the single part join (broadcast — part is the small
+    side after column pruning to partkey+type); both conditional sums
+    are decimal-exact partials in one aggregation."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "top_revenue_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {DSUM.format(expr='l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) achieving the quarter's maximum revenue —
+    the scalar-subquery-over-an-aggregate-view shape.  The revenue agg
+    is computed ONCE and persisted so the max-scalar pass and the
+    equality filter reuse the same 100-row result instead of
+    re-scanning lineitem; the max arrives as a 1-row broadcast join.
+    Ties (multiple suppliers at max) surface naturally, as in the spec."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "total_revenue",
+            )
+        )
+        .persist()
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), s.s_suppkey == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "brand_disjunctive_revenue",
+    oracle=f"""
+    SELECT {DSUM.format(expr='l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 21)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def brand_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue under an OR-of-conjunctions predicate mixing
+    columns from both join sides.  Catalyst derives the single-side
+    implications (p_brand IN (...) onto the part scan, l_quantity
+    BETWEEN 1 AND 40 onto the lineitem scan) so both scans prune before
+    the broadcast join, with the full disjunction re-checked after —
+    the pattern that keeps 'category rules' queries scan-bound."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .filter(cond)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

@@ -258,6 +258,135 @@ def hyperplanes(dim: int, planes: int, seed: str = "lsh"):
     return w
 
 
+#: Fixed-point scale for SRP projections: multiplying a float by 2^20 is
+#: EXACT in IEEE double (pure exponent shift), so trunc(v * SRP_SCALE) is
+#: the same integer in numpy and any SQL engine — the whole sketch is
+#: exact int64 arithmetic with zero float-order sensitivity.
+SRP_SCALE = 1 << 20
+
+
+def srp_sign_matrix(dim: int, bits: int, seed: str = "srp"):
+    """±1 sign matrix (bits × dim) from md5 parity — deterministic,
+    engine-independent, and cheap enough to re-derive inside each task
+    (bits × dim digests) instead of shipping through a broadcast."""
+    import hashlib
+
+    import numpy as np
+
+    s = np.empty((bits, dim), dtype=np.int64)
+    for b in range(bits):
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{b}:{d}".encode()).hexdigest()
+            s[b, d] = 1 if int(h[0], 16) % 2 == 0 else -1
+    return s
+
+
+def srp_sketch(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bits: int = 48,
+    seed: str = "srp",
+) -> DataFrame:
+    """Signed-random-projection (SimHash-for-vectors, Charikar 2002)
+    sketch: bit j of the int64 sketch is 1 iff the dot product with the
+    j-th ±1 hyperplane is >= 0. Hamming distance between sketches
+    estimates angular distance at 1 bit per plane — a 64-dim float
+    embedding compresses 48× into one bigint that equi-joins, bands,
+    and XORs like any key.
+
+    Exactness: components are fixed-pointed via trunc(v * SRP_SCALE)
+    (exact — see SRP_SCALE) and the GEMM runs in int64, so the sketch is
+    bit-identical across engines and partitionings. One mapInPandas pass
+    (Arrow-batched numpy matmul), no shuffle; bits <= 62 keeps the packed
+    value in a non-negative signed int64."""
+    import numpy as np
+    import pandas as pd
+
+    if not 0 < bits <= 62:
+        raise ValueError("bits must be in (0, 62] to pack into int64")
+    src = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+
+    def gen(batches):
+        signs = None
+        weights = (np.int64(1) << np.arange(bits, dtype=np.int64)).astype(np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            if signs is None:
+                signs = srp_sign_matrix(mat.shape[1], bits, seed)
+            q = np.trunc(mat * SRP_SCALE).astype(np.int64)
+            proj = q @ signs.T
+            sk = ((proj >= 0).astype(np.int64) * weights).sum(axis=1)
+            yield pd.DataFrame({"id": pdf["id"], "sketch": sk})
+
+    return src.mapInPandas(gen, "id long, sketch long")
+
+
+def srp_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bits: int = 48,
+    bands: int = 6,
+    max_hamming: int = 5,
+    seed: str = "srp",
+) -> DataFrame:
+    """All pairs whose SRP sketches differ in <= *max_hamming* of *bits*
+    planes — angular near-duplicate candidates found WITHOUT any vector
+    math at join time. Returns (id_a, id_b, hamming), id_a < id_b.
+
+    COMPLETE, not approximate: the sketch splits into *bands* equal bit
+    slices and pairs equi-join on any identical slice; by pigeonhole a
+    pair differing in max_hamming < bands bits must agree on >= 1 whole
+    slice, so banding loses nothing while reducing the join to bucket
+    collisions. The verify step is one XOR+popcount per candidate —
+    int64 ops in codegen, no Python. Scale: sketches are 8 bytes/row;
+    the band shuffle keys on (band, slice value) exactly like the
+    MinHash-LSH banded join."""
+    if max_hamming >= bands:
+        raise ValueError(
+            "completeness needs max_hamming < bands (pigeonhole guarantee)"
+        )
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sk = srp_sketch(df, id_col, vec_col, bits, seed).persist()
+    banded = sk.select(
+        "id",
+        "sketch",
+        F.explode(
+            F.array(
+                *(
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sketch", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(bands)
+                )
+            )
+        ).alias("bv"),
+    ).select("id", "sketch", "bv.band", "bv.val")
+    left = banded.select(
+        F.col("id").alias("id_a"), F.col("sketch").alias("sk_a"), "band", "val"
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("sketch").alias("sk_b"), "band", "val"
+    )
+    ham = F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b")))
+    return (
+        left.join(right, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def _score_pairs(cand: DataFrame, qe: DataFrame, ce: DataFrame) -> DataFrame:
     """Distributed exact-cosine rerank shared by the LSH and IVF paths:
     join candidate pairs back to the embedding columns (two equi-joins on

@@ -134,6 +134,148 @@ def decontaminate(
     )
 
 
+def ngram_novelty(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Per-document novelty against a reference corpus: the fraction of
+    the document's distinct k-gram word shingles NOT present in the
+    reference. 1.0 = entirely novel text, 0.0 = fully covered — the
+    scoring dual of decontaminate (which flags any overlap). Returns
+    (id, n_shingles, n_novel, novelty) for docs with >= 1 shingle.
+
+    Scale shape mirrors decontaminate: the reference's distinct shingle
+    set broadcasts, the corpus side takes one map-side anti-join mark +
+    per-doc count that combines map-side — the 100 TB corpus never
+    shuffles on anything but its own doc key."""
+    ref_sh = _shingle_relation(reference, id_col, text_col, k).select("s").distinct()
+    corpus_sh = _shingle_relation(corpus, id_col, text_col, k)
+    marked = corpus_sh.join(
+        F.broadcast(ref_sh.withColumn("__ref", F.lit(1))), "s", "left"
+    )
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("__ref").isNull(), 1).otherwise(0)).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_novel") / F.col("n_shingles"), 6)
+        )
+    )
+
+
+def fertility_report(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Tokenizer-fertility statistics per detected language: document
+    count, exact mean characters-per-token and bytes-per-token (UTF-8),
+    and token share. Fertility (units consumed per token) is the
+    standard probe for how well a tokenizer fits each language slice of
+    a multilingual corpus; chars/token is its tokenizer-free proxy.
+
+    Sums are exact bigints (chars, bytes, tokens are integers) in ONE
+    map-side-combined aggregation keyed by the language bucket —
+    divisions happen once per language on the driver-bound result, so
+    the plan is a single shuffle of ~|languages| partial rows no matter
+    the corpus size. Token counting is the shared TOKEN_REGEX used by
+    doc_stats; zero-token docs are excluded from ratios but counted."""
+    from id3c_spark.functions.text import language_id, token_count
+
+    per_doc = df.select(
+        language_id(F.col(text_col)).alias("lang"),
+        F.length(F.col(text_col)).cast("bigint").alias("chars"),
+        F.octet_length(F.col(text_col)).cast("bigint").alias("bytes"),
+        token_count(F.col(text_col)).cast("bigint").alias("tokens"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("chars").alias("sum_chars"),
+        F.sum("bytes").alias("sum_bytes"),
+        F.sum("tokens").alias("sum_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "sum_tokens",
+        F.when(
+            F.col("sum_tokens") > 0,
+            F.round(F.col("sum_chars") / F.col("sum_tokens"), 6),
+        ).alias("chars_per_token"),
+        F.when(
+            F.col("sum_tokens") > 0,
+            F.round(F.col("sum_bytes") / F.col("sum_tokens"), 6),
+        ).alias("bytes_per_token"),
+    )
+
+
+def source_mixture_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    target_weights: dict[str, float],
+    epochs: float = 1.0,
+) -> DataFrame:
+    """Mixture audit for a training run: per source stratum, available
+    tokens, the token budget the target mixture assigns it (weight ×
+    total available × epochs), and the effective epochs over that source
+    implied by the budget — the >1.0 rows are the strata the run will
+    repeat, the classic over-sampling warning in LLM data reports.
+
+    One exact-integer agg (token sums per source, map-side combined)
+    plus arithmetic on the |sources|-row result against a broadcast
+    literal weight map; nothing rescans or shuffles the corpus."""
+    from id3c_spark.functions.text import token_count
+
+    per_source = (
+        df.select(
+            F.col(source_col).alias("source"),
+            token_count(F.col(text_col)).cast("bigint").alias("tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").alias("avail_tokens"),
+        )
+    )
+    weight = F.coalesce(
+        *(
+            [
+                F.when(F.col("source") == s, F.lit(float(w)))
+                for s, w in sorted(target_weights.items())
+            ]
+            + [F.lit(0.0)]
+        )
+    )
+    total = per_source.agg(F.sum("avail_tokens").alias("total_tokens"))
+    return (
+        per_source.crossJoin(F.broadcast(total))
+        .withColumn("target_weight", weight)
+        .withColumn(
+            "budget_tokens",
+            F.floor(F.col("target_weight") * F.col("total_tokens") * F.lit(epochs))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "effective_epochs",
+            F.when(
+                F.col("avail_tokens") > 0,
+                F.round(F.col("budget_tokens") / F.col("avail_tokens"), 6),
+            ).otherwise(F.lit(None)),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "avail_tokens",
+            "target_weight",
+            "budget_tokens",
+            "effective_epochs",
+        )
+    )
+
+
 def hash_bucket(col: Column, buckets: int = 1000000) -> Column:
     """Deterministic uniform bucket in [0, buckets) from md5 — identical
     arithmetic is expressible in DuckDB ('0x'||substr(md5(x),1,12))::BIGINT."""

@@ -49,6 +49,33 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def soft_dedup_weights(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Soft deduplication: instead of dropping duplicates, weight every
+    row by the reciprocal of its duplicate multiplicity (SoftDeDup-style
+    loss reweighting — a cluster of n copies contributes total weight 1,
+    preserving content coverage while removing repetition bias).
+    Multiplicity groups on md5 of whitespace-normalized lowercased text,
+    so trivially reformatted copies collapse together. Returns every
+    input row as (id, n_copies, weight=round(1/n, 6)).
+
+    Scale shape: one hash-partitioned window count over the 28-byte
+    digest — identical cost to exact_dedup's keep-min window, combines
+    map-side under AQE, and the digest (not the 100 TB text) is the
+    shuffle key and payload."""
+    norm = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy("__h"))
+    return (
+        df.withColumn("__h", norm)
+        .withColumn("n_copies", n)
+        .withColumn("weight", F.round(F.lit(1.0) / F.col("n_copies"), 6))
+        .select(id_col, "n_copies", "weight")
+    )
+
+
 def _exploded_shingles(
     df: DataFrame, id_col: str, text_col: str, k: int, with_pos: bool = False
 ) -> DataFrame:

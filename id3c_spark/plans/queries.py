@@ -4540,6 +4540,198 @@ def brand_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# LLM-pipeline additions: soft dedup weighting, n-gram novelty scoring,
+# tokenizer fertility, mixture auditing, and SRP vector sketches
+# ---------------------------------------------------------------------------
+
+@query(
+    "soft_dedup_docs",
+    oracle=r"""
+    WITH h AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS hh
+      FROM documents),
+    c AS (SELECT hh, count(*) AS n_copies FROM h GROUP BY hh)
+    SELECT h.doc_id, c.n_copies, round(1.0 / c.n_copies, 6) AS weight
+    FROM h JOIN c USING (hh)
+    """,
+)
+def soft_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (loss-reweighting instead of dropping): every doc
+    keeps 1/multiplicity weight so each duplicate cluster contributes
+    total weight 1. Multiplicity groups on md5 of whitespace-normalized
+    text — one digest-keyed window, the exact_dedup cost shape."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.soft_dedup_weights(docs, "text", "doc_id")
+
+
+@query(
+    "ngram_novelty_docs",
+    # reference = doc_id % 97 == 0 (same stand-in split as decontaminate)
+    oracle=f"""
+    WITH {_WORDS_CTE},
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(ws) >= 3
+               THEN list_transform(range(1, len(ws) - 1),
+                                   i -> array_to_string(ws[i:i+2], ' '))
+               ELSE []::VARCHAR[] END) AS s
+      FROM w),
+    ds AS (SELECT DISTINCT doc_id, s FROM sh),
+    ref AS (SELECT DISTINCT s FROM ds WHERE doc_id % 97 = 0)
+    SELECT ds.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN ref.s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(CAST(sum(CASE WHEN ref.s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 ::DOUBLE / count(*), 6) AS novelty
+    FROM ds LEFT JOIN ref ON ref.s = ds.s
+    WHERE ds.doc_id % 97 <> 0
+    GROUP BY ds.doc_id
+    """,
+)
+def ngram_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty scoring vs a reference corpus: fraction of each doc's
+    distinct 3-gram shingles absent from the reference — the scoring
+    dual of decontamination (broadcast reference set, no corpus
+    shuffle). High-novelty docs are the ones worth keeping when
+    curating against an existing training set."""
+    docs = t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 97 == 0)
+    rest = docs.filter(F.col("doc_id") % 97 != 0)
+    return corpus.ngram_novelty(rest, ref, "doc_id", "text", k=3).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@query(
+    "token_fertility_by_lang",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, text,
+             greatest({', '.join(_marker_sql(LANG_MARKERS[l]) for l in sorted(LANG_MARKERS))}) AS best
+      FROM documents),
+    d AS (
+      SELECT {_LANG_CASE} AS lang,
+             length(text)::BIGINT AS chars,
+             strlen(text)::BIGINT AS bytes,
+             len(regexp_extract_all(text, '{TOKEN_REGEX}'))::BIGINT AS tokens
+      FROM m),
+    a AS (
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(chars) AS BIGINT) AS sc,
+             CAST(sum(bytes) AS BIGINT) AS sb,
+             CAST(sum(tokens) AS BIGINT) AS st
+      FROM d GROUP BY lang)
+    SELECT lang, n_docs, st AS sum_tokens,
+           CASE WHEN st > 0 THEN round(sc::DOUBLE / st, 6) END AS chars_per_token,
+           CASE WHEN st > 0 THEN round(sb::DOUBLE / st, 6) END AS bytes_per_token
+    FROM a
+    """,
+)
+def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per detected language: exact integer char/
+    byte/token sums in one map-side-combined agg keyed by the language
+    bucket, ratios computed once per language — the standard probe for
+    how a tokenizer fits each slice of a multilingual corpus."""
+    docs = t(spark, sf_dir, "documents")
+    return corpus.fertility_report(docs, "doc_id", "text")
+
+
+@query(
+    "source_mixture_report",
+    # exact-binary target weights keep floor(w * total) engine-stable
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{TOKEN_REGEX}'))::BIGINT AS tokens
+      FROM documents),
+    a AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(tokens) AS BIGINT) AS avail_tokens
+      FROM d GROUP BY source),
+    tot AS (SELECT CAST(sum(avail_tokens) AS BIGINT) AS total_tokens FROM a),
+    b AS (
+      SELECT a.source, a.n_docs, a.avail_tokens,
+             CASE a.source WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25
+                           WHEN 'src3' THEN 0.125 ELSE 0.0 END AS target_weight,
+             CAST(floor(CASE a.source WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25
+                                      WHEN 'src3' THEN 0.125 ELSE 0.0 END
+                        * tot.total_tokens * 1.0) AS BIGINT) AS budget_tokens
+      FROM a CROSS JOIN tot)
+    SELECT source, n_docs, avail_tokens, target_weight, budget_tokens,
+           CASE WHEN avail_tokens > 0
+                THEN round(budget_tokens::DOUBLE / avail_tokens, 6) END
+             AS effective_epochs
+    FROM b
+    """,
+)
+def source_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture audit: per source stratum, available tokens vs the token
+    budget a target mixture assigns it, and the implied effective
+    epochs (>1 = the stratum the run will repeat). One exact-integer
+    agg + arithmetic against a 1-row total; the corpus is scanned
+    once."""
+    docs = t(spark, sf_dir, "documents")
+    return corpus.source_mixture_report(
+        docs,
+        "doc_id",
+        "text",
+        "source",
+        target_weights={"src1": 0.5, "src2": 0.25, "src3": 0.125},
+        epochs=1.0,
+    )
+
+
+def _srp_signs_values() -> str:
+    """The 48×64 ±1 SRP sign matrix as a VALUES literal (signs are
+    md5-derived constants, identical to what each Spark task derives)."""
+    from id3c_spark.operators.ann import srp_sign_matrix
+
+    signs = srp_sign_matrix(64, 48)
+    return ",".join(
+        f"({b},{d},{int(signs[b, d])})" for b in range(48) for d in range(64)
+    )
+
+
+@query(
+    "srp_sketch_pairs",
+    # trunc(v * 2^20) fixed-pointing makes the projection exact int64 in
+    # both engines (power-of-two multiply is an exponent shift — see
+    # ann.SRP_SCALE); the oracle is the brute-force all-pairs hamming
+    oracle=f"""
+    WITH signs(b, d, s) AS (VALUES {_srp_signs_values()}),
+    q AS (
+      SELECT e.vec_id, sg.b,
+             CAST(sum(sg.s * CAST(trunc(e.embedding[sg.d + 1] * 1048576.0)
+                                  AS BIGINT)) AS BIGINT) AS p
+      FROM embeddings e CROSS JOIN signs sg
+      GROUP BY e.vec_id, sg.b),
+    sk AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN p >= 0 THEN (CAST(1 AS BIGINT) << b)
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sketch
+      FROM q GROUP BY vec_id)
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+           CAST(bit_count(xor(a.sketch, b2.sketch)) AS INTEGER) AS hamming
+    FROM sk a JOIN sk b2 ON b2.vec_id > a.vec_id
+    WHERE bit_count(xor(a.sketch, b2.sketch)) <= 11
+    """,
+)
+def srp_sketch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection sketches (48 hyperplane bits packed in
+    one bigint per vector) + COMPLETE hamming-pair retrieval: 12 bands
+    of 4 bits equi-join candidates, and pigeonhole (11 < 12) guarantees
+    every <= 11-bit pair shares a band — the all-pairs oracle proves
+    zero misses. 8 bytes/vector makes this the cheapest angular
+    candidate generator in the family."""
+    emb = t(spark, sf_dir, "embeddings")
+    return ann.srp_pairs(
+        emb, "vec_id", "embedding", bits=48, bands=12, max_hamming=11
+    )
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

@@ -1,0 +1,146 @@
+"""Unit tests for soft-dedup weighting, n-gram novelty, fertility /
+mixture reports, and SRP sketches (the round-6 LLM-pipeline additions).
+The catalog-level oracle equivalence is covered by test_queries.py; these
+pin the operator semantics on hand-built fixtures."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from id3c_spark.operators import ann, corpus, dedup
+
+
+def test_soft_dedup_weights_collapses_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello   World"),
+            (2, "hello world"),
+            (3, "  HELLO\tWORLD  "),
+            (4, "something else"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_copies"], r["weight"])
+        for r in dedup.soft_dedup_weights(df, "text", "doc_id").collect()
+    }
+    assert out[1] == (3, round(1 / 3, 6))
+    assert out[2] == (3, round(1 / 3, 6))
+    assert out[3] == (3, round(1 / 3, 6))
+    assert out[4] == (1, 1.0)
+    # weights over each cluster sum to ~1
+    assert abs(sum(w for _, w in out.values()) - 2.0) < 1e-4
+
+
+def test_ngram_novelty_bounds(spark):
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    cor = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),  # fully covered
+            (2, "entirely different words appear here now"),  # fully novel
+            (3, "the quick brown fox went home"),  # partial
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r for r in corpus.ngram_novelty(cor, ref, "doc_id", "text", k=3).collect()
+    }
+    assert out[1]["novelty"] == 0.0
+    assert out[2]["novelty"] == 1.0
+    assert 0.0 < out[3]["novelty"] < 1.0
+    assert out[3]["n_novel"] < out[3]["n_shingles"]
+
+
+def test_fertility_report_exact_ratios(spark):
+    df = spark.createDataFrame(
+        [(1, "the and is in to of a cat"), (2, "the and is of dog runs")],
+        "doc_id long, text string",
+    )
+    rows = corpus.fertility_report(df, "doc_id", "text").collect()
+    assert len(rows) == 1  # both detect as english
+    r = rows[0]
+    assert r["lang"] == "en"
+    assert r["n_docs"] == 2
+    total_chars = len("the and is in to of a cat") + len("the and is of dog runs")
+    assert r["chars_per_token"] == round(total_chars / r["sum_tokens"], 6)
+
+
+def test_source_mixture_report_budget_and_epochs(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four", "a"), (2, "one two", "b"), (3, "one", "b")],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["source"]: r
+        for r in corpus.source_mixture_report(
+            df, "doc_id", "text", "source", target_weights={"a": 0.75}, epochs=2.0
+        ).collect()
+    }
+    # total tokens = 7; budget(a) = floor(0.75 * 7 * 2) = 10 over avail 4
+    assert out["a"]["avail_tokens"] == 4
+    assert out["a"]["budget_tokens"] == 10
+    assert out["a"]["effective_epochs"] == 2.5
+    assert out["b"]["target_weight"] == 0.0
+    assert out["b"]["budget_tokens"] == 0
+
+
+def _py_srp_sketch(vec, bits=48, seed="srp"):
+    """Independent scalar mirror of ann.srp_sketch."""
+    sk = 0
+    for b in range(bits):
+        p = 0
+        for d, v in enumerate(vec):
+            h = hashlib.md5(f"{seed}:{b}:{d}".encode()).hexdigest()
+            s = 1 if int(h[0], 16) % 2 == 0 else -1
+            p += s * int(np.trunc(np.float64(v) * ann.SRP_SCALE))
+        if p >= 0:
+            sk |= 1 << b
+    return sk
+
+
+def test_srp_sketch_matches_scalar_mirror(spark):
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(5)]
+    df = spark.createDataFrame(vecs, "id long, v array<float>")
+    got = {r["id"]: r["sketch"] for r in ann.srp_sketch(df, "id", "v", bits=16).collect()}
+    for i, v in vecs:
+        assert got[i] == _py_srp_sketch(np.asarray(v, dtype=np.float32), bits=16)
+
+
+def test_srp_pairs_complete_vs_bruteforce(spark):
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=16)
+    rows = []
+    for i in range(30):
+        # half the vectors are jittered copies of one base → close pairs exist
+        v = base + rng.normal(scale=0.05, size=16) if i % 2 else rng.normal(size=16)
+        rows.append((i, [float(x) for x in v.astype(np.float32)]))
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+    sk = {r["id"]: r["sketch"] for r in ann.srp_sketch(df, "id", "v", bits=48).collect()}
+    brute = {
+        (a, b): bin(sk[a] ^ sk[b]).count("1")
+        for a in sk
+        for b in sk
+        if a < b and bin(sk[a] ^ sk[b]).count("1") <= 11
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ann.srp_pairs(df, "id", "v", bits=48, bands=12, max_hamming=11).collect()
+    }
+    assert got == brute
+    assert brute, "fixture must produce at least one close pair"
+
+
+def test_srp_pairs_rejects_incomplete_banding(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "id long, v array<float>")
+    with pytest.raises(ValueError):
+        ann.srp_pairs(df, "id", "v", bits=48, bands=6, max_hamming=6)
+    with pytest.raises(ValueError):
+        ann.srp_pairs(df, "id", "v", bits=48, bands=5, max_hamming=4)

@@ -179,6 +179,80 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard self-join via PPJoin-style prefix filtering
+    (Chaudhuri/Ganti/Kaushik SSJoin, Xiao et al. PPJoin): order every
+    document's distinct k-gram shingles by ascending global document
+    frequency and keep only the first |d| - ceil(t·|d|) + 1 as its
+    *prefix*; any pair with Jaccard >= t must share a prefix token under
+    a common total order, so equi-joining prefixes alone generates a
+    COMPLETE candidate set. Candidates are verified with exact integer
+    arithmetic (den·inter >= num·union — no float threshold anywhere),
+    so the result is identical to the brute-force join.
+
+    The complementary generator to blocking/LSH: no hashing, no missed
+    pairs, and the prefix keys are by construction the RAREST shingles —
+    bucket sizes shrink as the corpus grows more diverse, the opposite
+    skew profile of shared-shingle blocking. Threshold is converted to
+    an exact rational so ceil() runs in integer arithmetic (a float
+    0.8·n can land an ulp above the true product and silently shorten
+    the prefix below completeness).
+
+    Scale shape: frequency agg + one per-doc window over (freq, shingle)
+    — the same explode/window cost as the shingle relation itself — then
+    a prefix-keyed equi-join and the candidate-restricted intersection
+    count. Everything combines map-side; the full shingle relation is
+    persisted once and feeds ranking, verification, and sizes."""
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
+    sh = _distinct_shingles(df, id_col, text_col, k).persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("id").orderBy("f", "sh")
+    plen = F.col("n") - F.expr(f"(({num} * n + {den - 1}) div {den})") + 1
+    prefix = (
+        sh.join(freq, "sh")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "id")
+        .filter(F.col("rn") <= plen)
+        .select("id", "sh")
+    )
+    cand = (
+        prefix.select(F.col("id").alias("id_a"), "sh")
+        .join(prefix.select(F.col("id").alias("id_b"), "sh"), "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("ni")
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+        .filter(den * F.col("ni") >= num * union)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("ni").cast("double") / union.cast("double"), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 32,
 ) -> DataFrame:

@@ -241,3 +241,50 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels.withColumnRenamed("label", "community")
+
+
+def kcore(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    k: int = 2,
+    rounds: int = 8,
+) -> DataFrame:
+    """k-core of an undirected pair relation via *rounds* of synchronous
+    peeling → (node, degree) for nodes surviving all rounds, with their
+    degree inside the core. Each round removes every node of degree < k
+    and its incident edges. Peeling is monotone: once a round removes
+    nothing the graph is the true k-core and further rounds are the
+    identity — so the fixed-round semantics match an early-converged run
+    bit-for-bit, and an unrolled-SQL oracle with the same *rounds* is
+    exact whether or not convergence happened.
+
+    Scale shape: per round one degree aggregation (map-side combined)
+    and two semi-join prunes keyed on the edge endpoints — the same
+    shuffle pattern as one PageRank iteration; localCheckpoint keeps the
+    plan constant-depth. The per-round edge count (a driver scalar, one
+    long) doubles as the convergence early-stop."""
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    n_prev = edges.count()
+    for _ in range(rounds):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        edges = (
+            edges.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint()
+        )
+        n_now = edges.count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    return edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )

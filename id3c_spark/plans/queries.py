@@ -4732,6 +4732,110 @@ def srp_sketch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "prefix_jaccard_pairs",
+    # exact-rational prefix length (n - (4n+4)//5 + 1) and exact-integer
+    # verify (5·inter >= 4·union) — no float threshold anywhere
+    oracle=f"""
+    WITH {_WORDS_CTE},
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(ws) >= 3
+               THEN list_transform(range(1, len(ws) - 1),
+                                   i -> array_to_string(ws[i:i+2], ' '))
+               ELSE []::VARCHAR[] END) AS s
+      FROM w),
+    ds AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+    freq AS (SELECT s, count(*) AS f FROM ds GROUP BY s),
+    rk AS (
+      SELECT ds.doc_id, ds.s,
+             row_number() OVER (PARTITION BY ds.doc_id ORDER BY fr.f, ds.s)
+               AS rn,
+             sz.n
+      FROM ds JOIN freq fr USING (s) JOIN sizes sz USING (doc_id)),
+    pf AS (SELECT doc_id, s FROM rk WHERE rn <= n - ((4 * n + 4) // 5) + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pf a JOIN pf b ON a.s = b.s AND a.doc_id < b.doc_id),
+    i AS (
+      SELECT c.id_a, c.id_b, count(*) AS ni
+      FROM cand c
+      JOIN ds x ON x.doc_id = c.id_a
+      JOIN ds y ON y.doc_id = c.id_b AND y.s = x.s
+      GROUP BY c.id_a, c.id_b)
+    SELECT i.id_a, i.id_b,
+           round(i.ni::DOUBLE / (na.n + nb.n - i.ni), 6) AS jaccard
+    FROM i JOIN sizes na ON na.doc_id = i.id_a
+           JOIN sizes nb ON nb.doc_id = i.id_b
+    WHERE 5 * i.ni >= 4 * (na.n + nb.n - i.ni)
+    """,
+)
+def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered EXACT Jaccard self-join (>= 0.8):
+    candidates must share one of each doc's rarest
+    |d| - ceil(0.8·|d|) + 1 shingles under the global frequency order —
+    complete by the prefix-filtering lemma, verified in exact integer
+    arithmetic. The no-hash, no-miss complement to MinHash-LSH, with
+    bucket skew on the RAREST (smallest) shingle buckets."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.8
+    )
+
+
+def _kcore_oracle(k: int = 2, rounds: int = 8) -> str:
+    """Unrolled synchronous peeling over the jaccard >= 0.4 dup graph —
+    the same edge CTE as the PageRank oracle; peeling is monotone, so
+    *rounds* unrolled rounds equal Spark's early-converging loop."""
+    its = []
+    for i in range(1, rounds + 1):
+        its.append(f"""
+    keep{i} AS MATERIALIZED (
+      SELECT src FROM e{i - 1} GROUP BY src HAVING count(*) >= {k}),
+    e{i} AS MATERIALIZED (
+      SELECT e{i - 1}.src, e{i - 1}.dst FROM e{i - 1}
+      JOIN keep{i} a ON a.src = e{i - 1}.src
+      JOIN keep{i} b ON b.src = e{i - 1}.dst)""")
+    chain = ",".join(its)
+    return f"""
+    WITH {_SHINGLES_CTE},
+    stop AS (SELECT s FROM ds GROUP BY s HAVING count(*) > 200),
+    bl AS (SELECT doc_id, s FROM ds WHERE s NOT IN (SELECT s FROM stop)),
+    bsizes AS (SELECT doc_id, count(*) AS n FROM bl GROUP BY doc_id),
+    binter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+      FROM bl a JOIN bl b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    p AS (
+      SELECT id_a, id_b FROM binter
+      JOIN bsizes na ON na.doc_id = id_a
+      JOIN bsizes nb ON nb.doc_id = id_b
+      WHERE round(ni::DOUBLE / (na.n + nb.n - ni), 6) >= 0.4),
+    e0 AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
+           UNION SELECT id_b, id_a FROM p),{chain}
+    SELECT src AS doc_id, count(*) AS degree
+    FROM e{rounds} GROUP BY src
+    """
+
+
+@query("kcore_dup_docs", oracle=_kcore_oracle(k=2, rounds=8))
+def kcore_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the near-duplicate graph (operators.graph.kcore over
+    ngram_jaccard_pairs edges): documents in duplicate neighborhoods
+    that survive iterative removal of degree-1 fringe — the dense
+    duplication structures worth human review, vs isolated pair noise.
+    Per peel round one degree agg + two semi-join prunes; converges
+    early and matches the fixed-round oracle either way."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.4, max_df=200
+    )
+    return graph.kcore(pairs, "id_a", "id_b", k=2, rounds=8).select(
+        F.col("node").alias("doc_id"), "degree"
+    )
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

@@ -1,0 +1,89 @@
+"""Unit tests for k-core peeling and the PPJoin prefix-filtered exact
+Jaccard join (round-6 additions)."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from id3c_spark.operators import dedup, graph
+
+
+def test_kcore_peels_fringe(spark):
+    # triangle 1-2-3 plus a tail 3-4-5: the 2-core is exactly the triangle
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    out = {r["node"]: r["degree"] for r in graph.kcore(pairs, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_cascade_removal(spark):
+    # a path graph has an empty 2-core, found only via cascading rounds
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    assert graph.kcore(pairs, k=2).count() == 0
+
+
+def test_kcore_fixed_rounds_match_converged(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "id_a long, id_b long"
+    )
+    a = sorted(map(tuple, graph.kcore(pairs, k=2, rounds=2).collect()))
+    b = sorted(map(tuple, graph.kcore(pairs, k=2, rounds=9).collect()))
+    assert a == b
+
+
+def _brute_jaccard(texts: dict[int, str], k: int, t: float):
+    def sh(s):
+        ws = [w for w in "".join(c if c.isalpha() else " " for c in s.lower()).split() if w]
+        return {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+
+    sets = {i: sh(x) for i, x in texts.items()}
+    out = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and inter / union >= t:
+            out[(a, b)] = round(inter / union, 6)
+    return out
+
+
+def test_prefix_filter_complete_vs_bruteforce(spark):
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy cat",
+        3: "the quick brown fox jumps over the lazy dog today",
+        4: "a completely different sentence about spark engines",
+        5: "a completely different sentence about spark engines",
+        6: "short text",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.prefix_filter_jaccard_pairs(
+            df, "doc_id", "text", k=3, threshold=0.8
+        ).collect()
+    }
+    want = _brute_jaccard(texts, 3, 0.8)
+    assert got == want
+    assert want, "fixture must contain qualifying pairs"
+
+
+def test_prefix_filter_matches_blocked_join(spark, sf_dir):
+    """Same answer as the shared-shingle blocked join on real data (both
+    are exact generators at threshold 0.8 with no stop-shingle cap)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.prefix_filter_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.8
+        ).collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.8
+        ).collect()
+    }
+    assert a == b

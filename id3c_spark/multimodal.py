@@ -349,6 +349,122 @@ def resize_images(media: DataFrame, max_width: int, max_height: int) -> DataFram
     return resized.unionByName(others)
 
 
+def _gray_matrix(content: bytes):
+    """H×W float64 grayscale matrix from a decodable PNG or BMP, top-down
+    row order; None when the format only has a header parser (JPEG/GIF —
+    same stub boundary as _decode_image). Alpha channels are dropped
+    before the channel mean so gray values agree across RGB/RGBA/gray
+    encodings of the same picture; BMP's bottom-up rows are flipped and
+    its BGR order is irrelevant to a channel mean."""
+    import struct
+
+    import numpy as np
+
+    if content is None:
+        return None
+    if content.startswith(_PNG_SIGNATURE):
+        width, height, channels, out = _png_pixels(content)
+        if out is None or not width or not height:
+            return None
+        mat = np.frombuffer(bytes(out), dtype=np.uint8).astype(np.float64)
+        mat = mat.reshape(height, width, channels)
+        if channels in (2, 4):          # gray+alpha / RGBA → drop alpha
+            mat = mat[:, :, :-1]
+        return mat.mean(axis=2)
+    if content[:2] == b"BM" and len(content) >= 54:
+        pixel_off = struct.unpack("<I", content[10:14])[0]
+        width, height_raw = struct.unpack("<ii", content[18:26])
+        bits = struct.unpack("<H", content[28:30])[0]
+        compression = struct.unpack("<I", content[30:34])[0]
+        height = abs(height_raw)
+        if compression != 0 or bits not in (8, 24, 32) or not width or not height:
+            return None
+        bpp = bits // 8
+        stride = ((width * bpp + 3) // 4) * 4
+        rows = []
+        for y in range(height):
+            row = content[pixel_off + y * stride: pixel_off + y * stride + width * bpp]
+            if len(row) < width * bpp:
+                return None
+            rows.append(np.frombuffer(row, dtype=np.uint8))
+        mat = np.stack(rows).astype(np.float64).reshape(height, width, bpp)
+        if height_raw > 0:               # bottom-up storage → flip to top-down
+            mat = mat[::-1]
+        if bpp == 4:                     # BGRA → drop alpha
+            mat = mat[:, :, :3]
+        return mat.mean(axis=2)
+    return None
+
+
+def _ahash(gray, grid: int = 8) -> int:
+    """Average-hash of a grayscale matrix: grid×grid block means, bit set
+    where the block mean >= the global block mean; row-major bit order
+    packed into a signed int64 (two's complement for bit 63)."""
+    import numpy as np
+
+    h, w = gray.shape
+    bits = 0
+    means = np.empty((grid, grid))
+    for r in range(grid):
+        for c in range(grid):
+            r0, r1 = r * h // grid, max((r + 1) * h // grid, r * h // grid + 1)
+            c0, c1 = c * w // grid, max((c + 1) * w // grid, c * w // grid + 1)
+            means[r, c] = gray[min(r0, h - 1):min(r1, h), min(c0, w - 1):min(c1, w)].mean()
+    thresh = means.mean()
+    for r in range(grid):
+        for c in range(grid):
+            if means[r, c] >= thresh:
+                bits |= 1 << (r * grid + c)
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def image_phash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual hash (aHash) per image row → (media_id, phash). The
+    hash survives re-encoding (PNG vs BMP of the same pixels agree —
+    tested), resizing, and mild noise, so XOR distance between phashes
+    is the image-level near-duplicate signal. Undecodable formats yield
+    NULL (the honest stub boundary — swap in PIL in production and this
+    function body is one line of library calls).
+
+    Arrow-batched mapInPandas; the output is 8 bytes/image, so the
+    downstream pair-join (image_phash_pairs) never touches image bytes
+    again — exactly the media-dedup shape for a 100 TB image corpus."""
+    images = media.filter(F.col("kind") == "image")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for content in pdf["content"]:
+                gray = _gray_matrix(bytes(content) if content is not None else None)
+                hashes.append(_ahash(gray, grid) if gray is not None else None)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "phash": pd.array(hashes, dtype="Int64")}
+            )
+
+    return images.select("media_id", "content").mapInPandas(
+        run, "media_id long, phash long"
+    )
+
+
+def image_phash_pairs(
+    media: DataFrame, bands: int = 8, max_hamming: int = 7, grid: int = 8
+) -> DataFrame:
+    """Near-duplicate image pairs: phash sketches → the shared banded
+    hamming join (ann.sketch_hamming_pairs — complete for
+    max_hamming < bands by pigeonhole). Returns (id_a, id_b, hamming)."""
+    from id3c_spark.operators.ann import sketch_hamming_pairs
+
+    sk = (
+        image_phash(media, grid)
+        .filter(F.col("phash").isNotNull())
+        .select(F.col("media_id").alias("id"), F.col("phash").alias("sketch"))
+        .persist()
+    )
+    return sketch_hamming_pairs(sk, grid * grid, bands, max_hamming)
+
+
 AUDIO_FEATURES_SCHEMA = (
     "media_id long, sample_rate int, channels int, n_samples long, "
     "duration_ms int, rms double, zero_crossing_rate double"

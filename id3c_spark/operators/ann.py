@@ -324,18 +324,16 @@ def srp_sketch(
     return src.mapInPandas(gen, "id long, sketch long")
 
 
-def srp_pairs(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    bits: int = 48,
-    bands: int = 6,
-    max_hamming: int = 5,
-    seed: str = "srp",
+def sketch_hamming_pairs(
+    sk: DataFrame,
+    bits: int,
+    bands: int,
+    max_hamming: int,
 ) -> DataFrame:
-    """All pairs whose SRP sketches differ in <= *max_hamming* of *bits*
-    planes — angular near-duplicate candidates found WITHOUT any vector
-    math at join time. Returns (id_a, id_b, hamming), id_a < id_b.
+    """All pairs of int64 bit-sketches (columns: id, sketch) within
+    *max_hamming* — the shared banded-join core behind srp_pairs and
+    multimodal.image_phash_pairs. Returns (id_a, id_b, hamming),
+    id_a < id_b.
 
     COMPLETE, not approximate: the sketch splits into *bands* equal bit
     slices and pairs equi-join on any identical slice; by pigeonhole a
@@ -353,7 +351,6 @@ def srp_pairs(
         raise ValueError("bits must divide evenly into bands")
     width = bits // bands
     mask = (1 << width) - 1
-    sk = srp_sketch(df, id_col, vec_col, bits, seed).persist()
     banded = sk.select(
         "id",
         "sketch",
@@ -362,7 +359,10 @@ def srp_pairs(
                 *(
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("sketch", b * width)
+                        # logical shift: a full-64-bit sketch is negative
+                        # in two's complement and arithmetic shift would
+                        # sign-extend the top band
+                        F.shiftrightunsigned("sketch", b * width)
                         .bitwiseAND(F.lit(mask))
                         .alias("val"),
                     )
@@ -385,6 +385,23 @@ def srp_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def srp_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bits: int = 48,
+    bands: int = 6,
+    max_hamming: int = 5,
+    seed: str = "srp",
+) -> DataFrame:
+    """All pairs whose SRP sketches differ in <= *max_hamming* of *bits*
+    planes — angular near-duplicate candidates found WITHOUT any vector
+    math at join time; see sketch_hamming_pairs for the completeness
+    argument and scale shape."""
+    sk = srp_sketch(df, id_col, vec_col, bits, seed).persist()
+    return sketch_hamming_pairs(sk, bits, bands, max_hamming)
 
 
 def _score_pairs(cand: DataFrame, qe: DataFrame, ce: DataFrame) -> DataFrame:

@@ -522,6 +522,121 @@ def decode_wav(content: bytes) -> dict:
     return {**base, "rms": rms, "zero_crossing_rate": zc}
 
 
+def _wav_mono(content: bytes):
+    """Mono float64 samples from a PCM WAV, None at the stub boundary
+    (non-RIFF / compressed formats — the same honesty contract as
+    _gray_matrix)."""
+    import numpy as np
+
+    try:
+        # decode_wav validates structure; re-walk for the raw samples
+        if content is None or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+            return None
+        import struct
+
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(content):
+            cid = content[pos:pos + 4]
+            (size,) = struct.unpack("<I", content[pos + 4:pos + 8])
+            body = content[pos + 8:pos + 8 + size]
+            pos += 8 + size + (size & 1)
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data = body
+        if fmt is None or data is None:
+            return None
+        audio_format, channels, _rate, _br, block_align, bits = fmt
+        if audio_format != 1 or bits not in (8, 16, 32) or not block_align:
+            return None
+        dtype, scale = {
+            8: (np.uint8, 128.0),
+            16: (np.int16, 32768.0),
+            32: (np.int32, 2147483648.0),
+        }[bits]
+        usable = (len(data) // block_align) * block_align
+        x = np.frombuffer(data[:usable], dtype=dtype).astype(np.float64)
+        if bits == 8:
+            x -= 128.0
+        x /= scale
+        if channels > 1:
+            x = x.reshape(-1, channels).mean(axis=1)
+        return x if len(x) else None
+    except Exception:
+        return None
+
+
+def _audio_hash(x, frames: int = 9, bands: int = 9) -> int:
+    """Haitsma-Kalker-style robust audio hash: split the clip into
+    *frames* time blocks, compute per-block spectral energy in *bands*
+    linear frequency bands (rfft), and set a bit where the band-energy
+    difference INCREASES from one frame to the next —
+    sign((E[t,b]-E[t,b+1]) - (E[t-1,b]-E[t-1,b+1])). Signs are invariant
+    to amplitude scaling (energies scale uniformly), the property that
+    makes XOR distance a re-encode-robust duplicate signal. 8 frame
+    steps × 8 band deltas pack into one int64."""
+    import numpy as np
+
+    n = len(x)
+    if n < frames:
+        return 0
+    e = np.empty((frames, bands))
+    for t in range(frames):
+        seg = x[t * n // frames:(t + 1) * n // frames]
+        spec = np.abs(np.fft.rfft(seg)) ** 2
+        m = len(spec)
+        for b in range(bands):
+            e[t, b] = spec[b * m // bands:max((b + 1) * m // bands, b * m // bands + 1)].sum()
+    bits = 0
+    d = e[:, :-1] - e[:, 1:]              # band deltas per frame
+    dd = d[1:] - d[:-1]                   # frame-to-frame delta of deltas
+    for t in range(frames - 1):
+        for b in range(bands - 1):
+            if dd[t, b] > 0:
+                bits |= 1 << (t * (bands - 1) + b)
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Per-clip robust audio fingerprint → (media_id, afp). Real for PCM
+    WAV; NULL for formats whose decoders sit behind the stub boundary.
+    8 bytes/clip, so downstream duplicate joins never touch audio bytes
+    — the audio twin of image_phash."""
+    audio = media.filter(F.col("kind") == "audio")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for content in pdf["content"]:
+                x = _wav_mono(bytes(content) if content is not None else None)
+                out.append(_audio_hash(x) if x is not None else None)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "afp": pd.array(out, dtype="Int64")}
+            )
+
+    return audio.select("media_id", "content").mapInPandas(
+        run, "media_id long, afp long"
+    )
+
+
+def audio_fingerprint_pairs(
+    media: DataFrame, bands: int = 8, max_hamming: int = 7
+) -> DataFrame:
+    """Near-duplicate audio pairs via the shared banded hamming join
+    (complete for max_hamming < bands). Returns (id_a, id_b, hamming)."""
+    from id3c_spark.operators.ann import sketch_hamming_pairs
+
+    sk = (
+        audio_fingerprint(media)
+        .filter(F.col("afp").isNotNull())
+        .select(F.col("media_id").alias("id"), F.col("afp").alias("sketch"))
+        .persist()
+    )
+    return sketch_hamming_pairs(sk, 64, bands, max_hamming)
+
+
 def encode_wav(samples, sample_rate: int = 8000, channels: int = 1) -> bytes:
     """Minimal PCM16 WAV encoder (test fixtures)."""
     import struct

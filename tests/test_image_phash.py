@@ -77,3 +77,59 @@ def test_phash_pairs_complete_vs_bruteforce(spark):
     }
     assert got == brute
     assert brute, "fixture must produce close pairs"
+
+
+def _wav_media(spark, rows):
+    return spark.createDataFrame(
+        [(i, "audio", "audio/wav", bytearray(c), (None, None, None)) for i, c in rows],
+        multimodal.MEDIA_SCHEMA,
+    )
+
+
+def _tone(freq=220.0, n=4000, rate=8000, amp=0.4, noise=0.0, seed=0):
+    """Harmonic-rich test clip with a rising envelope: spectral band
+    deltas are then signal-driven (a pure sine leaves most bands at
+    ~zero energy, where delta signs are noise — useless for a
+    robustness fixture)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / rate
+    x = sum((amp / k) * np.sin(2 * np.pi * freq * k * t) for k in range(1, 7))
+    x = x * (0.5 + 0.5 * np.linspace(0, 1, n))
+    if noise:
+        x = x + rng.normal(scale=noise, size=n)
+    return multimodal.encode_wav(np.clip(x, -1, 1).tolist(), sample_rate=rate)
+
+
+def test_audio_fingerprint_amplitude_invariant_and_discriminative(spark):
+    a = _tone(amp=0.4)
+    half = _tone(amp=0.2)                     # same content, half volume
+    noisy = _tone(amp=0.4, noise=0.002, seed=3)
+    other = _tone(freq=317.0)
+    df = _wav_media(spark, [(1, a), (2, half), (3, noisy), (4, other)])
+    fp = {r["media_id"]: r["afp"] for r in multimodal.audio_fingerprint(df).collect()}
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    assert fp[1] == fp[2]                     # scaling never flips a sign
+    assert ham(fp[1], fp[3]) <= 7             # light noise stays close
+    assert ham(fp[1], fp[4]) >= 15            # different tone is far
+
+
+def test_audio_fingerprint_stub_boundary(spark):
+    df = _wav_media(spark, [(1, b"ID3\x04not-a-wav")])
+    assert multimodal.audio_fingerprint(df).collect()[0]["afp"] is None
+
+
+def test_audio_fingerprint_pairs_complete(spark):
+    rows = [(1, _tone()), (2, _tone(noise=0.002, seed=9)), (3, _tone(freq=317.0))]
+    df = _wav_media(spark, rows)
+    fp = {r["media_id"]: r["afp"] for r in multimodal.audio_fingerprint(df).collect()}
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    brute = {
+        (a, b): ham(fp[a], fp[b]) for a in fp for b in fp
+        if a < b and ham(fp[a], fp[b]) <= 7
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.audio_fingerprint_pairs(df).collect()
+    }
+    assert got == brute
+    assert brute, "fixture must produce a close pair"

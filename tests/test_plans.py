@@ -44,6 +44,7 @@ ALLOWED_CROSS = {
     "rich_idle_customers": 1,      # scalar avg-balance threshold (one row)
     "order_window_overlaps": 1,    # min-orderdate base scalar (one row)
     "event_rate_anomalies": 1,     # global mean/std scalar (one row)
+    "source_mixture_report": 1,    # total-token scalar (one row)
 }
 
 

@@ -93,3 +93,79 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
         F.col("key").alias(key_col), "cnt", "rank"
     )
+
+
+def cms_sketch(
+    df: DataFrame, key_col: str, depth: int = 3, width: int = 1 << 14
+) -> DataFrame:
+    """Count-min sketch of a key column as a BOUNDED relation
+    (j, pos, c): row j of the sketch maps each key to
+    pos = md5_48(j:key) mod width and c sums the collisions. At most
+    depth×width rows whatever the input size — the classic mergeable
+    KB-scale summary (Cormode-Muthukrishnan) for when the full
+    groupBy(key) is itself too large to keep.
+
+    All-integer md5 arithmetic → bit-identical in any engine (the same
+    '0x'||substr(md5(...)) trick as hash_bucket), so estimates carry a
+    full value-level oracle, not a tolerance band. One explode(depth) +
+    map-side-combined count; no shuffle wider than depth×width cells."""
+    js = F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j")
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.col("j").cast("string"),
+                                F.col(key_col).cast("string"))
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.lit(width)
+    )
+    return (
+        df.select(F.col(key_col), js)
+        .withColumn("pos", pos)
+        .groupBy("j", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    width: int = 1 << 14,
+) -> DataFrame:
+    """Point-estimate counts for *keys* against a cms_sketch relation →
+    (key_col, n_cms). The estimate min-reduces the key's depth cells, so
+    it NEVER underestimates (every cell counts a superset of the key's
+    occurrences) and overestimates only by collision mass — the CMS
+    guarantee, here structural rather than probabilistic paperwork.
+    The sketch side is depth×width bounded → broadcast; the key side
+    never shuffles."""
+    js = F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j")
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.col("j").cast("string"),
+                                F.col(key_col).cast("string"))
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.lit(width)
+    )
+    probes = keys.select(F.col(key_col), js).withColumn("pos", pos)
+    return (
+        probes.join(F.broadcast(sketch), ["j", "pos"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("n_cms"))
+    )

@@ -4836,6 +4836,51 @@ def kcore_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cms_custkey_estimates",
+    # the sketch is fully engine-mirrorable (all-integer md5 cells), so
+    # the approximate structure gets an EXACT value oracle
+    oracle="""
+    WITH counts AS (
+      SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY o_custkey),
+    top AS (SELECT key, cnt FROM counts ORDER BY cnt DESC, key LIMIT 10),
+    js AS (SELECT unnest(range(0, 3)) AS j),
+    cells AS (
+      SELECT j,
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                                 || CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT
+               % 16384 AS pos,
+             count(*) AS c
+      FROM orders CROSS JOIN js GROUP BY 1, 2),
+    probes AS (
+      SELECT t.key, t.cnt, j.j,
+             ('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':'
+                                 || CAST(t.key AS VARCHAR)), 1, 12))::BIGINT
+               % 16384 AS pos
+      FROM top t CROSS JOIN js j)
+    SELECT p.key AS o_custkey, p.cnt,
+           CAST(min(coalesce(ce.c, 0)) AS BIGINT) AS n_cms
+    FROM probes p LEFT JOIN cells ce ON ce.j = p.j AND ce.pos = p.pos
+    GROUP BY p.key, p.cnt
+    """,
+)
+def cms_custkey_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch point estimates for the exact top-10 order
+    custkeys (operators/profile.py cms_sketch + cms_estimate): the
+    sketch is a depth×width BOUNDED relation however large orders grows,
+    estimates min-reduce each key's cells, and n_cms >= cnt structurally
+    (overestimate-only). The scale story heavy_hitters can't tell: count
+    queries answered from KBs of mergeable state."""
+    from id3c_spark.operators.profile import cms_estimate, cms_sketch, heavy_hitters
+
+    orders = t(spark, sf_dir, "orders")
+    top = heavy_hitters(orders, "o_custkey", k=10).select("o_custkey", "cnt")
+    sketch = cms_sketch(orders, "o_custkey", depth=3, width=1 << 14)
+    est = cms_estimate(sketch, top.select("o_custkey"), "o_custkey", depth=3,
+                       width=1 << 14)
+    return top.join(est, "o_custkey").select("o_custkey", "cnt", "n_cms")
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

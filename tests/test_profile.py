@@ -51,3 +51,26 @@ def test_heavy_hitters_order_and_ties(spark):
     assert [(r.k, r.cnt, r.rank) for r in out] == [
         (1, 5, 1), (2, 3, 2), (3, 3, 3)  # tie 2 vs 3 -> key asc
     ]
+
+
+def test_cms_never_underestimates_and_is_tight_when_sparse(spark):
+    from id3c_spark.operators.profile import cms_estimate, cms_sketch
+
+    rows = [(i % 7,) for i in range(700)] + [(99,)] * 5
+    df = spark.createDataFrame(rows, "k long")
+    sketch = cms_sketch(df, "k", depth=3, width=1 << 14)
+    keys = spark.createDataFrame([(i,) for i in range(7)] + [(99,), (12345,)], "k long")
+    est = {r["k"]: r["n_cms"] for r in cms_estimate(sketch, keys, "k").collect()}
+    exact = {i: 100 for i in range(7)} | {99: 5, 12345: 0}
+    for k, n in exact.items():
+        assert est[k] >= n                       # CMS guarantee
+    # 9 distinct keys in 3x16384 cells: collisions are essentially
+    # impossible, so the estimates are exact here
+    assert est == exact
+
+
+def test_cms_bounded_relation(spark):
+    from id3c_spark.operators.profile import cms_sketch
+
+    df = spark.range(0, 5000).selectExpr("id % 1000 as k")
+    assert cms_sketch(df, "k", depth=3, width=64).count() <= 3 * 64

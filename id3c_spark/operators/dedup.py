@@ -179,6 +179,51 @@ def ngram_jaccard_pairs(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken, the
+    MOSS algorithm): hash every k-word shingle, slide a window of *w*
+    consecutive hashes, and select each window's minimum (rightmost
+    position on ties). Returns the distinct selected (id, pos, h) —
+    a density-guaranteed fingerprint set: any match of length
+    >= w + k - 1 words between two documents is CAUGHT by a shared
+    selected hash, while only ~2/(w+1) of positions are kept.
+
+    One posexplode + two frame windows per doc — the selection min runs
+    as min(struct(h, -pos)) over a w-row frame (lexicographic struct
+    min = min hash then rightmost), so the whole operator stays in
+    codegen with a single doc-keyed shuffle. md5-derived hashes make
+    the selected set engine-replayable for the oracle."""
+    occ = _exploded_shingles(df, id_col, text_col, k, with_pos=True).withColumn(
+        "h", md5_bigint(F.col("sh"), 12)
+    )
+    frame = (
+        Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    n_w = Window.partitionBy("id")
+    sel = (
+        occ.withColumn(
+            "pick",
+            F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(frame),
+        )
+        .withColumn("n_sh", F.count(F.lit(1)).over(n_w))
+        # windows must be FULL w-hash windows: starts run 0..n_sh-w
+        .filter(F.col("pos") <= F.col("n_sh") - w)
+        .select(
+            "id",
+            (-F.col("pick.np")).alias("pos"),
+            F.col("pick.h").alias("h"),
+        )
+        .distinct()
+    )
+    return sel
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     id_col: str,

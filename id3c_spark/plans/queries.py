@@ -4881,6 +4881,89 @@ def cms_custkey_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(est, "o_custkey").select("o_custkey", "cnt", "n_cms")
 
 
+@query(
+    "revenue_grouping_sets",
+    oracle=f"""
+    SELECT n.n_name, year(o.o_orderdate) AS o_year,
+           GROUPING(n.n_name) * 2 + GROUPING(year(o.o_orderdate)) AS gid,
+           {DSUM.format(expr='o.o_totalprice')} AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY GROUPING SETS ((n.n_name), (year(o.o_orderdate)), ())
+    """,
+)
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping_id disambiguation — the third rollup
+    flavor next to cube_revenue and the plain rollups: per-nation
+    totals, per-year totals, and the grand total in ONE pass (Catalyst
+    plans an Expand over the three sets feeding a single shuffle), with
+    gid distinguishing a real NULL group key from a rolled-up one."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    joined = o.join(c, c.c_custkey == o.o_custkey).join(
+        F.broadcast(n), n.n_nationkey == c.c_nationkey
+    )
+    return (
+        joined.withColumn("o_year", F.year("o_orderdate"))
+        .groupingSets(
+            [["n_name"], ["o_year"], []],
+            "n_name",
+            "o_year",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            dsum(F.col("o_totalprice"), "revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select("n_name", "o_year", "gid", "revenue", "n_orders")
+    )
+
+
+@query(
+    "winnow_fingerprint_docs",
+    # the O(n·w) window self-join is the oracle-side mirror of Spark's
+    # frame-window min; both select min-hash/rightmost-tie per window
+    oracle=f"""
+    WITH {_WORDS_CTE},
+    occ AS (
+      SELECT doc_id, i - 1 AS pos,
+             ('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 12))::BIGINT
+               AS h
+      FROM w CROSS JOIN unnest(range(1, len(ws) - 1)) AS t(i)
+      WHERE len(ws) >= 3),
+    counts AS (SELECT doc_id, count(*) AS n_sh FROM occ GROUP BY doc_id),
+    win AS (
+      SELECT s.doc_id, s.pos AS wstart, min(q.h) AS mh
+      FROM occ s
+      JOIN occ q ON q.doc_id = s.doc_id AND q.pos BETWEEN s.pos AND s.pos + 3
+      JOIN counts c ON c.doc_id = s.doc_id
+      WHERE s.pos <= c.n_sh - 4
+      GROUP BY s.doc_id, s.pos),
+    selpos AS (
+      SELECT w2.doc_id, w2.mh, max(q.pos) AS pos
+      FROM win w2
+      JOIN occ q ON q.doc_id = w2.doc_id AND q.h = w2.mh
+                AND q.pos BETWEEN w2.wstart AND w2.wstart + 3
+      GROUP BY w2.doc_id, w2.wstart, w2.mh)
+    SELECT DISTINCT doc_id, pos, mh AS h FROM selpos
+    """,
+)
+def winnow_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS selection rule) over every
+    document: k=3 word shingles, w=4 hash windows, min hash per window
+    with rightmost tie-break — any >= 6-word match between two docs is
+    guaranteed to share a selected hash while only ~2/(w+1) of
+    positions are kept. Runs as two frame windows in codegen; the
+    oracle replays the selection with an O(n·w) window self-join."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.winnow_fingerprints(
+        docs, "doc_id", "text", k=3, w=4
+    ).withColumnRenamed("id", "doc_id")
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

@@ -87,3 +87,46 @@ def test_prefix_filter_matches_blocked_join(spark, sf_dir):
         ).collect()
     }
     assert a == b
+
+
+def test_winnowing_density_and_guarantee(spark):
+    """The SWA guarantee: two docs sharing a run of >= w + k - 1 words
+    share a selected fingerprint hash; density is ~2/(w+1)."""
+    shared = "alpha beta gamma delta epsilon zeta eta"          # 7 words >= 4+3-1
+    texts = {
+        1: "one two three " + shared + " four five six seven eight",
+        2: "nine ten eleven twelve " + shared + " thirteen fourteen",
+        3: "totally unrelated words fill this third document nicely today",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    fp = dedup.winnow_fingerprints(df, "doc_id", "text", k=3, w=4).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["id"], set()).add(r["h"])
+    assert by_doc[1] & by_doc[2], "shared 7-word run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    # density: selected positions well under the full shingle count
+    n1 = len(texts[1].split()) - 2
+    assert len(by_doc[1]) < n1
+
+
+def test_winnowing_selects_window_minima(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    rows = dedup.winnow_fingerprints(df, "doc_id", "text", k=3, w=4).collect()
+    # replay the rule in plain python
+    import hashlib
+
+    words = "a b c d e f g h i j".split()
+    hs = []
+    for i in range(len(words) - 2):
+        sh = " ".join(words[i : i + 3])
+        hs.append(int(hashlib.md5(sh.encode()).hexdigest()[:12], 16))
+    want = set()
+    for s in range(len(hs) - 3):
+        window = hs[s : s + 4]
+        m = min(window)
+        pos = max(i for i, h in enumerate(window) if h == m) + s
+        want.add((pos, m))
+    assert {(r["pos"], r["h"]) for r in rows} == want

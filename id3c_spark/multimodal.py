@@ -465,6 +465,45 @@ def image_phash_pairs(
     return sketch_hamming_pairs(sk, grid * grid, bands, max_hamming)
 
 
+def streaming_image_dedup(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    grid: int = 8,
+) -> DataFrame:
+    """Streaming PERCEPTUAL image dedup: hash each micro-batch's images
+    (stateless Arrow-batched mapInPandas — safe under Structured
+    Streaming) and drop re-deliveries of the same phash within the
+    watermark horizon. Catches what content-hash dedup can't: the same
+    picture re-encoded (PNG vs BMP), since the sketch is
+    encoding-invariant. State is 8 bytes per distinct image and evicted
+    at the watermark — runs forever on an unbounded feed."""
+    from id3c_spark.streaming.stateful import streaming_dedup
+
+    images = stream.filter(F.col("kind") == "image")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for content in pdf["content"]:
+                gray = _gray_matrix(bytes(content) if content is not None else None)
+                hashes.append(_ahash(gray, grid) if gray is not None else None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    ts_col: pdf[ts_col],
+                    "phash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    hashed = images.select("media_id", ts_col, "content").mapInPandas(
+        run, f"media_id long, {ts_col} timestamp, phash long"
+    )
+    return streaming_dedup(
+        hashed.filter(F.col("phash").isNotNull()), ["phash"], ts_col, watermark
+    )
+
+
 AUDIO_FEATURES_SCHEMA = (
     "media_id long, sample_rate int, channels int, n_samples long, "
     "duration_ms int, rms double, zero_crossing_rate double"

@@ -133,3 +133,43 @@ def test_audio_fingerprint_pairs_complete(spark):
     }
     assert got == brute
     assert brute, "fixture must produce a close pair"
+
+
+def test_streaming_image_dedup_catches_reencoded_duplicate(spark, tmp_path):
+    """A PNG and its BMP re-encode (different bytes, same picture) arrive
+    in the stream; perceptual dedup emits only the first."""
+    import datetime
+
+    rng = np.random.default_rng(21)
+    pix = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    png = multimodal.encode_png(16, 16, 3, pix.tobytes())
+    bmp = multimodal.encode_bmp(16, 16, pix[::-1].tobytes())
+    other = _gradient_png()
+    t0 = datetime.datetime(2024, 1, 1)
+    src = spark.createDataFrame(
+        [
+            (1, "image", "image/png", bytearray(png), t0),
+            (2, "image", "image/bmp", bytearray(bmp), t0 + datetime.timedelta(minutes=1)),
+            (3, "image", "image/png", bytearray(other), t0 + datetime.timedelta(minutes=2)),
+            (4, "audio", "audio/wav", bytearray(b"RIFFxxxx"), t0),
+        ],
+        "media_id long, kind string, mime string, content binary, ts timestamp",
+    )
+    src_dir = str(tmp_path / "media")
+    src.write.parquet(src_dir)
+    out_dir = str(tmp_path / "out")
+    stream = spark.readStream.schema(src.schema).parquet(src_dir)
+    q = (
+        multimodal.streaming_image_dedup(stream, watermark="1 hour")
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out_dir).collect()
+    ids = sorted(r["media_id"] for r in rows)
+    # one of {1, 2} survives plus the distinct image 3; audio row ignored
+    assert len(ids) == 2 and 3 in ids and (1 in ids) != (2 in ids)

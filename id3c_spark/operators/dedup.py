@@ -179,6 +179,52 @@ def ngram_jaccard_pairs(
     )
 
 
+def gazetteer_tag(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrases: list[str],
+) -> DataFrame:
+    """Dictionary / gazetteer phrase tagging: every occurrence of every
+    phrase (multi-word supported) in every document → (id, phrase, pos)
+    with pos the 0-based word offset. The blocklist-screening /
+    entity-tagging primitive of a curation pipeline — 'find all docs
+    mentioning any of these N names' without N regex passes.
+
+    Phrases are normalized with the SAME tokenizer as the documents
+    (lowercase alpha words), grouped by word length, and each length
+    joins ONE positional shingle relation against the broadcast phrase
+    set — so a million-entry gazetteer costs one broadcast and at most
+    max-phrase-length explode passes over the corpus, never a per-phrase
+    scan. Matches are exact token-boundary matches (no substring false
+    hits, the regex approach's classic bug)."""
+    import re
+
+    by_len: dict[int, list[str]] = {}
+    for p in phrases:
+        words = [x for x in re.split(r"[^a-z]+", p.lower()) if x]
+        if words:
+            by_len.setdefault(len(words), []).append(" ".join(words))
+    spark = df.sparkSession
+    parts = []
+    for length, plist in sorted(by_len.items()):
+        occ = _exploded_shingles(df, id_col, text_col, length, with_pos=True)
+        pdf = spark.createDataFrame(
+            [(p,) for p in sorted(set(plist))], "sh string"
+        )
+        parts.append(
+            occ.join(F.broadcast(pdf), "sh").select(
+                "id", F.col("sh").alias("phrase"), "pos"
+            )
+        )
+    if not parts:
+        raise ValueError("no non-empty phrases")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str,

@@ -4964,6 +4964,76 @@ def winnow_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "doc_id")
 
 
+@query(
+    "salted_priority_revenue",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           {DSUM.format(expr='l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact join (operators/skew.salted_join): lineitem
+    rides as the skewed side with an md5-deterministic 8-way salt,
+    orders replicates across the salts, and the (key, salt) equi-join
+    spreads any hot orderkey over 8 reducers. The oracle is the PLAIN
+    join — salting must be a pure physical rewrite with zero semantic
+    footprint, and this entry proves it on real data."""
+    from id3c_spark.operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_discount"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        salted_join(li, o, "o_orderkey", salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "gazetteer_tag_docs",
+    oracle=f"""
+    WITH {_WORDS_CTE},
+    occ1 AS (
+      SELECT doc_id, i - 1 AS pos, ws[i] AS phrase
+      FROM w CROSS JOIN unnest(range(1, len(ws) + 1)) AS t(i)),
+    occ2 AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+1], ' ') AS phrase
+      FROM w CROSS JOIN unnest(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2),
+    occ3 AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+2], ' ') AS phrase
+      FROM w CROSS JOIN unnest(range(1, len(ws) - 1)) AS t(i)
+      WHERE len(ws) >= 3)
+    SELECT doc_id, phrase, pos FROM occ1 WHERE phrase = 'spark'
+    UNION ALL
+    SELECT doc_id, phrase, pos FROM occ2 WHERE phrase IN ('fast sort', 'merge batch')
+    UNION ALL
+    SELECT doc_id, phrase, pos FROM occ3 WHERE phrase = 'key agg row'
+    """,
+)
+def gazetteer_tag_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-gazetteer phrase tagging (operators/dedup.gazetteer_tag):
+    exact token-boundary occurrences of a mixed 1/2/3-word phrase list,
+    one positional shingle relation per phrase length joined against the
+    broadcast dictionary — the blocklist/entity screen of a curation
+    pipeline with no per-phrase scans."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.gazetteer_tag(
+        docs,
+        "doc_id",
+        "text",
+        ["spark", "fast sort", "merge batch", "key agg row"],
+    ).withColumnRenamed("id", "doc_id")
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

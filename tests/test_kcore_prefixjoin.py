@@ -130,3 +130,31 @@ def test_winnowing_selects_window_minima(spark):
         pos = max(i for i, h in enumerate(window) if h == m) + s
         want.add((pos, m))
     assert {(r["pos"], r["h"]) for r in rows} == want
+
+
+def test_gazetteer_exact_token_boundaries(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "New York is not newyork nor york new"),
+            (2, "the new york times from New-York"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.gazetteer_tag(df, "doc_id", "text", ["New York", "times"])
+    got = {(r["id"], r["phrase"], r["pos"]) for r in out.collect()}
+    # doc1: 'new york' at 0; doc2: 'new york' at 1 ('the new york...') and
+    # again at 5 ('New-York' tokenizes to new, york), 'times' at 3
+    assert got == {
+        (1, "new york", 0),
+        (2, "new york", 1),
+        (2, "new york", 5),
+        (2, "times", 3),
+    }
+
+
+def test_gazetteer_rejects_empty(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        dedup.gazetteer_tag(df, "doc_id", "text", ["  ", "!!"])

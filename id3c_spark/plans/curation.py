@@ -55,7 +55,12 @@ def curate(
     clean = quality.join(contaminated, id_col, "left_anti")
 
     exact_keep = dedup.exact_dedup(clean, text_col, id_col).select(id_col)
-    exact = clean.join(exact_keep, id_col, "left_semi")
+    # persist: the widest fan-out point — the near-dup pair generator
+    # (which materializes twice inside dedup_clusters' convergence check),
+    # the `unique` anti-join, and every returned stage all re-derive the
+    # full quality→decontaminate→exact lineage otherwise (Spark does not
+    # dedupe common subplans across actions)
+    exact = clean.join(exact_keep, id_col, "left_semi").persist()
 
     # pair_fn injects the near-dup candidate strategy (minhash banding by
     # default; exact n-gram jaccard where full-recall verification is

@@ -50,6 +50,24 @@ DEFAULT_QUERIES = [
     "order_window_overlaps",
     "user_type_scd2",
     "orders_expectations",
+    # late-round-6 additions
+    "shipping_priority_topk",
+    "forecast_revenue",
+    "nation_volume_shipping",
+    "returned_top_customers",
+    "top_revenue_supplier",
+    "brand_disjunctive_revenue",
+    "soft_dedup_docs",
+    "ngram_novelty_docs",
+    "srp_sketch_pairs",
+    "prefix_jaccard_pairs",
+    "kcore_dup_docs",
+    "cms_custkey_estimates",
+    "revenue_grouping_sets",
+    "winnow_fingerprint_docs",
+    "gazetteer_tag_docs",
+    "salted_priority_revenue",
+    "curation_pipeline_docs",
 ]
 
 

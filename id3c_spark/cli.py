@@ -1054,6 +1054,90 @@ def corpus_select(input_parquet: str, output: str, target_filter: str, top: int,
                            "requested": top}))
 
 
+@corpus.command("dedup")
+@click.argument("input_parquet")
+@click.option("--output", required=True,
+              help="parquet of near-duplicate pairs (id_a, id_b, score)")
+@click.option("--method", default="minhash", show_default=True,
+              type=click.Choice(["exact", "minhash", "jaccard", "prefix", "simhash"]))
+@click.option("--threshold", default=0.8, show_default=True)
+@click.option("--id-col", default="doc_id", show_default=True)
+@click.option("--text-col", default="text", show_default=True)
+def corpus_dedup(input_parquet: str, output: str, method: str, threshold: float,
+                 id_col: str, text_col: str) -> None:
+    """Duplicate-pair detection with a pluggable candidate strategy:
+    exact (content-hash groups), minhash (banded LSH), jaccard (shared-
+    shingle blocking), prefix (PPJoin prefix filter — complete, no
+    hashing), simhash (byte-band blocking)."""
+    from id3c_spark.operators import dedup as dd
+
+    spark = get_spark("corpus-dedup")
+    docs = spark.read.parquet(input_parquet)
+    if method == "exact":
+        from pyspark.sql import functions as F
+
+        h = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
+        pairs = (
+            h.alias("a").join(h.alias("b"), "__h")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.lit(1.0).alias("score"))
+        )
+    elif method == "minhash":
+        pairs = dd.minhash_lsh_pairs(docs, id_col, text_col, threshold=threshold) \
+            .withColumnRenamed("jaccard", "score")
+    elif method == "jaccard":
+        pairs = dd.ngram_jaccard_pairs(docs, id_col, text_col,
+                                       threshold=threshold, max_df=200) \
+            .withColumnRenamed("jaccard", "score")
+    elif method == "prefix":
+        pairs = dd.prefix_filter_jaccard_pairs(docs, id_col, text_col,
+                                               threshold=threshold) \
+            .withColumnRenamed("jaccard", "score")
+    else:  # simhash
+        from pyspark.sql import functions as F
+
+        pairs = dd.simhash_pairs(docs, id_col, text_col).select(
+            "id_a", "id_b", (1.0 - F.col("hamming") / 32.0).alias("score")
+        )
+    pairs.write.mode("overwrite").parquet(output)
+    click.echo(json.dumps({"method": method,
+                           "pairs": spark.read.parquet(output).count()}))
+
+
+@corpus.command("tag")
+@click.argument("input_parquet")
+@click.option("--output", required=True,
+              help="parquet of (doc_id, phrase, pos) occurrences")
+@click.option("--phrase", "phrases", multiple=True,
+              help="phrase to tag (repeatable)")
+@click.option("--phrases-file", type=click.Path(exists=True),
+              help="newline-delimited phrase list")
+@click.option("--id-col", default="doc_id", show_default=True)
+@click.option("--text-col", default="text", show_default=True)
+def corpus_tag(input_parquet: str, output: str, phrases: tuple[str, ...],
+               phrases_file: str | None, id_col: str, text_col: str) -> None:
+    """Gazetteer/blocklist tagging: exact token-boundary occurrences of a
+    phrase dictionary (multi-word supported), one broadcast join per
+    phrase length — no per-phrase scans."""
+    from id3c_spark.operators.dedup import gazetteer_tag
+
+    plist = list(phrases)
+    if phrases_file:
+        plist += [ln.strip() for ln in open(phrases_file) if ln.strip()]
+    if not plist:
+        raise click.UsageError("provide --phrase and/or --phrases-file")
+    spark = get_spark("corpus-tag")
+    docs = spark.read.parquet(input_parquet)
+    out = gazetteer_tag(docs, id_col, text_col, plist).withColumnRenamed(
+        "id", id_col
+    )
+    out.write.mode("overwrite").parquet(output)
+    click.echo(json.dumps({"phrases": len(set(plist)),
+                           "occurrences": spark.read.parquet(output).count()}))
+
+
 # Load extra commands from extensions AFTER the built-in registrations,
 # mirroring the reference's import-time entry-point scan
 # (lib/id3c/cli/__init__.py:22-31). See id3c_spark/plugins.py for the

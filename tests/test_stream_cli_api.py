@@ -491,3 +491,50 @@ def test_cli_corpus_keywords(spark, tmp_path):
     assert json.loads(res.output.strip().splitlines()[-1])["rows"] == 2
     kw = {r.doc_id: r.term for r in spark.read.parquet(out).collect()}
     assert kw[1] == "apple"  # tf=2 with df=1 beats shared banana
+
+
+def test_cli_corpus_dedup_methods(spark, tmp_path):
+    runner = CliRunner()
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "entirely different content with its own words here"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    for method in ["exact", "prefix", "jaccard"]:
+        out = str(tmp_path / f"pairs_{method}")
+        res = runner.invoke(
+            cli, ["corpus", "dedup", src, "--output", out, "--method", method]
+        )
+        assert res.exit_code == 0, res.output
+        info = json.loads(res.output.strip().splitlines()[-1])
+        assert info["method"] == method and info["pairs"] == 1
+        pair = spark.read.parquet(out).collect()[0]
+        assert (pair.id_a, pair.id_b) == (1, 2) and pair.score == 1.0
+
+
+def test_cli_corpus_tag(spark, tmp_path):
+    runner = CliRunner()
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta gamma delta")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    pfile = tmp_path / "phrases.txt"
+    pfile.write_text("beta gamma\n")
+    out = str(tmp_path / "tags")
+    res = runner.invoke(
+        cli,
+        ["corpus", "tag", src, "--output", out,
+         "--phrase", "alpha", "--phrases-file", str(pfile)],
+    )
+    assert res.exit_code == 0, res.output
+    assert json.loads(res.output.strip().splitlines()[-1])["occurrences"] == 3
+    got = {(r.doc_id, r.phrase, r.pos)
+           for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "alpha", 0), (1, "beta gamma", 1), (2, "beta gamma", 0)}

@@ -5034,6 +5034,115 @@ def gazetteer_tag_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "doc_id")
 
 
+@query(
+    "unpivot_order_metrics",
+    # UNPIVOT/stack: wide per-status metrics → long (status, metric, value)
+    oracle=f"""
+    WITH wide AS (
+      SELECT o_orderstatus,
+             {DSUM.format(expr='o_totalprice')} AS total_price,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+      FROM orders GROUP BY o_orderstatus)
+    SELECT o_orderstatus, 'total_price' AS metric, total_price AS value FROM wide
+    UNION ALL
+    SELECT o_orderstatus, 'n_orders', n_orders FROM wide
+    UNION ALL
+    SELECT o_orderstatus, 'n_customers', n_customers FROM wide
+    """,
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) via stack(): one wide aggregate row per status
+    becomes three (status, metric, value) rows — the wide→long reshape
+    every metrics exporter needs, planned as a Generate over the single
+    aggregate with no extra shuffle (the oracle's UNION ALL re-reads the
+    CTE three times; stack does it in one pass)."""
+    o = t(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        dsum(F.col("o_totalprice"), "total_price"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+    )
+    return wide.select(
+        "o_orderstatus",
+        F.expr(
+            "stack(3, 'total_price', total_price, 'n_orders', n_orders, "
+            "'n_customers', n_customers) AS (metric, value)"
+        ),
+    )
+
+
+@query(
+    "top_orders_per_priority",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rnk
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders)
+    WHERE rnk <= 3
+    """,
+)
+def top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k (top-3 orders by price within each priority): the
+    rank-filter window shape. One group-keyed shuffle; the filter on
+    row_number lets Spark's WindowGroupLimit push the limit into the
+    sort so each group materializes only k rows — the 'top products per
+    category' query at any fact-table size."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@query(
+    "decayed_user_engagement",
+    # each decayed term is rounded to 6 dp BEFORE the sum and summed as
+    # DECIMAL — float pow() order-sensitivity never reaches the aggregate
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS mx_ts FROM events),
+    d AS (
+      SELECT e.user_id,
+             round(e.value * power(0.5,
+               (epoch_us(mx.mx_ts) - epoch_us(e.ts)) / 86400000000.0 / 7.0), 6)
+               AS term
+      FROM events e CROSS JOIN mx)
+    SELECT user_id,
+           CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS engagement,
+           count(*) AS n_events
+    FROM d GROUP BY user_id
+    """,
+)
+def decayed_user_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-decay (7-day half-life) engagement score per user —
+    the recency-weighted aggregate behind churn/trending features.
+    Determinism discipline: pow() is a row-local double op on exact
+    integer microsecond ages, each term rounds to 6 dp, and the SUM runs
+    in DECIMAL — so partition order can never flip an ulp. One broadcast
+    max-ts scalar, one user-keyed agg."""
+    ev = t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("mx_ts"))
+    age_days = (
+        F.unix_micros(F.col("mx_ts")) - F.unix_micros(F.col("ts"))
+    ) / F.lit(86400000000.0)
+    term = F.round(F.col("value") * F.pow(F.lit(0.5), age_days / F.lit(7.0)), 6)
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .select("user_id", term.cast("decimal(18,6)").alias("term"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("term").cast("double").alias("engagement"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

@@ -45,6 +45,7 @@ ALLOWED_CROSS = {
     "order_window_overlaps": 1,    # min-orderdate base scalar (one row)
     "event_rate_anomalies": 1,     # global mean/std scalar (one row)
     "source_mixture_report": 1,    # total-token scalar (one row)
+    "decayed_user_engagement": 1,  # max-ts scalar (one row)
 }
 
 

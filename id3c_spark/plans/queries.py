@@ -5143,6 +5143,27 @@ def decayed_user_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "building_intersect_bigspenders",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def building_intersect_bigspenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — completes the §2.7 set-op family next to EXCEPT and
+    the union dedupes. Catalyst rewrites it to a left-semi join over
+    distinct inputs (one hash shuffle on the key), so it scales exactly
+    like the semi-join find-or-create split."""
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .intersect(c.filter(F.col("c_acctbal") > 5000).select("c_custkey"))
+    )
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

@@ -179,3 +179,38 @@ def funnel_stateful(events: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_stream_attribution(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    join_key: str = "ad_id",
+    attribution_window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join: attribute each click to the
+    impression it followed, where the click lands within
+    *attribution_window* after the impression — the canonical two-stream
+    correlation (ad attribution, request/response pairing, order/ship
+    matching).
+
+    Both sides carry a watermark and the join condition bounds click
+    time to [impression_ts, impression_ts + window], so Spark can evict
+    impression state once the click watermark passes the window end —
+    bounded state on two unbounded streams, the property that separates
+    this from a naive cache-one-side join. Output columns:
+    (join_key, imp_ts, click_ts, lag_seconds)."""
+    imp = impressions.withWatermark("imp_ts", watermark)
+    clk = clicks.withWatermark("click_ts", watermark)
+    cond = (
+        (imp[join_key] == clk[join_key])
+        & (clk["click_ts"] >= imp["imp_ts"])
+        & (clk["click_ts"] <= imp["imp_ts"] + F.expr(f"INTERVAL {attribution_window}"))
+    )
+    return imp.join(clk, cond, "inner").select(
+        imp[join_key].alias(join_key),
+        imp["imp_ts"].alias("imp_ts"),
+        clk["click_ts"].alias("click_ts"),
+        ((F.unix_micros(clk["click_ts"]) - F.unix_micros(imp["imp_ts"])) / 1000000.0
+         ).alias("lag_seconds"),
+    )

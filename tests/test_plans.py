@@ -109,3 +109,52 @@ def test_whole_stage_codegen_covers_agg(spark, sf_dir):
         if "HashAggregate" in line and "*(" in line
     ]
     assert len(codegen_aggs) >= 2
+
+
+def test_aqe_splits_planted_skew_join(spark):
+    """Scale evidence for the skew story: a join where one key holds half
+    the left side gets its hot partition SPLIT by AQE at runtime
+    (SortMergeJoin(skew=true) + 'AQEShuffleRead ... skewed' in the final
+    plan) — the runtime defense operators/skew.py complements."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        # the global agg downstream would otherwise veto the split (it
+        # adds a shuffle); force mirrors a real deployment's choice
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in overrides.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 400000).select(
+            F.when(F.col("id") < 200000, 0).otherwise(F.col("id")).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("v"),  # incompressible bytes
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        # max(v) keeps the fat payload column alive through the join —
+        # count alone lets column pruning shrink partitions under the
+        # skew threshold
+        j = left.join(right, "k").agg(
+            F.count(F.lit(1)).alias("n"), F.max("v").alias("mx")
+        )
+        assert j.collect()[0]["n"] == 200000
+        plan = _executed(j)
+        assert "skew=true" in plan
+        assert "skewed" in plan.split("skew=true")[1]  # AQEShuffleRead marker
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -584,3 +584,47 @@ def test_streaming_funnel_stateful(spark, tmp_path):
     )
     run_once()
     assert spark.read.parquet(out_dir).count() == 1
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """Watermarked stream-stream inner join: clicks attribute to the
+    impression within the window; out-of-window clicks drop."""
+    import datetime
+
+    from id3c_spark.streaming.stateful import stream_stream_attribution
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def m(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    imp = spark.createDataFrame(
+        [(1, m(0)), (2, m(0)), (3, m(0))], "ad_id long, imp_ts timestamp"
+    )
+    clk = spark.createDataFrame(
+        [
+            (1, m(10)),    # within 30 min → attributed
+            (2, m(45)),    # outside the window → dropped
+            (4, m(5)),     # no impression → dropped
+        ],
+        "ad_id long, click_ts timestamp",
+    )
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    imp.write.parquet(imp_dir)
+    clk.write.parquet(clk_dir)
+    imp_s = spark.readStream.schema(imp.schema).parquet(imp_dir)
+    clk_s = spark.readStream.schema(clk.schema).parquet(clk_dir)
+    out_dir = str(tmp_path / "out")
+    q = (
+        stream_stream_attribution(imp_s, clk_s)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 1
+    assert rows[0]["ad_id"] == 1 and rows[0]["lag_seconds"] == 600.0

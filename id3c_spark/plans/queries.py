@@ -5164,6 +5164,46 @@ def building_intersect_bigspenders(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "order_window_stats",
+    # percent_rank/cume_dist are exact rational ratios of bigint rank
+    # positions — identical doubles in any engine; nth_value needs an
+    # explicit full frame (Spark's default frame stops at CURRENT ROW)
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           nth_value(o_orderkey, 2) OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_best
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def order_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic-window family in one query: percent_rank
+    and cume_dist (exact rational position ratios — engine-identical
+    doubles), plus nth_value over an explicit unbounded frame (the
+    default frame ends at CURRENT ROW, where nth_value(2) would be NULL
+    for each partition's first row — a classic cross-engine trap). One
+    group-keyed shuffle serves all three."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_best"),
+    )
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

@@ -107,18 +107,48 @@ def run_corpus_ingest(
     min_words: int = 3,
     jaccard_threshold: float = 0.5,
     stats: IngestStats | None = None,
+    quarantine: ParquetTable | None = None,
 ) -> None:
     """Drain everything currently under *source_glob* through the curation
     loop into *table* (availableNow trigger — the cron-run shape; a
-    continuous deployment passes a processingTime trigger instead)."""
+    continuous deployment passes a processingTime trigger instead).
+
+    With *quarantine*, malformed lines (unparseable JSON, missing
+    doc_id/text) are APPENDED to a dead-letter table as
+    (raw, epoch, reason) instead of being silently dropped — the
+    operational difference between 'the crawler changed its format and
+    we noticed from the quarantine count' and data loss. Replays are
+    safe: the checkpoint feeds each input file to exactly one batch, so
+    quarantine rows are written once per line."""
 
     def batch_fn(df: DataFrame, epoch_id: int) -> None:
-        docs = (
-            df.filter(F.trim("value") != "")
-            .select(F.from_json("value", DOC_SCHEMA).alias("d"))
-            .select("d.doc_id", "d.text")
-            .filter(F.col("doc_id").isNotNull())
+        parsed = df.filter(F.trim("value") != "").select(
+            "value", F.from_json("value", DOC_SCHEMA).alias("d")
         )
+        docs = (
+            parsed.filter(
+                F.col("d.doc_id").isNotNull() & F.col("d.text").isNotNull()
+            )
+            .select("d.doc_id", "d.text")
+        )
+        if quarantine is not None:
+            bad = parsed.filter(
+                F.col("d.doc_id").isNull() | F.col("d.text").isNull()
+            ).select(
+                F.col("value").alias("raw"),
+                F.lit(epoch_id).cast("long").alias("epoch"),
+                # PERMISSIVE from_json yields an all-null struct (not a
+                # NULL) for garbage lines — both fields null ⇒ unparseable
+                F.when(
+                    F.col("d.doc_id").isNull() & F.col("d.text").isNull(),
+                    "unparseable",
+                )
+                .when(F.col("d.doc_id").isNull(), "missing doc_id")
+                .otherwise("missing text")
+                .alias("reason"),
+            )
+            if bad.count():
+                quarantine.append(bad)
         corpus = table.read() if table.exists() else None
         survivors = curate_batch(
             docs, corpus, min_words=min_words, jaccard_threshold=jaccard_threshold

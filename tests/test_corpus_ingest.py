@@ -106,3 +106,30 @@ def test_cli_corpus_ingest_and_snapshot(spark, tmp_path):
     assert snap.exit_code == 0, snap.output
     info = _json.loads(snap.output.strip().splitlines()[-1])
     assert info["rows"] == 2 and info["current"] in info["versions"]
+
+
+def test_corpus_ingest_quarantines_malformed_lines(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    table = ParquetTable(spark, str(tmp_path / "corpus"))
+    quarantine = ParquetTable(spark, str(tmp_path / "dlq"))
+    (src / "b1.ndjson").write_text(
+        '{"doc_id": 1, "text": "a perfectly healthy document with words"}\n'
+        "this is not json at all\n"
+        '{"text": "no id on this one"}\n'
+        '{"doc_id": 7}\n'
+    )
+    run_corpus_ingest(
+        spark, str(src), str(tmp_path / "ckpt"), table, quarantine=quarantine
+    )
+    kept = {r["doc_id"] for r in table.read().collect()}
+    assert kept == {1}
+    dlq = {(r["reason"], r["raw"]) for r in quarantine.read().collect()}
+    assert ("unparseable", "this is not json at all") in dlq
+    assert ("missing doc_id", '{"text": "no id on this one"}') in dlq
+    assert ("missing text", '{"doc_id": 7}') in dlq
+    # checkpointed re-run: no duplicate quarantine rows
+    run_corpus_ingest(
+        spark, str(src), str(tmp_path / "ckpt"), table, quarantine=quarantine
+    )
+    assert quarantine.read().count() == 3

@@ -352,3 +352,42 @@ def test_scd2_changelog_model(spark, log):
             end = runs[i + 1][0] if i + 1 < len(runs) else None
             expected.append((k, a, ts, end))
     assert got == sorted(expected)
+
+
+WORDS = st.lists(
+    st.sampled_from("alpha beta gamma delta epsilon zeta eta theta".split()),
+    min_size=3,
+    max_size=10,
+)
+
+
+@given(st.lists(WORDS, min_size=2, max_size=6))
+@settings(max_examples=12, deadline=None)
+def test_prefix_filter_equals_bruteforce_property(spark, docs):
+    """The PPJoin prefix filter finds EXACTLY the brute-force Jaccard
+    >= 0.8 pairs for arbitrary small-vocabulary documents — the regime
+    where near-ties and shared-shingle skew stress the prefix lemma."""
+    from itertools import combinations
+
+    from id3c_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in prefix_filter_jaccard_pairs(
+            df, "doc_id", "text", k=2, threshold=0.8
+        ).collect()
+    }
+
+    def sh(ws):
+        return {" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)}
+
+    brute = set()
+    for (a, wa), (b, wb) in combinations(rows, 2):
+        sa, sb = sh(wa.split()), sh(wb.split())
+        union = sa | sb
+        # exact rational compare, mirroring the operator's integer verify
+        if union and 5 * len(sa & sb) >= 4 * len(union):
+            brute.add((a, b))
+    assert got == brute

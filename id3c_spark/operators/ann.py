@@ -544,6 +544,7 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "lsh",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates share at least one LSH band
     (planes/bands sign bits), exact cosine rerank within candidates.
@@ -556,7 +557,14 @@ def lsh_bucketed_topk(
          (equi-joins on id) and score per Arrow batch with numpy row-dots —
          no driver-side collect anywhere in the plan.
     Recall is tuned by (planes, bands): match probability per band is
-    p_agree^(planes/bands), any-of-bands 1-(1-p^r)^b.
+    p_agree^(planes/bands), any-of-bands 1-(1-p^r)^b. *multiprobe* > 0
+    additionally probes, per query band, the *multiprobe* buckets
+    reached by flipping the lowest-|projection| sign bits (the
+    least-confident hyperplane decisions — Lv et al. 2007): near-miss
+    neighbors that landed one marginal bit away become candidates at
+    (1+multiprobe)× QUERY-side band rows, with the corpus side and its
+    index untouched — the classic recall/cost dial that beats adding
+    bands (which re-hashes the corpus too).
     """
     assert planes % bands == 0
     r = planes // bands
@@ -568,22 +576,34 @@ def lsh_bucketed_topk(
     w_mat = hyperplanes(dim, planes, seed)
     bw = spark.sparkContext.broadcast(w_mat)
 
-    def band_rows(side: str):
+    def band_rows(side: str, probes: int = 0):
         def gen(batches):
             w = bw.value
+            weights = 1 << np.arange(r)
             for pdf in batches:
                 if not len(pdf):
                     continue
                 ids = pdf["id"].values
                 mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-                signs = (mat @ w.T) > 0  # n × planes
+                proj = mat @ w.T
+                signs = proj > 0  # n × planes
                 out_id, out_band, out_sig = [], [], []
                 for b in range(bands):
                     chunk = signs[:, b * r:(b + 1) * r]
-                    sig = chunk.dot(1 << np.arange(r))  # pack bits → int
+                    sig = chunk.dot(weights)  # pack bits → int
                     out_id.extend(ids)
                     out_band.extend([b] * len(ids))
                     out_sig.extend(sig)
+                    if probes:
+                        # flip the `probes` least-confident bits, one at
+                        # a time (margin = |projection| per plane)
+                        margins = np.abs(proj[:, b * r:(b + 1) * r])
+                        order = np.argsort(margins, axis=1)[:, :probes]
+                        for p in range(min(probes, r)):
+                            flipped = sig ^ weights[order[:, p]]
+                            out_id.extend(ids)
+                            out_band.extend([b] * len(ids))
+                            out_sig.extend(flipped)
                 yield pd.DataFrame({"id": out_id, "band": out_band, "sig": out_sig})
         return gen
 
@@ -595,9 +615,13 @@ def lsh_bucketed_topk(
     # self-search (queries IS corpus, the common dedup/knn-graph case):
     # compute the band signatures once and persist — both join sides and
     # the GEMM below would otherwise re-run the mapInPandas pass
-    qb = prep(queries).mapInPandas(band_rows("q"), "id long, band int, sig long").persist()
+    qb = prep(queries).mapInPandas(
+        band_rows("q", probes=multiprobe), "id long, band int, sig long"
+    ).persist()
     cb = (
-        qb
+        prep(corpus).mapInPandas(band_rows("c"), "id long, band int, sig long")
+        if multiprobe and queries is corpus
+        else qb
         if queries is corpus
         else prep(corpus).mapInPandas(band_rows("c"), "id long, band int, sig long")
     )

@@ -144,3 +144,29 @@ def test_srp_pairs_rejects_incomplete_banding(spark):
         ann.srp_pairs(df, "id", "v", bits=48, bands=6, max_hamming=6)
     with pytest.raises(ValueError):
         ann.srp_pairs(df, "id", "v", bits=48, bands=5, max_hamming=4)
+
+
+def test_lsh_multiprobe_strictly_widens_candidates(spark, sf_dir):
+    """Multi-probe flips the least-confident band bits on the QUERY side
+    only: its results must be a superset of the unprobed run per query,
+    and recall vs exact must not decrease."""
+    from id3c_spark.operators.ann import lsh_bucketed_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base, probed = (
+        {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_bucketed_topk(
+                emb, emb, 64, k=3, bands=4, multiprobe=mp
+            ).collect()
+        }
+        for mp in (0, 2)
+    )
+    # top-k can reorder when new candidates appear, so compare coverage
+    # per query: every query keeps at least as many neighbors
+    from collections import Counter
+
+    nb, np_ = Counter(q for q, _ in base), Counter(q for q, _ in probed)
+    assert set(nb) <= set(np_)
+    assert all(np_[q] >= n for q, n in nb.items())
+    assert len(probed) >= len(base)

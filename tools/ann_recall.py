@@ -71,6 +71,8 @@ def main() -> int:
          lambda: ann.lsh_bucketed_topk(emb, emb, 64, k=k)),
         ("lsh tuned (16 planes, 8 bands)",
          lambda: ann.lsh_bucketed_topk(emb, emb, 64, k=k, bands=8)),
+        ("lsh multiprobe (4 bands, 2 probes)",
+         lambda: ann.lsh_bucketed_topk(emb, emb, 64, k=k, bands=4, multiprobe=2)),
         ("ivf (nlist=16, nprobe=2)",
          lambda: ann.ivf_topk(emb, emb, k=k, nlist=16, nprobe=2)),
         ("ivf tuned (nlist=16, nprobe=6)",

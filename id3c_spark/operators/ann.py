@@ -794,3 +794,37 @@ def semantic_dedup(
         .select(F.col("id").alias(id_col), "cluster", "keep")
     )
     return out
+
+
+def exact_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine rerank of ANY candidate relation (query_id,
+    neighbor_id) → top-k per query by true similarity — the refine step
+    FAISS calls IVFADC+R: a cheap index (PQ/IVFPQ/LSH) produces a
+    shortlist of s·k candidates, and only those pairs ever touch raw
+    vectors. Communication is |cand| rows through two id equi-joins +
+    the per-query window; the corpus never re-scans.
+
+    Compose: exact_rerank(q, c, pq_topk(q, c, books, k=4*k), k) — the
+    standard recall restorer for compressed indexes."""
+    qe = _prep(queries, id_col, vec_col).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    ce = _prep(corpus, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv")
+    )
+    scored = _score_pairs(
+        candidates.select("query_id", "neighbor_id").distinct(), qe, ce
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

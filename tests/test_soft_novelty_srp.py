@@ -170,3 +170,32 @@ def test_lsh_multiprobe_strictly_widens_candidates(spark, sf_dir):
     assert set(nb) <= set(np_)
     assert all(np_[q] >= n for q, n in nb.items())
     assert len(probed) >= len(base)
+
+
+def test_exact_rerank_restores_order_and_recall(spark, sf_dir):
+    """Reranking a shortlist with exact cosine: (a) reranking the exact
+    top-k candidate set reproduces exact top-k; (b) reranking a PQ
+    shortlist never loses recall vs raw ADC ranking."""
+    from id3c_spark.operators import pq
+    from id3c_spark.operators.ann import cosine_topk, exact_rerank
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(120)
+    exact = cosine_topk(emb, emb, k=3)
+    rr = exact_rerank(emb, emb, exact, k=3)
+    a = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in exact.collect()}
+    b = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in rr.collect()}
+    assert a == b
+
+    books = pq.pq_train(emb, m=8, k=16, max_iter=2)
+    adc = pq.pq_topk(emb, emb, books, k=12)
+    refined = exact_rerank(emb, emb, adc, k=3)
+    ex = {}
+    for r in cosine_topk(emb, emb, k=3).collect():
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(got.get(q, set()) & s) for q, s in ex.items())
+    adc3 = adc.filter("rank <= 3")
+    assert recall(refined) >= recall(adc3)

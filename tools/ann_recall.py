@@ -40,7 +40,7 @@ def main() -> int:
     sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
     k = int(args[2]) if len(args) > 2 else 5
 
-    from id3c_spark.operators import ann
+    from id3c_spark.operators import ann, pq
     from id3c_spark.operators.pq import ivfpq_topk, pq_topk, pq_train
 
     spark = get_spark("ann_recall")
@@ -77,6 +77,9 @@ def main() -> int:
          lambda: ann.ivf_topk(emb, emb, k=k, nlist=16, nprobe=2)),
         ("ivf tuned (nlist=16, nprobe=6)",
          lambda: ann.ivf_topk(emb, emb, k=k, nlist=16, nprobe=6)),
+        ("pq + exact rerank (shortlist 4k)",
+         lambda: ann.exact_rerank(
+             emb, emb, pq.pq_topk(emb, emb, books, k=4 * k), k=k)),
         ("pq (m=8, k*=16, ADC)",
          lambda: pq_topk(emb, emb, books, k=k)),
         ("ivfpq (nlist=16, nprobe=2)",

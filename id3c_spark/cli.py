@@ -1099,7 +1099,7 @@ def corpus_dedup(input_parquet: str, output: str, method: str, threshold: float,
         from pyspark.sql import functions as F
 
         pairs = dd.simhash_pairs(docs, id_col, text_col).select(
-            "id_a", "id_b", (1.0 - F.col("hamming") / 32.0).alias("score")
+            "id_a", "id_b", (1.0 - F.col("distance") / 32.0).alias("score")
         )
     pairs.write.mode("overwrite").parquet(output)
     click.echo(json.dumps({"method": method,
@@ -1136,6 +1136,37 @@ def corpus_tag(input_parquet: str, output: str, phrases: tuple[str, ...],
     out.write.mode("overwrite").parquet(output)
     click.echo(json.dumps({"phrases": len(set(plist)),
                            "occurrences": spark.read.parquet(output).count()}))
+
+
+@corpus.command("media")
+@click.argument("input_parquet")
+@click.option("--output", required=True, help="output parquet")
+@click.option("--what", default="image-features", show_default=True,
+              type=click.Choice(["image-features", "audio-features",
+                                 "phash", "phash-pairs", "audio-pairs"]))
+@click.option("--max-hamming", default=7, show_default=True)
+def corpus_media(input_parquet: str, output: str, what: str,
+                 max_hamming: int) -> None:
+    """Multimodal column operations over a media table (media_id, kind,
+    mime, content, meta): decode features, perceptual hashes, and banded
+    near-duplicate pair retrieval."""
+    from id3c_spark import multimodal as mm
+
+    spark = get_spark("corpus-media")
+    media = spark.read.parquet(input_parquet)
+    if what == "image-features":
+        out = mm.extract_image_features(media)
+    elif what == "audio-features":
+        out = mm.extract_audio_features(media)
+    elif what == "phash":
+        out = mm.image_phash(media)
+    elif what == "phash-pairs":
+        out = mm.image_phash_pairs(media, max_hamming=max_hamming)
+    else:
+        out = mm.audio_fingerprint_pairs(media, max_hamming=max_hamming)
+    out.write.mode("overwrite").parquet(output)
+    click.echo(json.dumps({"what": what,
+                           "rows": spark.read.parquet(output).count()}))
 
 
 # Load extra commands from extensions AFTER the built-in registrations,

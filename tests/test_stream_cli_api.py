@@ -538,3 +538,51 @@ def test_cli_corpus_tag(spark, tmp_path):
     got = {(r.doc_id, r.phrase, r.pos)
            for r in spark.read.parquet(out).collect()}
     assert got == {(1, "alpha", 0), (1, "beta gamma", 1), (2, "beta gamma", 0)}
+
+
+def test_cli_corpus_media_phash_pairs(spark, tmp_path):
+    import numpy as np
+
+    from id3c_spark import multimodal
+
+    runner = CliRunner()
+    rng = np.random.default_rng(5)
+    pix = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    png = multimodal.encode_png(16, 16, 3, pix.tobytes())
+    bmp = multimodal.encode_bmp(16, 16, pix[::-1].tobytes())
+    media = spark.createDataFrame(
+        [(1, "image", "image/png", bytearray(png), (None, None, None)),
+         (2, "image", "image/bmp", bytearray(bmp), (None, None, None))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    src = str(tmp_path / "media")
+    media.write.parquet(src)
+    out = str(tmp_path / "pairs")
+    res = runner.invoke(
+        cli, ["corpus", "media", src, "--output", out, "--what", "phash-pairs"]
+    )
+    assert res.exit_code == 0, res.output
+    assert json.loads(res.output.strip().splitlines()[-1])["rows"] == 1
+    pair = spark.read.parquet(out).collect()[0]
+    assert (pair.id_a, pair.id_b, pair.hamming) == (1, 2, 0)
+
+
+def test_cli_corpus_dedup_minhash_simhash(spark, tmp_path):
+    runner = CliRunner()
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, "a wholly different document about engines")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    for method in ["minhash", "simhash"]:
+        out = str(tmp_path / f"p_{method}")
+        res = runner.invoke(
+            cli,
+            ["corpus", "dedup", src, "--output", out, "--method", method,
+             "--threshold", "0.5"],
+        )
+        assert res.exit_code == 0, res.output
+        pairs = {(r.id_a, r.id_b) for r in spark.read.parquet(out).collect()}
+        assert (1, 2) in pairs

@@ -66,3 +66,36 @@ def salted_count(
         .agg(F.count("*").alias("__c"))
     )
     return partial.groupBy(key).agg(F.sum("__c").alias("count"))
+
+
+def auto_salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    how: str = "inner",
+    target_rows_per_task: int = 5_000_000,
+    max_salts: int = 64,
+) -> DataFrame:
+    """salted_join with the salt count DERIVED from a hot-key probe
+    instead of guessed: one groupBy(key).count top-1 pass (the
+    profile.heavy_hitters aggregation) measures the heaviest key, and
+    salts = ceil(hot_rows / target_rows_per_task) clamped to
+    [1, max_salts]. A balanced table probes to salts=1 and the plan
+    collapses to the PLAIN join (zero replication cost); a pathological
+    key gets exactly the spread it needs.
+
+    This is the stats-before-strategy step AQE applies to in-flight
+    shuffles, applied where AQE can't see: static plans, aggregations
+    feeding the join, or hot keys so large a single split task still
+    spills. The probe is one map-side-combined agg + a 1-row driver
+    scalar — cheap relative to any join worth salting."""
+    hot = (
+        skewed.groupBy(on)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    salts = max(1, min(max_salts, -(-int(hot or 0) // target_rows_per_task)))
+    if salts == 1:
+        return skewed.join(other, on, how)
+    return salted_join(skewed, other, on, salts=salts, how=how)

@@ -158,3 +158,24 @@ def test_gazetteer_rejects_empty(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         dedup.gazetteer_tag(df, "doc_id", "text", ["  ", "!!"])
+
+
+def test_auto_salted_join_probes_and_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from id3c_spark.operators.skew import auto_salted_join
+
+    left = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1500, 0).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.createDataFrame([(0, "hot"), (7, "x")], "k long, tag string")
+    # tiny target forces salting; result must equal the plain join
+    salted = auto_salted_join(left, right, "k", target_rows_per_task=100)
+    plain = left.join(right, "k")
+    assert salted.count() == plain.count() == 1500
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # balanced input → probe says 1 salt → plan is the plain join (no __salt)
+    balanced = spark.range(0, 100).select(F.col("id").alias("k"))
+    j = auto_salted_join(balanced, right, "k", target_rows_per_task=100)
+    assert "__salt" not in j._jdf.queryExecution().optimizedPlan().toString()

@@ -68,6 +68,11 @@ DEFAULT_QUERIES = [
     "gazetteer_tag_docs",
     "salted_priority_revenue",
     "curation_pipeline_docs",
+    "order_window_stats",
+    "unpivot_order_metrics",
+    "top_orders_per_priority",
+    "decayed_user_engagement",
+    "building_intersect_bigspenders",
 ]
 
 

@@ -138,3 +138,63 @@ def pc_projection(
     binning/sorting of an embedding corpus."""
     score = _dot_int(F.col(vec_col), v).cast("double") / F.lit(DOT_SCALE)
     return df.select(F.col(id_col).alias("id"), F.round(score, 6).alias("score"))
+
+
+def top_directions(
+    df: DataFrame,
+    p: int = 2,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 3,
+) -> list[list[float]]:
+    """Top-*p* principal directions of AᵀA by power iteration with
+    Gram-Schmidt deflation: after each direction converges, every
+    subsequent iterate is re-orthogonalized against the found set
+    (driver-side d-vector arithmetic — the N×d relation still never
+    moves, each direction costs the same *iters* distributed passes as
+    power_iteration). The standard deflation route to a small top-p PCA
+    when p ≪ d; for p approaching d use a proper distributed
+    tall-skinny factorization instead.
+
+    Orthogonalization happens on the driver between passes, so the
+    per-iteration cluster work is UNCHANGED: one row-local dot + one
+    d-group aggregation."""
+    found: list[list[float]] = []
+    e = df.select(F.col(vec_col).alias("e"))
+    n = e.count()
+    if n == 0:
+        return [[1.0 / math.sqrt(float(dim))] * dim for _ in range(p)]
+
+    def ortho(v: list[float]) -> list[float]:
+        for u in found:
+            proj = sum(a * b for a, b in zip(v, u))
+            v = [a - proj * b for a, b in zip(v, u)]
+        nm = math.sqrt(sum(x * x for x in v))
+        return [x / nm for x in v] if nm > 1e-12 else v
+
+    for _ in range(p):
+        # deterministic start, deflated against found directions
+        v = ortho([1.0 / math.sqrt(float(dim))] * dim)
+        for _ in range(iters):
+            dot = (
+                _dot_int(F.col("e"), v).cast("double") / F.lit(DOT_SCALE)
+            ).alias("dot")
+            sums = (
+                e.select(dot, F.posexplode("e").alias("pos", "val"))
+                .groupBy((F.col("pos") + 1).alias("dim"))
+                .agg(
+                    F.sum(
+                        F.floor(
+                            F.col("val").cast("double")
+                            * F.col("dot")
+                            * F.lit(DOT_SCALE)
+                        )
+                    ).alias("c")
+                )
+                .collect()
+            )
+            c = {row["dim"]: row["c"] for row in sums}
+            q = [(c[d] / DOT_SCALE) / float(n) for d in range(1, dim + 1)]
+            v = ortho(q)
+        found.append(v)
+    return found

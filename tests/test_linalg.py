@@ -59,3 +59,31 @@ def test_pc_projection_scores(spark):
         for r in pc_projection(df, [1.0, 0.0]).collect()
     }
     assert scores == {1: 2.0, 2: 0.0, 3: 1.0}
+
+
+def test_top_directions_orthonormal_and_spanning(spark):
+    import numpy as np
+
+    from id3c_spark.operators.linalg import top_directions
+
+    rng = np.random.default_rng(13)
+    # two dominant planted axes with different variances + noise
+    a1 = np.zeros(8); a1[0] = 1.0
+    a2 = np.zeros(8); a2[3] = 1.0
+    rows = []
+    for _ in range(300):
+        x = (
+            rng.normal(scale=5.0) * a1
+            + rng.normal(scale=2.0) * a2
+            + rng.normal(scale=0.05, size=8)
+        )
+        rows.append(([float(t) for t in x],))
+    df = spark.createDataFrame(rows, "embedding array<float>")
+    v1, v2 = top_directions(df, p=2, dim=8, iters=4)
+    # orthonormal
+    assert abs(sum(a * a for a in v1) - 1) < 1e-6
+    assert abs(sum(a * a for a in v2) - 1) < 1e-6
+    assert abs(sum(a * b for a, b in zip(v1, v2))) < 1e-3
+    # v1 aligns with the strongest axis, v2 with the second
+    assert abs(v1[0]) > 0.99
+    assert abs(v2[3]) > 0.99

@@ -3141,6 +3141,20 @@ def _power_oracle(iters: int = 3, dim: int = 64) -> str:
     return sql
 
 
+def _spectral_scores_oracle(iters: int = 3, dim: int = 64) -> str:
+    """The _power_oracle chain, finishing with each vector's exact
+    fixed-point projection onto the converged direction (mirrors
+    linalg.pc_projection's floor(e·v·1e9) bigint sum)."""
+    chain = _power_oracle(iters, dim)
+    head, _, _tail = chain.rpartition("SELECT dim, round(vv, 6)")
+    return head + f"""SELECT x.vec_id AS id,
+           round(CAST(SUM(CAST(floor(x.val * p.vv * 1e9) AS BIGINT)) AS DOUBLE)
+                 / 1e9, 6) AS score
+    FROM x JOIN v{iters} p ON p.dim = x.dim
+    GROUP BY x.vec_id
+    """
+
+
 @query("principal_direction_embeddings", oracle=_power_oracle(iters=3))
 def principal_direction_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant principal direction of the embedding corpus by
@@ -5202,6 +5216,21 @@ def order_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.nth_value("o_orderkey", 2).over(wf).alias("second_best"),
     )
+
+
+@query("spectral_scores_embeddings", oracle=_spectral_scores_oracle(iters=3))
+def spectral_scores_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D spectral scores: every embedding's exact fixed-point
+    projection onto the corpus's dominant principal direction
+    (linalg.power_iteration + pc_projection) — the row-local, shuffle-
+    free scoring pass behind spectral outlier cuts, 1-D binning, and
+    embedding-space-collapse monitoring. The oracle replays the full
+    unrolled iteration chain plus the projection, bit-for-bit."""
+    from id3c_spark.operators.linalg import pc_projection, power_iteration
+
+    emb = t(spark, sf_dir, "embeddings")
+    v = power_iteration(emb, "embedding", dim=64, iters=3)
+    return pc_projection(emb, v, "vec_id", "embedding")
 
 
 # The external correctness gate enumerates only the first GATE_CAP entries of

@@ -5218,6 +5218,87 @@ def order_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "margin_by_nation_year",
+    # TPC-H Q9 shape on the available columns: landed revenue minus a
+    # retail-price-based cost proxy, grouped by supplier nation × year
+    oracle=f"""
+    SELECT n.n_name, year(l.l_shipdate) AS o_year,
+           {DSUM.format(expr='l.l_extendedprice * (1 - l.l_discount) - p.p_retailprice * l.l_quantity * 0.5')} AS margin
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def margin_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-profit by nation and year): the fact
+    table joins two broadcast dims plus the part relation, with the
+    margin expression computed row-local before ONE shuffle on the
+    (nation, year) group key. Cost uses a retail-price proxy since the
+    synthetic schema has no partsupp supplycost — the planner shape
+    (4-table star, computed measure, two-level grouping) is the point."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    margin = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.5)
+    )
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .groupBy("n_name", F.year("l_shipdate").alias("o_year"))
+        .agg(dsum(margin, "margin"))
+    )
+
+
+@query(
+    "user_activity_islands",
+    # gaps-and-islands: consecutive-active-day runs via the classic
+    # date - row_number() constant-per-run trick (all integer day math)
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events),
+    r AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+      FROM d)
+    SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+           count(*) AS n_days
+    FROM r GROUP BY user_id, grp
+    """,
+)
+def user_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's runs of CONSECUTIVE active days —
+    the streak/retention shape behind 'current streak' features and
+    outage detection. day − row_number() is constant within a run (both
+    advance by 1), so one user-keyed window plus one group-by finds all
+    islands; day arithmetic stays in exact integers."""
+    ev = t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = d.withColumn("grp", F.col("day") - F.row_number().over(w))
+    return (
+        r.groupBy("user_id", "grp")
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .drop("grp")
+    )
+
+
 @query("spectral_scores_embeddings", oracle=_spectral_scores_oracle(iters=3))
 def spectral_scores_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-D spectral scores: every embedding's exact fixed-point

@@ -391,3 +391,31 @@ def test_prefix_filter_equals_bruteforce_property(spark, docs):
         if union and 5 * len(sa & sb) >= 4 * len(union):
             brute.add((a, b))
     assert got == brute
+
+
+@given(st.lists(
+    st.sampled_from("aa bb cc dd ee ff".split()), min_size=6, max_size=20))
+@settings(max_examples=10, deadline=None)
+def test_winnowing_matches_scalar_replay_property(spark, words):
+    """The frame-window winnowing selection equals a scalar replay of
+    the SWA rule (min hash per w-window, rightmost tie) on arbitrary
+    small-alphabet word streams — ties are COMMON here, stressing the
+    struct-min tiebreak."""
+    import hashlib
+
+    from id3c_spark.operators.dedup import winnow_fingerprints
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = winnow_fingerprints(df, "doc_id", "text", k=2, w=3).collect()
+    hs = []
+    for i in range(len(words) - 1):
+        sh = " ".join(words[i : i + 2])
+        hs.append(int(hashlib.md5(sh.encode()).hexdigest()[:12], 16))
+    want = set()
+    for s in range(len(hs) - 2):
+        window = hs[s : s + 3]
+        m = min(window)
+        pos = max(j for j, h in enumerate(window) if h == m) + s
+        want.add((pos, m))
+    assert {(r["pos"], r["h"]) for r in rows} == want

@@ -5299,6 +5299,67 @@ def user_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spectral_outlier_oracle(iters: int = 3, dim: int = 64) -> str:
+    """Score chain + exact-decimal z-scoring over the 6-dp scores."""
+    scores = _spectral_scores_oracle(iters, dim)
+    return f"""
+    WITH sc AS ({scores}),
+    st AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(score AS DECIMAL(18,6))
+                      * CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+      FROM sc)
+    SELECT sc.id, sc.score,
+           round((sc.score - st.sx / st.n)
+                 / sqrt(st.sxx / st.n - (st.sx / st.n) * (st.sx / st.n)), 6)
+             AS z
+    FROM sc CROSS JOIN st
+    WHERE abs(round((sc.score - st.sx / st.n)
+              / sqrt(st.sxx / st.n - (st.sx / st.n) * (st.sx / st.n)), 6))
+          >= 2.0
+    """
+
+
+@query(
+    "spectral_outlier_embeddings", oracle=_spectral_outlier_oracle(iters=3)
+)
+def spectral_outlier_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral outliers: vectors whose projection onto the dominant
+    principal direction sits >= 2σ from the corpus mean — the 1-D
+    spectral cut used to catch embedding-space anomalies (mojibake
+    clusters, adversarial inserts). Sufficient statistics are exact
+    decimal sums over the 6-dp scores, the z a single double op per
+    row against a broadcast 1-row scalar."""
+    from id3c_spark.operators.linalg import pc_projection, power_iteration
+
+    emb = t(spark, sf_dir, "embeddings")
+    v = power_iteration(emb, "embedding", dim=64, iters=3)
+    sc = pc_projection(emb, v, "vec_id", "embedding")
+    st = sc.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("score").cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum(
+            F.col("score").cast("decimal(18,6)")
+            * F.col("score").cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    z = F.round(
+        (F.col("score") - mean)
+        / F.sqrt(F.col("sxx") / F.col("n") - mean * mean),
+        6,
+    )
+    return (
+        sc.crossJoin(F.broadcast(st))
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= 2.0)
+        .select("id", "score", "z")
+    )
+
+
 @query("spectral_scores_embeddings", oracle=_spectral_scores_oracle(iters=3))
 def spectral_scores_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-D spectral scores: every embedding's exact fixed-point

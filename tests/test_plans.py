@@ -46,6 +46,7 @@ ALLOWED_CROSS = {
     "event_rate_anomalies": 1,     # global mean/std scalar (one row)
     "source_mixture_report": 1,    # total-token scalar (one row)
     "decayed_user_engagement": 1,  # max-ts scalar (one row)
+    "spectral_outlier_embeddings": 1,  # score-stats scalar (one row)
 }
 
 

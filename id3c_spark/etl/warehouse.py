@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from id3c_spark import schemas
-from id3c_spark.operators.merge import find_or_create, merge
+from id3c_spark.operators.merge import merge
 from id3c_spark.sources.store import ParquetTable
 
 
@@ -35,85 +35,106 @@ class Warehouse:
     def publish(self, name: str, df: DataFrame) -> None:
         self.tables[name].publish(df)
 
+    def _upsert(self, name: str, updates: DataFrame, key_cols, id_col: str, **kw) -> DataFrame:
+        """Run operators.merge.merge through the file-granular copy-on-write
+        path (sources/store.py merge_publish): footer min/max pruning on the
+        merge keys means an ETL batch rewrites only the files it touches —
+        the 100×-scale shape of the reference's per-row upsert transaction
+        (db/__init__.py:182-326). First publish bootstraps the table and
+        range-clusters it on the first match key so later merges prune."""
+        tbl = self.tables[name]
+        cluster = [k for k in ([key_cols[0]] if isinstance(key_cols[0], str) else list(key_cols[0])) if k]
+        if not tbl.exists():
+            base = self.spark.createDataFrame([], schemas.WAREHOUSE_SCHEMAS[name])
+            tbl.publish(merge(base, updates, key_cols, id_col, **kw).df)
+        else:
+            tbl.merge_publish(
+                updates, key_cols,
+                lambda target: merge(target, updates, key_cols, id_col, **kw).df,
+                cluster_by=cluster,
+            )
+        return self.read(name)
+
     # --- reference upsert family (SURVEY §2.9) ---------------------------
 
     def find_or_create_target(self, wanted: DataFrame) -> DataFrame:
         """find_or_create_target (etl/__init__.py:652-682): insert missing
         (identifier, control); never update existing."""
-        res = find_or_create(self.read("target"), wanted, ["identifier"], "target_id")
-        self.publish("target", res.df)
-        return self.read("target")
+        return self._upsert(
+            "target", wanted, ["identifier"], "target_id",
+            update_cols=[], details_col=None, error_on_multi=False, update_keys=False,
+        )
 
     def find_or_create_site(self, wanted: DataFrame) -> DataFrame:
         """find_or_create_site (etl/__init__.py:33-63); site identifiers are
         unique case-insensitively (site.sql:12-14) — normalize before match."""
-        current = self.read("site")
-        res = find_or_create(
-            current.withColumn("identifier", F.col("identifier")),
-            wanted, ["identifier"], "site_id",
+        return self._upsert(
+            "site", wanted, ["identifier"], "site_id",
+            update_cols=[], details_col=None, error_on_multi=False, update_keys=False,
         )
-        self.publish("site", res.df)
-        return self.read("site")
 
     def upsert_individual(self, updates: DataFrame) -> DataFrame:
         """upsert_individual (etl/__init__.py:66-140): match identifier,
         update sex, merge details."""
-        res = merge(
-            self.read("individual"), updates, ["identifier"], "individual_id",
+        return self._upsert(
+            "individual", updates, ["identifier"], "individual_id",
             update_cols=["sex"],
         )
-        self.publish("individual", res.df)
-        return self.read("individual")
 
     def upsert_encounter(self, updates: DataFrame) -> DataFrame:
         """upsert_encounter (etl/__init__.py:143-249): match identifier."""
-        res = merge(
-            self.read("encounter"), updates, ["identifier"], "encounter_id",
+        return self._upsert(
+            "encounter", updates, ["identifier"], "encounter_id",
             update_cols=["individual_id", "site_id", "encountered", "age_months"],
         )
-        self.publish("encounter", res.df)
-        return self.read("encounter")
 
     def upsert_sample(self, updates: DataFrame) -> DataFrame:
         """upsert_sample (db/__init__.py:182-326): alternate-key match on
         identifier OR collection_identifier; error on multi-match."""
-        res = merge(
-            self.read("sample"), updates,
+        return self._upsert(
+            "sample", updates,
             [["identifier"], ["collection_identifier"]], "sample_id",
             update_cols=["collection_identifier", "encounter_id", "collected", "access_role"],
         )
-        self.publish("sample", res.df)
-        return self.read("sample")
 
     def upsert_presence_absence(self, updates: DataFrame) -> DataFrame:
         """upsert_presence_absence (etl/__init__.py:548-649): match
         identifier; re-tests are corrections (present may flip)."""
-        res = merge(
-            self.read("presence_absence"), updates, ["identifier"], "presence_absence_id",
+        return self._upsert(
+            "presence_absence", updates, ["identifier"], "presence_absence_id",
             update_cols=["sample_id", "target_id", "present"],
         )
-        self.publish("presence_absence", res.df)
-        return self.read("presence_absence")
 
     def upsert_location(self, updates: DataFrame) -> DataFrame:
         """upsert_location (etl/__init__.py:378-466): match (scale,
         identifier); hierarchy right-biased concat happens in the caller."""
-        res = merge(
-            self.read("location"), updates, [["scale", "identifier"]], "location_id",
+        return self._upsert(
+            "location", updates, [["scale", "identifier"]], "location_id",
             update_cols=["hierarchy", "point_wkt", "polygon_wkt", "simplified_polygon_wkt"],
         )
-        self.publish("location", res.df)
-        return self.read("location")
 
     def upsert_encounter_location(self, updates: DataFrame) -> DataFrame:
         """upsert_encounter_location (etl/__init__.py:469-545): match
         (encounter_id, relation citext)."""
-        current = self.read("encounter_location").withColumn(
-            "el_id", F.xxhash64("encounter_id", "relation")  # composite PK surrogate
-        )
-        res = merge(
-            current, updates, [["encounter_id", "relation"]], "el_id",
-            update_cols=["location_id"],
-        )
-        self.publish("encounter_location", res.df.drop("el_id"))
+        def run(target: DataFrame) -> DataFrame:
+            current = target.withColumn(
+                "el_id", F.xxhash64("encounter_id", "relation")  # composite PK surrogate
+            )
+            res = merge(
+                current, updates, [["encounter_id", "relation"]], "el_id",
+                update_cols=["location_id"],
+            )
+            return res.df.drop("el_id")
+
+        tbl = self.tables["encounter_location"]
+        if not tbl.exists():
+            base = self.spark.createDataFrame(
+                [], schemas.WAREHOUSE_SCHEMAS["encounter_location"]
+            )
+            tbl.publish(run(base))
+        else:
+            tbl.merge_publish(
+                updates, [["encounter_id", "relation"]], run,
+                cluster_by=["encounter_id"],
+            )
         return self.read("encounter_location")

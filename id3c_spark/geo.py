@@ -334,27 +334,92 @@ def to_wgs84_transform(epsg: int):
     )
 
 
+def _auto_cell_deg(locs_bbox: DataFrame) -> float:
+    """Grid resolution from the polygon set itself: the 90th-percentile
+    bbox span, so a typical polygon covers O(1) cells while the occasional
+    oversized polygon expands to a bounded handful. One tiny agg — two
+    scalars to the driver."""
+    row = locs_bbox.agg(
+        F.percentile_approx(
+            F.greatest(
+                F.col("__bbox.xmax") - F.col("__bbox.xmin"),
+                F.col("__bbox.ymax") - F.col("__bbox.ymin"),
+            ),
+            F.lit(0.9),
+        ).alias("span")
+    ).collect()[0]
+    span = row["span"]
+    return float(span) if span else 1.0
+
+
+def polygon_cells(
+    locs_bbox: DataFrame, cell_deg: float
+) -> DataFrame:
+    """Covering-cell relation: one row per (polygon, grid cell) for every
+    cell of a fixed lng/lat grid intersecting the polygon's bbox — the
+    equi-join key that replaces the nested-loop bbox predicate. Pure
+    JVM-side sequence+explode; any point inside the bbox lands in one of
+    these cells (floor is monotone), so the cover is complete."""
+    return locs_bbox.withColumn(
+        "__cx",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__bbox.xmin") / cell_deg).cast("long"),
+                F.floor(F.col("__bbox.xmax") / cell_deg).cast("long"),
+            )
+        ),
+    ).withColumn(
+        "__cy",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__bbox.ymin") / cell_deg).cast("long"),
+                F.floor(F.col("__bbox.ymax") / cell_deg).cast("long"),
+            )
+        ),
+    )
+
+
 def lookup_tract(
     points: DataFrame,
     locations: DataFrame,
     lng_col: str = "lng",
     lat_col: str = "lat",
+    cell_deg: float | None = None,
 ) -> DataFrame:
     """location.py:440-477 parity: for each point, the containing location's
     identifier — deterministic tie-break ``order by identifier limit 1``.
-    Points matching nothing keep a null tract_identifier."""
+    Points matching nothing keep a null tract_identifier.
+
+    Scale shape (SURVEY §2.3's prescription): polygons explode into a
+    covering-cell relation on a fixed lng/lat grid (resolution
+    auto-derived from the polygon sizes, or *cell_deg*), points compute
+    their cell id as two floor() columns, and the candidate join is a
+    plain EQUI-join on (cx, cy) — a BroadcastHashJoin/SMJ the planner can
+    shuffle and AQE-split, never the O(points × polygons)
+    BroadcastNestedLoopJoin of a bare bbox range predicate (the r6 shape,
+    flagged weak at a national-polygon × 100×-points scale). The exact
+    bbox filter + Arrow-batched ray-cast refine are unchanged, so results
+    are identical."""
     locs = with_bbox(locations).select(
         F.col("identifier").alias("tract_identifier"), "polygon_wkt", "__bbox"
     )
-    pts = points.withColumn("__pid", F.monotonically_increasing_id())
-    cand = pts.join(
-        F.broadcast(locs),
-        (F.col(lng_col) >= F.col("__bbox.xmin")) & (F.col(lng_col) <= F.col("__bbox.xmax"))
-        & (F.col(lat_col) >= F.col("__bbox.ymin")) & (F.col(lat_col) <= F.col("__bbox.ymax")),
-        "inner",
-    ).filter(_contains_udf(F.col("polygon_wkt"), F.col(lng_col), F.col(lat_col)))
+    cell = cell_deg if cell_deg is not None else _auto_cell_deg(locs)
+    cover = polygon_cells(locs, cell)
+    pts = (
+        points.withColumn("__pid", F.monotonically_increasing_id())
+        .withColumn("__cx", F.floor(F.col(lng_col) / cell).cast("long"))
+        .withColumn("__cy", F.floor(F.col(lat_col) / cell).cast("long"))
+    )
+    cand = (
+        pts.join(F.broadcast(cover), ["__cx", "__cy"], "inner")
+        .filter(
+            (F.col(lng_col) >= F.col("__bbox.xmin")) & (F.col(lng_col) <= F.col("__bbox.xmax"))
+            & (F.col(lat_col) >= F.col("__bbox.ymin")) & (F.col(lat_col) <= F.col("__bbox.ymax"))
+        )
+        .filter(_contains_udf(F.col("polygon_wkt"), F.col(lng_col), F.col(lat_col)))
+    )
     best = distinct_on(cand, ["__pid"], [F.col("tract_identifier").asc()])
     return (
         pts.join(best.select("__pid", "tract_identifier"), "__pid", "left")
-        .drop("__pid", "polygon_wkt", "__bbox")
+        .drop("__pid", "polygon_wkt", "__bbox", "__cx", "__cy")
     )

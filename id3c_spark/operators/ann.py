@@ -441,8 +441,9 @@ def _ivf_pivots(cp: DataFrame, nlist: int):
     """Deterministic coarse-quantizer pivots: the *nlist* corpus vectors
     with the smallest md5(id) — an order-invariant uniform sample both
     Spark and the DuckDB oracle derive exactly. Returns a broadcast of
-    (pivot_ids sorted asc, row-normalized pivot matrix), tiny
-    (nlist × dim)."""
+    (pivot_ids sorted asc, row-normalized pivot matrix, RAW pivot
+    matrix), tiny (nlist × dim); the raw matrix is what residual (IVFADC)
+    encoding subtracts."""
     import numpy as np
 
     piv_rows = (
@@ -451,9 +452,9 @@ def _ivf_pivots(cp: DataFrame, nlist: int):
     piv_ids = np.asarray([r.id for r in piv_rows])
     order = np.argsort(piv_ids)
     piv_ids = piv_ids[order]
-    piv_mat = np.asarray([np.asarray(piv_rows[i].v, dtype=np.float64) for i in order])
-    piv_mat = piv_mat / np.sqrt((piv_mat * piv_mat).sum(axis=1))[:, None]
-    return cp.sparkSession.sparkContext.broadcast((piv_ids, piv_mat))
+    raw = np.asarray([np.asarray(piv_rows[i].v, dtype=np.float64) for i in order])
+    piv_mat = raw / np.sqrt((raw * raw).sum(axis=1))[:, None]
+    return cp.sparkSession.sparkContext.broadcast((piv_ids, piv_mat, raw))
 
 
 def _ivf_assign(df: DataFrame, bp, n_cells: int) -> DataFrame:
@@ -463,7 +464,7 @@ def _ivf_assign(df: DataFrame, bp, n_cells: int) -> DataFrame:
     import pandas as pd
 
     def gen(batches):
-        ids, mat = bp.value
+        ids, mat = bp.value[0], bp.value[1]
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -517,6 +518,55 @@ def ivf_topk(
     # a corpus vector lives in exactly one cell and a query probes nprobe
     # DISTINCT cells, so each (query, neighbor) pair appears at most once —
     # no dedup shuffle needed before rerank
+    cand = (
+        probes.alias("q")
+        .join(cells.alias("c"), F.col("q.cell") == F.col("c.cell"))
+        .filter(F.col("q.id") != F.col("c.id"))
+        .select(F.col("q.id").alias("query_id"), F.col("c.id").alias("neighbor_id"))
+    )
+    qe = qp.select(F.col("id").alias("query_id"), F.col("v").alias("qv"))
+    ce = cp.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"))
+    scored = _score_pairs(cand, qe, ce)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def ivf_trained_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iter: int = 2,
+) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer — ``ivf_topk`` with Lloyd
+    k-means cells instead of md5-pivot cells (reusing pq_train's m=1
+    instance over unit-normalized vectors, the same coarse stage as
+    residual IVFPQ, so one oracle-mirrored discipline serves both).
+    Trained cells track the data's actual density: measured near-dup
+    candidate recall at nprobe=6/nlist=16 is 0.81 vs 0.70 for md5 pivots
+    (ANN_RECALL_r7.md), and since candidates are exact-cosine reranked
+    the end recall IS the candidate recall. Same scale shape as ivf_topk:
+    broadcast centroids, one Arrow assignment pass per side, cell-keyed
+    candidate join."""
+    from id3c_spark.operators.pq import _assign_topn, _normalized, pq_train
+
+    same = queries is corpus
+    cp = _prep(corpus, id_col, vec_col)
+    cp = cp.persist() if same else cp
+    qp = cp if same else _prep(queries, id_col, vec_col)
+    vn = _normalized(cp).persist()
+    qn = vn if same else _normalized(qp)
+    coarse = pq_train(vn, "id", "v", m=1, k=nlist, max_iter=train_iter)
+    bcg = cp.sparkSession.sparkContext.broadcast(coarse)
+    cells = _assign_topn(vn, bcg, 1)
+    probes = _assign_topn(qn, bcg, nprobe)
     cand = (
         probes.alias("q")
         .join(cells.alias("c"), F.col("q.cell") == F.col("c.cell"))

@@ -2195,13 +2195,26 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans(emb, "vec_id", "embedding", k=8, max_iter=2)
 
 
-def _pq_chain(m: int = 8, kcent: int = 16, iters: int = 2, dim: int = 64) -> str:
-    """Shared CTE chain mirroring operators/pq.py: per-subspace k-means
-    (md5 seeds, 6-dp distances, exact integer-micro means, empty cells
-    carried) → ``centf`` codebooks, ``codes`` (vec_id, sub, cl), ``lut``
-    (qid, sub, cl, 6-dp pd). Starts with a comma — append after a
-    ``WITH v AS (...)`` head."""
+def _pq_train_ctes(
+    m: int,
+    kcent: int,
+    iters: int,
+    dim: int,
+    src: str = "v",
+    prefix: str = "",
+    seed_salt: str = "",
+) -> str:
+    """Per-subspace k-means CTEs mirroring pq.pq_train over relation *src*
+    (vec_id, e) — md5 seeds, 6-dp distances, exact integer-micro means,
+    empty cells carried — ending in ``{prefix}centf`` codebooks and
+    ``{prefix}codes`` (vec_id, sub, cl). *src* = "v" trains on raw vectors
+    (pq_topk); the residual IVFADC oracle passes its residual relation
+    (salted seed order, mirroring pq_train's seed_salt) and ALSO reuses
+    the chain with m=1 + a prefix as its trained coarse quantizer —
+    one subspace is plain Lloyd k-means. Starts with a comma — append
+    after preceding CTEs."""
     dsub = dim // m
+    p = prefix
     sub_d2 = (
         "round(list_sum(list_transform(range(1, {n}), "
         "j -> (v.e[ct.sub * {ds} + j] - ct.cv[j]) * "
@@ -2212,29 +2225,27 @@ def _pq_chain(m: int = 8, kcent: int = 16, iters: int = 2, dim: int = 64) -> str
         "SELECT v.vec_id, ct.sub, ct.cl, "
         "row_number() OVER (PARTITION BY v.vec_id, ct.sub "
         f"ORDER BY {sub_d2}, ct.cl) AS rn "
-        "FROM v CROSS JOIN {cent} ct) WHERE rn = 1"
+        f"FROM {src} v CROSS JOIN {{cent}} ct) WHERE rn = 1"
     )
-    sql = f"""
-    WITH v AS (
-      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
-      FROM embeddings),
-    seed AS (
+    sql = f""",
+    {p}seed AS (
       SELECT vec_id, e,
              row_number() OVER (
-               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl
-      FROM v),
-    cd0 AS (
+               ORDER BY md5(CAST(vec_id AS VARCHAR) || '{seed_salt}'),
+                        vec_id) - 1 AS cl
+      FROM {src}),
+    {p}cd0 AS (
       SELECT s.sub, cl, r.j AS dim, round(e[s.sub * {dsub} + r.j], 6) AS c
-      FROM seed, unnest(range(0, {m})) AS s(sub),
+      FROM {p}seed, unnest(range(0, {m})) AS s(sub),
            unnest(range(1, {dsub + 1})) AS r(j)
       WHERE cl < {kcent})"""
-    prev = "cd0"
+    prev = f"{p}cd0"
     for it in range(1, iters + 1):
         sql += f""",
-    cent{it} AS (SELECT sub, cl, list(c ORDER BY dim) AS cv
+    {p}cent{it} AS (SELECT sub, cl, list(c ORDER BY dim) AS cv
                  FROM {prev} GROUP BY sub, cl),
-    a{it} AS ({assign.format(cent=f"cent{it}")}),
-    u{it} AS (
+    {p}a{it} AS ({assign.format(cent=f"{p}cent{it}")}),
+    {p}u{it} AS (
       -- exact integer-micro half-up mean (mirrors clustering.MEAN6_EXPR)
       SELECT sub, cl, dim,
              CASE WHEN smi >= 0 THEN (2 * smi + n) // (2 * n)
@@ -2244,22 +2255,42 @@ def _pq_chain(m: int = 8, kcent: int = 16, iters: int = 2, dim: int = 64) -> str
                CAST(sum(CAST(round(v.e[a.sub * {dsub} + r.j], 6)
                              AS DECIMAL(20,6))) * 1000000 AS BIGINT) AS smi,
                count(*) AS n
-        FROM a{it} a JOIN v ON v.vec_id = a.vec_id,
+        FROM {p}a{it} a JOIN {src} v ON v.vec_id = a.vec_id,
              unnest(range(1, {dsub + 1})) AS r(j)
         GROUP BY a.sub, a.cl, r.j)),
-    cd{it} AS (
+    {p}cd{it} AS (
       SELECT p.sub, p.cl, p.dim, coalesce(u.c, p.c) AS c
-      FROM {prev} p LEFT JOIN u{it} u
+      FROM {prev} p LEFT JOIN {p}u{it} u
         ON u.sub = p.sub AND u.cl = p.cl AND u.dim = p.dim)"""
-        prev = f"cd{it}"
+        prev = f"{p}cd{it}"
     sql += f""",
-    centf AS (SELECT sub, cl, list(c ORDER BY dim) AS cv
+    {p}centf AS (SELECT sub, cl, list(c ORDER BY dim) AS cv
               FROM {prev} GROUP BY sub, cl),
-    codes AS ({assign.format(cent="centf")}),
+    {p}codes AS ({assign.format(cent=f"{p}centf")})"""
+    return sql
+
+
+def _pq_chain(m: int = 8, kcent: int = 16, iters: int = 2, dim: int = 64) -> str:
+    """Shared CTE chain mirroring operators/pq.py on raw vectors: the
+    training/codes CTEs plus the all-queries ``lut`` (qid, sub, cl, 6-dp
+    pd) used by the brute-force pq_topk oracle."""
+    dsub = dim // m
+    sub_d2 = (
+        "round(list_sum(list_transform(range(1, {n}), "
+        "j -> (v.e[ct.sub * {ds} + j] - ct.cv[j]) * "
+        "(v.e[ct.sub * {ds} + j] - ct.cv[j]))), 6)"
+    ).format(n=dsub + 1, ds=dsub)
+    return (
+        """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings)"""
+        + _pq_train_ctes(m, kcent, iters, dim, src="v")
+        + f""",
     lut AS (
       SELECT v.vec_id AS qid, ct.sub, ct.cl, {sub_d2} AS pd
       FROM v CROSS JOIN centf ct)"""
-    return sql
+    )
 
 
 _PQ_TAIL = """
@@ -2299,40 +2330,73 @@ def _ivfpq_oracle(
     nprobe: int = 2,
     topk: int = 5,
 ) -> str:
-    """SQL mirror of pq.ivfpq_topk: the PQ chain + the deterministic IVF
-    cells/probes of ann_ivf_topk (md5 pivots, 6-dp cosine, pivot-id
-    tiebreak) restricting which (query, candidate) pairs are ADC-scored."""
+    """SQL mirror of residual pq.ivfpq_topk (IVFADC on the unit sphere):
+    unit-normalized vectors, a TRAINED coarse quantizer (the m=1 instance
+    of the shared per-subspace k-means chain — one subspace is plain
+    Lloyd), 6-dp-L2/index-tiebreak cells and nprobe probes, codebooks
+    trained on and codes encoding the per-cell residual v̂ − centroid
+    (salted seed order, disjoint from the coarse seeds), and a
+    per-(query, probed-cell) residual LUT scoring only the pairs the
+    probes admit."""
+    dsub = dim // m
+    g_d2 = (
+        "round(list_sum(list_transform(range(1, {n}), "
+        "j -> (v.e[j] - ct.cv[j]) * (v.e[j] - ct.cv[j]))), 6)"
+    ).format(n=dim + 1)
     return (
-        _pq_chain(m, kcent, iters, dim)
-        + f""",
+        f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings),
     nrm AS (
       SELECT vec_id, sqrt(list_sum(list_transform(e, x -> x * x))) AS nr
       FROM v),
-    piv AS (
-      SELECT v.vec_id AS pid, v.e AS pe, nrm.nr AS pnrm
-      FROM v JOIN nrm ON nrm.vec_id = v.vec_id
-      ORDER BY md5(CAST(v.vec_id AS VARCHAR)), v.vec_id
-      LIMIT {nlist}),
-    vsim AS (
-      SELECT v.vec_id, p.pid,
-             round(list_sum(list_transform(range(1, {dim + 1}),
-               i -> (v.e[i] / nrm.nr) * (p.pe[i] / p.pnrm))), 6) AS sim
-      FROM v JOIN nrm ON nrm.vec_id = v.vec_id CROSS JOIN piv p),
-    vrank AS (
-      SELECT vec_id, pid,
-             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, pid) AS pr
-      FROM vsim),
-    cells AS (SELECT vec_id, pid AS cell FROM vrank WHERE pr = 1),
-    probes AS (SELECT vec_id, pid AS cell FROM vrank WHERE pr <= {nprobe}),
+    vn AS MATERIALIZED (
+      SELECT v.vec_id,
+             list_transform(range(1, {dim + 1}), i -> v.e[i] / nrm.nr) AS e
+      FROM v JOIN nrm ON nrm.vec_id = v.vec_id)"""
+        + _pq_train_ctes(1, nlist, iters, dim, src="vn", prefix="g")
+        + f""",
+    grank AS (
+      SELECT v.vec_id, ct.cl AS cell,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY {g_d2}, ct.cl) AS pr
+      FROM vn v CROSS JOIN gcentf ct),
+    cells AS (SELECT vec_id, cell FROM grank WHERE pr = 1),
+    probes AS (SELECT vec_id, cell FROM grank WHERE pr <= {nprobe}),
+    res AS MATERIALIZED (
+      -- unit-sphere residual: v̂ - centroid(cell) (IVFADC under the
+      -- pipeline's cosine metric)
+      SELECT c.vec_id,
+             list_transform(range(1, {dim + 1}), i -> vv.e[i] - g.cv[i]) AS e
+      FROM cells c
+      JOIN vn vv ON vv.vec_id = c.vec_id
+      JOIN gcentf g ON g.cl = c.cell)"""
+        + _pq_train_ctes(m, kcent, iters, dim, src="res", seed_salt=":pq")
+        + f""",
+    lutr AS (
+      -- per probed cell, the QUERY's residual against that cell's
+      -- trained centroid, scored against the residual codebooks
+      SELECT pr.vec_id AS qid, pr.cell, ct.sub, ct.cl,
+             round(list_sum(list_transform(range(1, {dsub + 1}),
+               j -> (vv.e[ct.sub * {dsub} + j] - g.cv[ct.sub * {dsub} + j]
+                     - ct.cv[j])
+                  * (vv.e[ct.sub * {dsub} + j] - g.cv[ct.sub * {dsub} + j]
+                     - ct.cv[j]))), 6) AS pd
+      FROM probes pr
+      JOIN vn vv ON vv.vec_id = pr.vec_id
+      JOIN gcentf g ON g.cl = pr.cell
+      CROSS JOIN centf ct),
     cand AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.cell
       FROM probes q JOIN cells c ON q.cell = c.cell AND q.vec_id != c.vec_id),
     ad AS (
       SELECT cd.query_id, cd.neighbor_id,
              CAST(sum(CAST(l.pd AS DECIMAL(18,6))) AS DOUBLE) AS dist
       FROM cand cd
       JOIN codes c ON c.vec_id = cd.neighbor_id
-      JOIN lut l ON l.qid = cd.query_id AND l.sub = c.sub AND l.cl = c.cl
+      JOIN lutr l ON l.qid = cd.query_id AND l.cell = cd.cell
+                 AND l.sub = c.sub AND l.cl = c.cl
       GROUP BY cd.query_id, cd.neighbor_id)"""
         + _PQ_TAIL.format(topk=topk)
     )
@@ -2354,18 +2418,19 @@ def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ivfpq_topk_embeddings",
-    oracle=_ivfpq_oracle(m=8, kcent=16, iters=2, nlist=16, nprobe=2, topk=5),
+    oracle=_ivfpq_oracle(m=32, kcent=16, iters=2, nlist=16, nprobe=6, topk=5),
 )
 def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF+PQ composition (pq.ivfpq_topk): PQ codes inverted-file-
-    partitioned by deterministic md5-pivot cells, nprobe-cell probing,
-    compressed-domain ADC scoring — the billion-vector serving-index
-    layout, fully oracle-mirrored."""
-    from id3c_spark.operators.pq import ivfpq_topk, pq_train
+    """Residual IVF+PQ (pq.ivfpq_topk, FAISS IVFADC): codebooks trained on
+    per-cell residuals v − pivot(cell), codes inverted-file-partitioned by
+    deterministic md5-pivot cells, nprobe-cell probing with per-cell query-
+    residual LUTs — the billion-vector serving-index layout, fully
+    oracle-mirrored. Residual (vs raw-vector r6) encoding is what lifts
+    near-dup recall (ANN_RECALL_r7.md)."""
+    from id3c_spark.operators.pq import ivfpq_topk
 
     emb = t(spark, sf_dir, "embeddings")
-    books = pq_train(emb, m=8, k=16, max_iter=2)
-    return ivfpq_topk(emb, emb, books, k=5, nlist=16, nprobe=2)
+    return ivfpq_topk(emb, emb, k=5, nlist=16, nprobe=6, m=32, kcent=16, train_iter=2)
 
 
 # ---------------------------------------------------------------------------
@@ -5373,6 +5438,73 @@ def spectral_scores_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     v = power_iteration(emb, "embedding", dim=64, iters=3)
     return pc_projection(emb, v, "vec_id", "embedding")
+
+
+def _ivf_trained_oracle(
+    nlist: int = 16, nprobe: int = 6, iters: int = 2, dim: int = 64, topk: int = 5
+) -> str:
+    """SQL mirror of ann.ivf_trained_topk: unit-normalized vectors, the
+    shared m=1 Lloyd-k-means coarse chain (same CTEs as the residual
+    IVFPQ oracle), 6-dp-L2/index-tiebreak cells + nprobe probes, exact
+    cosine rerank of the admitted pairs."""
+    g_d2 = (
+        "round(list_sum(list_transform(range(1, {n}), "
+        "j -> (v.e[j] - ct.cv[j]) * (v.e[j] - ct.cv[j]))), 6)"
+    ).format(n=dim + 1)
+    return (
+        f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings),
+    nrm AS (
+      SELECT vec_id, sqrt(list_sum(list_transform(e, x -> x * x))) AS nr
+      FROM v),
+    vn AS MATERIALIZED (
+      SELECT v.vec_id,
+             list_transform(range(1, {dim + 1}), i -> v.e[i] / nrm.nr) AS e
+      FROM v JOIN nrm ON nrm.vec_id = v.vec_id)"""
+        + _pq_train_ctes(1, nlist, iters, dim, src="vn", prefix="g")
+        + f""",
+    grank AS (
+      SELECT v.vec_id, ct.cl AS cell,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY {g_d2}, ct.cl) AS pr
+      FROM vn v CROSS JOIN gcentf ct),
+    cells AS (SELECT vec_id, cell FROM grank WHERE pr = 1),
+    probes AS (SELECT vec_id, cell FROM grank WHERE pr <= {nprobe}),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM probes q JOIN cells c ON q.cell = c.cell AND q.vec_id != c.vec_id),
+    scored AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             round(list_sum(list_transform(range(1, {dim + 1}),
+                   i -> a.e[i] * b.e[i]))
+                   / (na.nr * nb.nr), 6) AS sim
+      FROM cand cd
+      JOIN v a ON a.vec_id = cd.query_id
+      JOIN v b ON b.vec_id = cd.neighbor_id
+      JOIN nrm na ON na.vec_id = cd.query_id
+      JOIN nrm nb ON nb.vec_id = cd.neighbor_id),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= {topk}
+    """
+    )
+
+
+@query(
+    "ivf_trained_topk_embeddings",
+    oracle=_ivf_trained_oracle(nlist=16, nprobe=6, iters=2, topk=5),
+)
+def ivf_trained_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-coarse IVF ANN (ann.ivf_trained_topk): Lloyd-k-means cells
+    over unit-normalized vectors (the r7 fix for md5-pivot cells' probe
+    recall — 0.81 vs 0.70 near-dup candidate recall at nprobe=6,
+    ANN_RECALL_r7.md), nprobe-cell probing, exact-cosine rerank."""
+    emb = t(spark, sf_dir, "embeddings")
+    return ann.ivf_trained_topk(emb, emb, k=5, nlist=16, nprobe=6)
 
 
 # The external correctness gate enumerates only the first GATE_CAP entries of

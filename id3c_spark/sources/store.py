@@ -13,10 +13,13 @@ feeds MERGE INTO unchanged.
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class ParquetTable:
@@ -66,6 +69,152 @@ class ParquetTable:
                 f"(kept: {self.versions()}; raise keep_versions to retain more)"
             )
         return self.spark.read.parquet(out)
+
+    def files(self, version: int | None = None) -> list[str]:
+        """Data files of a version — the unit of copy-on-write."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            return []
+        return sorted(glob.glob(os.path.join(self.path, f"v{v}", "*.parquet")))
+
+    @staticmethod
+    def _footer_range(fname: str, column: str) -> tuple | None:
+        """(min, max) footer statistics for *column* across a file's row
+        groups, or None when stats are absent (then the file must be
+        treated as a rewrite candidate). Truncated string stats are safe:
+        parquet truncation keeps min a lower bound and max an upper."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(fname).metadata
+        if column not in md.schema.names:
+            return None
+        idx = md.schema.names.index(column)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mins.append(st.min)
+            maxs.append(st.max)
+        if not mins:
+            return None
+        return (min(mins), max(maxs))
+
+    def merge_publish(
+        self,
+        updates: DataFrame,
+        key_cols: Sequence[Sequence[str]] | Sequence[str],
+        merge_fn: Callable[[DataFrame], DataFrame],
+        cluster_by: Sequence[str] | None = None,
+    ) -> int:
+        """File-granular copy-on-write MERGE: rewrite ONLY the files whose
+        footer min/max key ranges overlap the update batch's key range;
+        hard-link every other file unchanged into the new version.
+
+        This is the scale fix for the §2.9 write path (reference
+        lib/id3c/db/__init__.py:182-326 upserts row-at-a-time; Delta/Iceberg
+        MERGE prunes files the same way): a 100 TB table clustered on its
+        merge key rewrites a few files per ETL batch, not the table.
+
+        *key_cols* mirrors operators.merge.merge's alternate-key shape; the
+        first column of each alternate key drives pruning (conservative —
+        extra candidates are correct, missed ones are not, and footer
+        non-overlap proves no row in the file can match).
+        *merge_fn* receives the candidate-file rows (never the whole table)
+        and returns the merged replacement for exactly those rows plus any
+        inserts — operators.merge.merge over the candidates is exact because
+        matches can only live in candidate files.
+        *cluster_by*: range-cluster + sort the rewritten files on these
+        columns so footer ranges stay tight for the NEXT merge.
+        """
+        if not self.exists():
+            raise FileNotFoundError(
+                f"no published version at {self.path}: bootstrap with "
+                "publish() (the target schema is not derivable from updates)"
+            )
+        alt_keys: list[list[str]] = (
+            [list(k) for k in key_cols]
+            if key_cols and not isinstance(key_cols[0], str)
+            else [list(key_cols)]
+        )
+        prune_cols = sorted(
+            {k[0] for k in alt_keys if k and k[0] in updates.columns}
+        )
+        schema = self.read().schema
+        files = self.files()
+        candidates, carried = list(files), []
+        if prune_cols:
+            # Exact per-value pruning when the batch's distinct keys fit a
+            # bounded driver sample (the common ETL-batch ≪ table case —
+            # min/max-range-only pruning dies the moment one insert key
+            # sits past the table's range, stretching the batch range over
+            # every file). Past the cap, fall back to range overlap.
+            import bisect
+
+            cap = 100_000
+            per_col: dict[str, object] = {}
+            for c in prune_cols:
+                vals = [
+                    r[0]
+                    for r in updates.select(c)
+                    .filter(F.col(c).isNotNull())
+                    .distinct()
+                    .limit(cap + 1)
+                    .collect()
+                ]
+                if len(vals) > cap:
+                    lo_hi = updates.agg(F.min(c), F.max(c)).collect()[0]
+                    per_col[c] = ("range", lo_hi[0], lo_hi[1])
+                else:
+                    per_col[c] = ("values", sorted(vals))
+            candidates, carried = [], []
+            for fname in files:
+                overlap = False
+                for c in prune_cols:
+                    spec = per_col[c]
+                    if spec[0] == "values" and not spec[1]:
+                        continue  # no non-null update keys for this column
+                    rng = self._footer_range(fname, c)
+                    if rng is None:
+                        overlap = True
+                        break
+                    try:
+                        if spec[0] == "values":
+                            vals = spec[1]
+                            i = bisect.bisect_left(vals, rng[0])
+                            if i < len(vals) and vals[i] <= rng[1]:
+                                overlap = True
+                                break
+                        else:
+                            _, lo, hi = spec
+                            if lo is not None and not (hi < rng[0] or lo > rng[1]):
+                                overlap = True
+                                break
+                    except TypeError:  # incomparable stats type: stay safe
+                        overlap = True
+                        break
+                (candidates if overlap else carried).append(fname)
+        if candidates:
+            target = self.spark.read.schema(schema).parquet(*candidates)
+        else:
+            target = self.spark.createDataFrame([], schema)
+        merged = merge_fn(target)
+
+        v = (self.current_version() or 0) + 1
+        out = os.path.join(self.path, f"v{v}")
+        if cluster_by:
+            merged = merged.repartitionByRange(
+                *[F.col(c) for c in cluster_by]
+            ).sortWithinPartitions(*cluster_by)
+        merged.write.mode("overwrite").parquet(out)
+        for fname in carried:
+            dst = os.path.join(out, os.path.basename(fname))
+            try:
+                os.link(fname, dst)  # zero-copy carry-forward
+            except OSError:
+                shutil.copy2(fname, dst)
+        self.flip(v)
+        return v
 
     def stage(self, df: DataFrame) -> int:
         """Write a new version directory WITHOUT flipping the pointer.

@@ -69,6 +69,51 @@ def test_point_in_polygon_lookup(spark):
     assert out[4] is None          # NaN row survives with null
 
 
+def test_point_in_polygon_join_is_equi_not_nested_loop(spark):
+    # The r7 scale shape: polygon→covering-cell relation, EQUI-join on the
+    # cell id, then bbox + ray-cast refine. A bare bbox range predicate
+    # compiles to BroadcastNestedLoopJoin — O(points × polygons) at a
+    # national polygon set; the cell cover must keep it a hash join.
+    locs = spark.createDataFrame(
+        [("tract-b", SQUARE), ("tract-a", SQUARE), ("tract-z", FAR_SQUARE)],
+        "identifier string, polygon_wkt string",
+    )
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 25.0, 25.0), (3, 50.0, 50.0)],
+        "pid long, lng double, lat double",
+    )
+    out = geo.lookup_tract(pts, locs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    # grid-boundary completeness: polygon-interior points sitting exactly
+    # ON a cell edge must still match (floor puts them in a covered cell)
+    edge = spark.createDataFrame(
+        [(10, 5.0, 5.0), (11, 5.0, 2.5), (12, 2.5, 5.0)],
+        "pid long, lng double, lat double",
+    )
+    got = {r.pid: r.tract_identifier
+           for r in geo.lookup_tract(edge, locs, cell_deg=5.0).collect()}
+    assert got == {10: "tract-a", 11: "tract-a", 12: "tract-a"}
+
+
+def test_polygon_cell_cover_complete(spark):
+    # every point inside a polygon's bbox lands in a covered cell at any
+    # grid resolution (floor is monotone) — sweep a few resolutions
+    locs = spark.createDataFrame(
+        [("t", SQUARE)], "identifier string, polygon_wkt string"
+    )
+    pts = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(
+            [(0.01, 0.01), (9.99, 9.99), (5, 5), (0, 5), (5, 0.01), (3.3, 7.7)]
+        )],
+        "pid long, lng double, lat double",
+    )
+    for cell in (0.5, 3.0, 25.0):
+        out = {r.pid: r.tract_identifier
+               for r in geo.lookup_tract(pts, locs, cell_deg=cell).collect()}
+        assert all(v == "t" for v in out.values()), (cell, out)
+
+
 def test_ray_casting_boundary():
     ring = geo.parse_wkt_polygon(SQUARE)
     assert geo.point_in_ring(5, 5, ring)

@@ -77,15 +77,23 @@ def main() -> int:
          lambda: ann.ivf_topk(emb, emb, k=k, nlist=16, nprobe=2)),
         ("ivf tuned (nlist=16, nprobe=6)",
          lambda: ann.ivf_topk(emb, emb, k=k, nlist=16, nprobe=6)),
+        ("ivf trained coarse (nlist=16, nprobe=6)",
+         lambda: ann.ivf_trained_topk(emb, emb, k=k, nlist=16, nprobe=6)),
         ("pq + exact rerank (shortlist 4k)",
          lambda: ann.exact_rerank(
              emb, emb, pq.pq_topk(emb, emb, books, k=4 * k), k=k)),
         ("pq (m=8, k*=16, ADC)",
          lambda: pq_topk(emb, emb, books, k=k)),
-        ("ivfpq (nlist=16, nprobe=2)",
-         lambda: ivfpq_topk(emb, emb, books, k=k, nlist=16, nprobe=2)),
-        ("ivfpq tuned (nprobe=6)",
+        ("ivfpq raw codes (r6 shape, nprobe=6)",
          lambda: ivfpq_topk(emb, emb, books, k=k, nlist=16, nprobe=6)),
+        ("ivfpq residual m=32 (trained coarse, nprobe=2)",
+         lambda: ivfpq_topk(emb, emb, k=k, nlist=16, nprobe=2, m=32)),
+        ("ivfpq residual m=32 (trained coarse, nprobe=6)",
+         lambda: ivfpq_topk(emb, emb, k=k, nlist=16, nprobe=6, m=32)),
+        ("ivfpq residual + exact rerank (shortlist 4k, nprobe=6)",
+         lambda: ann.exact_rerank(
+             emb, emb,
+             ivfpq_topk(emb, emb, k=4 * k, nlist=16, nprobe=6, m=32), k=k)),
     ]
     results = [run(name, fn) for name, fn in variants]
 

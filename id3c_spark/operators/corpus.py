@@ -97,14 +97,19 @@ def repetition_metrics(
     return out
 
 
-def _shingle_relation(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+def _shingle_relation(
+    df: DataFrame, id_col: str, text_col: str, k: int,
+    words: DataFrame | None = None,
+) -> DataFrame:
     """Distinct (id, k-word-shingle) relation — codegen explode+window
     shape shared with the dedup operators (interpreted HOFs measured ~10×
-    slower, see dedup._exploded_shingles)."""
+    slower, see dedup._exploded_shingles). *words* injects a prebuilt
+    dedup.words_relation to share the tokenize+explode pass across
+    stages shingling the same text."""
     from id3c_spark.operators.dedup import _exploded_shingles
 
     return (
-        _exploded_shingles(df, id_col, text_col, k)
+        _exploded_shingles(df, id_col, text_col, k, words=words)
         .withColumnRenamed("sh", "s")
         .distinct()
     )
@@ -116,6 +121,7 @@ def decontaminate(
     id_col: str,
     text_col: str,
     k: int = 5,
+    corpus_words: DataFrame | None = None,
 ) -> DataFrame:
     """Contaminated corpus docs: share >= 1 distinct k-gram word shingle
     with the benchmark set. Returns (id, n_hits = distinct overlapping
@@ -126,7 +132,7 @@ def decontaminate(
     the corpus-side relation joins it map-side with NO corpus shuffle
     before the final per-doc count (which combines map-side)."""
     bench_sh = _shingle_relation(benchmark, id_col, text_col, k).select("s").distinct()
-    corpus_sh = _shingle_relation(corpus, id_col, text_col, k)
+    corpus_sh = _shingle_relation(corpus, id_col, text_col, k, words=corpus_words)
     return (
         corpus_sh.join(F.broadcast(bench_sh), "s")
         .groupBy("id")

@@ -76,11 +76,33 @@ def soft_dedup_weights(
     )
 
 
+def words_relation(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, w) — one row per word occurrence: the tokenize+explode
+    pass every shingle-based operator starts from. Build it ONCE, persist,
+    and pass it via the operators' ``words=`` parameter when several
+    stages shingle the same text at different k (the curation pipeline's
+    decontamination k=5 + near-dup k=3 reuse) — re-deriving it per stage
+    repeats the regex tokenization AND the doc-id shuffle. Persisting
+    after ``.repartition("id").sortWithinPartitions("id", "pos")`` lets
+    every downstream lead() window read the cached partitioning/ordering
+    with no new Exchange or Sort."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(words_array(F.col(text_col))).alias("pos", "w"),
+    )
+
+
 def _exploded_shingles(
-    df: DataFrame, id_col: str, text_col: str, k: int, with_pos: bool = False
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    with_pos: bool = False,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """(id[, pos], sh) — one row per k-word-shingle occurrence (pos is the
-    0-based shingle start when requested).
+    0-based shingle start when requested). *words* injects a prebuilt
+    (persisted) words_relation to share across stages.
 
     Shape: posexplode words, then per-doc lead() windows and one concat_ws.
     Higher-order array functions (zip_with/transform) are interpreted per
@@ -89,10 +111,8 @@ def _exploded_shingles(
     which stays in codegen and costs one shuffle on doc id — the same
     shuffle the downstream distinct/aggregate needs anyway."""
     w = Window.partitionBy("id").orderBy("pos")
-    words = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(words_array(F.col(text_col))).alias("pos", "w"),
-    )
+    if words is None:
+        words = words_relation(df, id_col, text_col)
     parts = [
         (F.lead("w", j).over(w) if j else F.col("w")).alias(f"_w{j}")
         for j in range(k)
@@ -106,8 +126,11 @@ def _exploded_shingles(
     )
 
 
-def _distinct_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    return _exploded_shingles(df, id_col, text_col, k).distinct()
+def _distinct_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int,
+    words: DataFrame | None = None,
+) -> DataFrame:
+    return _exploded_shingles(df, id_col, text_col, k, words=words).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -117,6 +140,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs (id_a < id_b, jaccard) with shingle-set Jaccard ≥ threshold.
 
@@ -138,7 +162,7 @@ def ngram_jaccard_pairs(
     # persist: the shingle relation feeds both self-join sides AND the size
     # aggregate — without it the explode+md5+distinct pipeline runs 3×
     # (Spark does not dedupe common subplans within one action)
-    sh = _distinct_shingles(df, id_col, text_col, k).persist()
+    sh = _distinct_shingles(df, id_col, text_col, k, words=words).persist()
     if max_df is not None:
         # Eager emptiness gate (one map-side-combined agg + limit-1): when
         # no shingle exceeds the cap the anti-join is pure overhead, so the

@@ -49,9 +49,21 @@ def curate(
         metrics.filter("keep").select(F.col("id").alias(id_col)), id_col, "left_semi"
     )
 
-    contaminated = corpus.decontaminate(quality, benchmark, id_col, text_col).select(
-        F.col("id").alias(id_col)
+    # ONE tokenize+explode pass feeds both shingle stages (decontamination
+    # at k=5 and near-dup pairs at k=3 both shingle the same text): build
+    # the words relation over the quality docs once, co-partition + sort
+    # it so every downstream lead() window reads the cached layout with no
+    # new Exchange/Sort, and derive each stage's doc subset by semi-join.
+    words_q = (
+        dedup.words_relation(quality, id_col, text_col)
+        .repartition("id")
+        .sortWithinPartitions("id", "pos")
+        .persist()
     )
+
+    contaminated = corpus.decontaminate(
+        quality, benchmark, id_col, text_col, corpus_words=words_q
+    ).select(F.col("id").alias(id_col))
     clean = quality.join(contaminated, id_col, "left_anti")
 
     exact_keep = dedup.exact_dedup(clean, text_col, id_col).select(id_col)
@@ -61,12 +73,17 @@ def curate(
     # full quality→decontaminate→exact lineage otherwise (Spark does not
     # dedupe common subplans across actions)
     exact = clean.join(exact_keep, id_col, "left_semi").persist()
+    words_exact = words_q.join(
+        exact.select(F.col(id_col).alias("id")), "id", "left_semi"
+    )
 
     # pair_fn injects the near-dup candidate strategy (minhash banding by
     # default; exact n-gram jaccard where full-recall verification is
-    # wanted — the oracle-backed composition query uses that)
+    # wanted — the oracle-backed composition query uses that). It receives
+    # (exact_docs, their words relation) so shingle-based strategies reuse
+    # the shared tokenization.
     pairs = (
-        pair_fn(exact) if pair_fn is not None
+        pair_fn(exact, words_exact) if pair_fn is not None
         else dedup.minhash_lsh_pairs(
             exact, id_col, text_col, threshold=jaccard_threshold
         )

@@ -4189,8 +4189,8 @@ def curation_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bench,
         sample_rates={"src1": 0.5, "src2": 0.25, "src3": 0.125},
         default_rate=0.0625,
-        pair_fn=lambda exact: dedup.ngram_jaccard_pairs(
-            exact, "doc_id", "text", k=3, threshold=0.8, max_df=200
+        pair_fn=lambda exact, words: dedup.ngram_jaccard_pairs(
+            exact, "doc_id", "text", k=3, threshold=0.8, max_df=200, words=words
         ),
     )
     return stages["sampled"].select("doc_id", "source")

@@ -1060,17 +1060,38 @@ def corpus_select(input_parquet: str, output: str, target_filter: str, top: int,
               help="parquet of near-duplicate pairs (id_a, id_b, score)")
 @click.option("--method", default="minhash", show_default=True,
               type=click.Choice(["exact", "minhash", "jaccard", "prefix", "simhash"]))
-@click.option("--threshold", default=0.8, show_default=True)
+@click.option("--threshold", type=float, default=None,
+              help="similarity threshold [default: 0.8]; for simhash, maps "
+                   "to max hamming distance ceil((1-threshold)*bits); "
+                   "rejected for exact (which has no tunable threshold)")
 @click.option("--id-col", default="doc_id", show_default=True)
 @click.option("--text-col", default="text", show_default=True)
-def corpus_dedup(input_parquet: str, output: str, method: str, threshold: float,
-                 id_col: str, text_col: str) -> None:
+def corpus_dedup(input_parquet: str, output: str, method: str,
+                 threshold: float | None, id_col: str, text_col: str) -> None:
     """Duplicate-pair detection with a pluggable candidate strategy:
     exact (content-hash groups), minhash (banded LSH), jaccard (shared-
     shingle blocking), prefix (PPJoin prefix filter — complete, no
     hashing), simhash (byte-band blocking)."""
     from id3c_spark.operators import dedup as dd
 
+    # a threshold that would be silently ignored is a lie to the user:
+    # exact has nothing to tune, simhash maps it to a hamming budget
+    if method == "exact" and threshold is not None:
+        raise click.UsageError("--threshold does not apply to --method exact")
+    simhash_distance = 3  # legacy default when no threshold given
+    if method == "simhash" and threshold is not None:
+        import math
+
+        # --threshold 0.95 → tolerate up to ceil(0.05 * 32) differing bits
+        simhash_distance = max(0, math.ceil((1.0 - threshold) * 32))
+        if simhash_distance > 3:
+            raise click.UsageError(
+                "--method simhash 4-byte banding is only complete for "
+                "hamming distance <= 3 (threshold >= 0.90625); got "
+                f"{threshold} (distance {simhash_distance})"
+            )
+    if threshold is None:
+        threshold = 0.8
     spark = get_spark("corpus-dedup")
     docs = spark.read.parquet(input_parquet)
     if method == "exact":
@@ -1098,7 +1119,9 @@ def corpus_dedup(input_parquet: str, output: str, method: str, threshold: float,
     else:  # simhash
         from pyspark.sql import functions as F
 
-        pairs = dd.simhash_pairs(docs, id_col, text_col).select(
+        pairs = dd.simhash_pairs(
+            docs, id_col, text_col, max_distance=simhash_distance
+        ).select(
             "id_a", "id_b", (1.0 - F.col("distance") / 32.0).alias("score")
         )
     pairs.write.mode("overwrite").parquet(output)

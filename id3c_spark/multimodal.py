@@ -379,6 +379,28 @@ def _gray_matrix(content: bytes):
         height = abs(height_raw)
         if compression != 0 or bits not in (8, 24, 32) or not width or not height:
             return None
+        palette = None
+        if bits == 8:
+            # 8-bit BMP pixels are COLOR TABLE indices, not gray values:
+            # map each index through the palette's BGR channel mean, so a
+            # palettized BMP of a picture matches its PNG/24-bit encoding
+            # (treating indices as intensities broke that invariance for
+            # any non-identity palette). Color table sits after the info
+            # header; entry count from biClrUsed (0 → 2^bits).
+            hdr_size = struct.unpack("<I", content[14:18])[0]
+            clr_used = (
+                struct.unpack("<I", content[46:50])[0] if len(content) >= 50 else 0
+            )
+            n_pal = clr_used or 256
+            pal_bytes = content[14 + hdr_size: 14 + hdr_size + 4 * n_pal]
+            if len(pal_bytes) < 4 * n_pal:
+                return None
+            palette = (
+                np.frombuffer(pal_bytes, dtype=np.uint8)
+                .reshape(-1, 4)[:, :3]      # B, G, R (reserved byte dropped)
+                .astype(np.float64)
+                .mean(axis=1)
+            )
         bpp = bits // 8
         stride = ((width * bpp + 3) // 4) * 4
         rows = []
@@ -390,6 +412,11 @@ def _gray_matrix(content: bytes):
         mat = np.stack(rows).astype(np.float64).reshape(height, width, bpp)
         if height_raw > 0:               # bottom-up storage → flip to top-down
             mat = mat[::-1]
+        if palette is not None:
+            idx = mat[:, :, 0].astype(np.int64)
+            if idx.max() >= len(palette):
+                return None              # index past the color table: corrupt
+            return palette[idx]
         if bpp == 4:                     # BGRA → drop alpha
             mat = mat[:, :, :3]
         return mat.mean(axis=2)

@@ -63,11 +63,19 @@ def soft_dedup_weights(
     Scale shape: one hash-partitioned window count over the 28-byte
     digest — identical cost to exact_dedup's keep-min window, combines
     map-side under AQE, and the digest (not the 100 TB text) is the
-    shuffle key and payload."""
+    shuffle key and payload.
+
+    NULL text is NOT a duplicate class: md5(NULL) is NULL and
+    Window.partitionBy groups NULLs together, so without the guard every
+    null-text doc would count as a copy of every other (weight 1/n) —
+    and diverge from SQL equi-join oracles, where NULL keys never match.
+    Null-text rows keep n_copies=1, weight=1.0."""
     norm = F.md5(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     )
-    n = F.count(F.lit(1)).over(Window.partitionBy("__h"))
+    n = F.when(
+        F.col("__h").isNull(), F.lit(1).cast("long")
+    ).otherwise(F.count(F.lit(1)).over(Window.partitionBy("__h")))
     return (
         df.withColumn("__h", norm)
         .withColumn("n_copies", n)
@@ -221,14 +229,33 @@ def gazetteer_tag(
     set — so a million-entry gazetteer costs one broadcast and at most
     max-phrase-length explode passes over the corpus, never a per-phrase
     scan. Matches are exact token-boundary matches (no substring false
-    hits, the regex approach's classic bug)."""
+    hits, the regex approach's classic bug).
+
+    A phrase the tokenizer CHANGES is refused, not silently rewritten: a
+    blocklist entry like 'covid 19' would normalize to the 1-word phrase
+    'covid' and over-match every bare mention, and an all-digit phrase
+    would vanish entirely — both surprising failure modes for a screening
+    primitive, so they raise with the offending phrases listed; callers
+    that mean the normalized form pass it explicitly."""
     import re
 
     by_len: dict[int, list[str]] = {}
+    rewritten: list[str] = []
     for p in phrases:
         words = [x for x in re.split(r"[^a-z]+", p.lower()) if x]
+        if " ".join(words) != " ".join(
+            x for x in re.split(r"\s+", p.lower().strip()) if x
+        ):
+            rewritten.append(p)
+            continue
         if words:
             by_len.setdefault(len(words), []).append(" ".join(words))
+    if rewritten:
+        raise ValueError(
+            "phrases change under the alpha-word tokenizer (digits/"
+            f"punctuation are not matchable): {rewritten!r}; pass the "
+            "normalized alpha-word form explicitly if that is what you mean"
+        )
     spark = df.sparkSession
     parts = []
     for length, plist in sorted(by_len.items()):

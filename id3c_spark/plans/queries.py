@@ -4631,9 +4631,13 @@ def brand_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS hh
       FROM documents),
-    c AS (SELECT hh, count(*) AS n_copies FROM h GROUP BY hh)
-    SELECT h.doc_id, c.n_copies, round(1.0 / c.n_copies, 6) AS weight
-    FROM h JOIN c USING (hh)
+    c AS (SELECT hh, count(*) AS n_copies FROM h
+          WHERE hh IS NOT NULL GROUP BY hh)
+    -- LEFT join + coalesce: NULL text is a singleton (n=1, weight 1.0),
+    -- mirroring the Spark guard — NULL keys never equi-join
+    SELECT h.doc_id, coalesce(c.n_copies, 1) AS n_copies,
+           round(1.0 / coalesce(c.n_copies, 1), 6) AS weight
+    FROM h LEFT JOIN c USING (hh)
     """,
 )
 def soft_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5505,6 +5509,160 @@ def ivf_trained_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN_RECALL_r7.md), nprobe-cell probing, exact-cosine rerank."""
     emb = t(spark, sf_dir, "embeddings")
     return ann.ivf_trained_topk(emb, emb, k=5, nlist=16, nprobe=6)
+
+
+@query(
+    "min_price_supplier_region",
+    oracle="""
+    SELECT DISTINCT p.p_partkey, p.p_name, s.s_name, n.n_name,
+           l.l_extendedprice AS min_price
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA' AND p.p_size < 10
+      AND l.l_extendedprice = (
+        SELECT min(l2.l_extendedprice)
+        FROM lineitem l2
+        JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'ASIA')
+    """,
+)
+def min_price_supplier_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 kernel (correlated scalar min over a dimension): for each
+    small part, the ASIA supplier(s) offering its regional minimum price.
+    The oracle states it as a genuine correlated subquery; the Spark plan
+    de-correlates it the way Catalyst itself would — aggregate the
+    regional min per part once, then equi-join back on (part, price) —
+    so the dimension joins broadcast and the fact side shuffles once."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = (
+        li.join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .select("l_partkey", "l_extendedprice", "s_name", "n_name")
+    )
+    mn = asia.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("min_price"))
+    return (
+        asia.join(mn, ["l_partkey"])
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "min_price")
+        .distinct()
+    )
+
+
+@query(
+    "order_count_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (outer-join count distribution): how many customers
+    placed 0, 1, 2, … non-urgent orders — the LEFT join with a predicate
+    in the ON clause (not a post-filter, which would drop the zero-order
+    customers), a null-skipping count(o_orderkey), then the
+    count-of-counts re-aggregation. Two shuffles: custkey, then c_count."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@query(
+    "large_volume_customers",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (having-on-aggregate semi-join): orders whose total
+    lineitem quantity exceeds 300, re-joined to customer + lineitem and
+    re-aggregated for the report. The IN-subquery is a LEFT SEMI join
+    against the having-filtered aggregate; quantities sum as exact
+    DECIMAL partials so both engines agree bit-for-bit."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    qty = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+    big = (
+        li.groupBy("l_orderkey").agg(qty.alias("q")).filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(qty.cast("double").alias("total_qty"))
+    )
+
+
+@query(
+    "excess_part_shippers",
+    oracle="""
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      WHERE l.l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING sum(CAST(l.l_quantity AS DECIMAL(18,2))) > 60)
+    """,
+)
+def excess_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 kernel (nested EXISTS/IN): suppliers who shipped more
+    than 60 units of any 'small%' part — an IN over a grouped-having
+    subquery that itself contains an IN over a dimension filter. Spark
+    shape: broadcast semi-join lineitem against the small parts, aggregate
+    per (supplier, part), having-filter, then semi-join supplier —
+    two nested semi-joins, no distinct pass."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    shippers = (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .filter(F.col("q") > 60)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(shippers, s.s_suppkey == shippers.l_suppkey, "left_semi")
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .select("s_name", "n_name")
+    )
 
 
 # The external correctness gate enumerates only the first GATE_CAP entries of

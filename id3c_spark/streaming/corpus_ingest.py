@@ -122,9 +122,12 @@ def run_corpus_ingest(
     quarantine rows are written once per line."""
 
     def batch_fn(df: DataFrame, epoch_id: int) -> None:
+        # persisted: the quarantine gate (count), the quarantine append and
+        # the docs curation all branch off this lineage — uncached, each
+        # action would re-read and re-parse the micro-batch's input files
         parsed = df.filter(F.trim("value") != "").select(
             "value", F.from_json("value", DOC_SCHEMA).alias("d")
-        )
+        ).persist()
         docs = (
             parsed.filter(
                 F.col("d.doc_id").isNotNull() & F.col("d.text").isNotNull()
@@ -161,6 +164,7 @@ def run_corpus_ingest(
                 {"epoch": epoch_id, "n_in": n_in, "n_appended": n_kept}
             )
         survivors.unpersist()
+        parsed.unpersist()
 
     q = (
         spark.readStream.format("text")

@@ -51,6 +51,49 @@ def test_phash_invariant_across_png_and_bmp_encoding(spark):
     assert ph[1] == ph[2]
 
 
+def _bmp8(w, h, idx_rows, palette):
+    """Minimal 8-bit palettized BMP: 14-byte file header + 40-byte info
+    header + 256×4 BGRA color table + bottom-up index rows."""
+    import struct
+
+    pal = bytearray()
+    for i in range(256):
+        b, g, r = palette[i] if i < len(palette) else (0, 0, 0)
+        pal += bytes([b, g, r, 0])
+    stride = (w + 3) // 4 * 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += bytes(idx_rows[y]) + b"\x00" * (stride - w)
+    off = 14 + 40 + len(pal)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(body), 0, 0, 256, 0)
+    return bytes(hdr + info + pal + body)
+
+
+def test_phash_8bit_bmp_maps_palette_not_indices(spark):
+    # non-identity palette: index i renders as gray 255 - i. Treating the
+    # index as the intensity (the pre-fix behavior) would produce the
+    # INVERTED picture's hash; mapping through the palette must match the
+    # 24-bit encoding of the same picture.
+    rng = np.random.default_rng(7)
+    idx = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    gray = (255 - idx).astype(np.uint8)
+    rgb = np.repeat(gray[:, :, None], 3, axis=2)
+    bmp24 = multimodal.encode_bmp(16, 16, rgb[::-1].tobytes())
+    bmp8 = _bmp8(16, 16, idx.tolist(), [(255 - i,) * 3 for i in range(256)])
+    df = _media(spark, [(1, bmp24), (2, bmp8)])
+    ph = {r["media_id"]: r["phash"] for r in multimodal.image_phash(df).collect()}
+    assert ph[1] is not None
+    assert ph[1] == ph[2]
+
+
+def test_phash_8bit_bmp_truncated_palette_is_null(spark):
+    good = _bmp8(4, 4, [[0] * 4] * 4, [(0, 0, 0)] * 256)
+    truncated = good[: 14 + 40 + 100]  # cuts inside the color table
+    df = _media(spark, [(1, truncated)])
+    assert multimodal.image_phash(df).collect()[0]["phash"] is None
+
+
 def test_phash_null_for_header_only_formats(spark):
     jpeg_ish = bytes.fromhex("ffd8ffe000104a46494600") + b"\x00" * 32
     df = _media(spark, [(1, jpeg_ish)])

@@ -160,6 +160,22 @@ def test_gazetteer_rejects_empty(spark):
         dedup.gazetteer_tag(df, "doc_id", "text", ["  ", "!!"])
 
 
+def test_gazetteer_rejects_phrases_the_tokenizer_would_rewrite(spark):
+    # 'covid 19' normalizes to the 1-word phrase 'covid' and would
+    # over-match every bare mention — a screening primitive must refuse,
+    # not silently tag a different phrase
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "covid cases rising")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="covid 19"):
+        dedup.gazetteer_tag(df, "doc_id", "text", ["covid 19"])
+    with _pytest.raises(ValueError, match="2024"):
+        dedup.gazetteer_tag(df, "doc_id", "text", ["2024"])
+    # case folding alone is NOT a rewrite
+    out = dedup.gazetteer_tag(df, "doc_id", "text", ["COVID Cases"]).collect()
+    assert [(r["id"], r["phrase"], r["pos"]) for r in out] == [(1, "covid cases", 0)]
+
+
 def test_auto_salted_join_probes_and_matches_plain(spark):
     from pyspark.sql import functions as F
 

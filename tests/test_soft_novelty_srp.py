@@ -14,6 +14,24 @@ from pyspark.sql import functions as F
 from id3c_spark.operators import ann, corpus, dedup
 
 
+def test_soft_dedup_null_text_rows_are_singletons(spark):
+    # md5(NULL) is NULL and Window.partitionBy groups NULLs as equal —
+    # ungated, two null-text docs would each get weight 1/2 while a SQL
+    # equi-join oracle (NULL keys never match) says 1.0
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same"), (4, "same")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_copies"], r["weight"])
+        for r in dedup.soft_dedup_weights(df, "text", "doc_id").collect()
+    }
+    assert out[1] == (1, 1.0)
+    assert out[2] == (1, 1.0)
+    assert out[3] == (2, 0.5)
+    assert out[4] == (2, 0.5)
+
+
 def test_soft_dedup_weights_collapses_whitespace_and_case(spark):
     df = spark.createDataFrame(
         [

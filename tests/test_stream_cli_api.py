@@ -576,13 +576,28 @@ def test_cli_corpus_dedup_minhash_simhash(spark, tmp_path):
     )
     src = str(tmp_path / "docs")
     docs.write.parquet(src)
-    for method in ["minhash", "simhash"]:
+    # simhash maps --threshold to a hamming budget (0.95 → distance 2);
+    # minhash uses it as the jaccard threshold directly
+    for method, thr in [("minhash", "0.5"), ("simhash", "0.95")]:
         out = str(tmp_path / f"p_{method}")
         res = runner.invoke(
             cli,
             ["corpus", "dedup", src, "--output", out, "--method", method,
-             "--threshold", "0.5"],
+             "--threshold", thr],
         )
         assert res.exit_code == 0, res.output
         pairs = {(r.id_a, r.id_b) for r in spark.read.parquet(out).collect()}
         assert (1, 2) in pairs
+    # a threshold the method cannot honor is an error, not a silent no-op
+    res = runner.invoke(
+        cli,
+        ["corpus", "dedup", src, "--output", str(tmp_path / "x1"),
+         "--method", "simhash", "--threshold", "0.5"],
+    )
+    assert res.exit_code != 0 and "0.90625" in res.output
+    res = runner.invoke(
+        cli,
+        ["corpus", "dedup", src, "--output", str(tmp_path / "x2"),
+         "--method", "exact", "--threshold", "0.9"],
+    )
+    assert res.exit_code != 0 and "does not apply" in res.output

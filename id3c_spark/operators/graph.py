@@ -80,7 +80,13 @@ def pagerank(
         )
     else:
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = deg.select(F.col("src").alias("node"))
+    # fold the out-degree into the checkpointed edge relation ONCE: the
+    # loop then joins each iteration's ranks against one static relation
+    # instead of re-deriving deg + a second join every round (the r6
+    # driver bench showed the weighted variant's single-run wobble came
+    # from exactly this re-derived subtree)
+    edges = edges.join(deg, "src").localCheckpoint()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
     n = nodes.count()  # single scalar — the only driver-side value
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
@@ -96,7 +102,6 @@ def pagerank(
     for _ in range(iters):
         contrib = (
             edges.join(ranks, edges["src"] == ranks["node"])
-            .join(deg, "src")
             .select(F.col("dst").alias("node"), contrib_c.alias("c"))
         )
         ranks = (

@@ -73,6 +73,14 @@ DEFAULT_QUERIES = [
     "top_orders_per_priority",
     "decayed_user_engagement",
     "building_intersect_bigspenders",
+    # round-7 additions
+    "ivf_trained_topk_embeddings",
+    "ivfpq_rerank_topk_embeddings",
+    "min_price_supplier_region",
+    "order_count_distribution",
+    "large_volume_customers",
+    "excess_part_shippers",
+    "pagerank_weighted_docs",
 ]
 
 

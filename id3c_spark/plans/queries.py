@@ -5742,6 +5742,82 @@ def ivfpq_rerank_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.exact_rerank(emb, emb, shortlist, k=5)
 
 
+@query(
+    "supplier_count_by_brand_size",
+    oracle="""
+    SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type NOT LIKE 'PROMO%'
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def supplier_count_by_brand_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 kernel: distinct-supplier counts per part attribute
+    after excluding a brand, a type family, and a blocklisted supplier
+    set — NOT IN compiles to a broadcast LEFT ANTI join (the supplier
+    key is non-null, so NOT IN's three-valued-logic trap is moot), then
+    one countDistinct shuffle on the group keys."""
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (~F.col("p_type").like("PROMO%"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "idle_rich_accounts_report",
+    oracle="""
+    WITH thr AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c.c_nationkey AS cntry, count(*) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c, thr
+    WHERE c.c_acctbal > thr.avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+)
+def idle_rich_accounts_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 kernel: above-average-balance customers with no urgent
+    orders, aggregated per country — a scalar-subquery threshold (exact
+    DECIMAL numerator, one double division, broadcast as a single-row
+    crossJoin) plus a NOT EXISTS anti-join, then one group-key shuffle."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    thr = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, o.o_custkey == c.c_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

@@ -247,12 +247,44 @@ class ParquetTable:
         union fills the gaps with NULLs, so old rows acquire new columns
         as NULL and late producers of a dropped column keep working —
         the additive-only evolution contract a training corpus needs
-        (never silently drops or retypes existing columns)."""
-        if self.exists():
+        (never silently drops or retypes existing columns).
+
+        Same-schema appends are FILE-GRANULAR: only the new rows are
+        written; every existing file hard-links into the new version
+        untouched, so a streaming micro-batch append costs O(batch), not
+        O(table) — the same scale fix as merge_publish (a 100 TB corpus
+        ingest cannot rewrite the corpus per micro-batch). The
+        union-rewrite path remains only for schema evolution, where old
+        files must acquire the new columns."""
+        if not self.exists():
+            return self.publish(df)
+        cur_schema = self.read().schema
+        same = [f.name for f in cur_schema] == df.columns and all(
+            f.dataType == g.dataType for f, g in zip(cur_schema, df.schema)
+        )
+        if not same and set(df.columns) == {f.name for f in cur_schema}:
+            # column order differs only: align and retry the fast path
+            aligned = df.select(*[f.name for f in cur_schema])
+            if all(
+                f.dataType == g.dataType
+                for f, g in zip(cur_schema, aligned.schema)
+            ):
+                df, same = aligned, True
+        if not same:
             return self.publish(
                 self.read().unionByName(df, allowMissingColumns=evolve)
             )
-        return self.publish(df)
+        v = (self.current_version() or 0) + 1
+        out = os.path.join(self.path, f"v{v}")
+        df.write.mode("overwrite").parquet(out)
+        for fname in self.files():
+            dst = os.path.join(out, os.path.basename(fname))
+            try:
+                os.link(fname, dst)  # zero-copy carry-forward
+            except OSError:
+                shutil.copy2(fname, dst)
+        self.flip(v)
+        return v
 
     def compact(self, target_files: int) -> int:
         """Rewrite the current version into *target_files* files (small-

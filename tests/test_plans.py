@@ -47,6 +47,7 @@ ALLOWED_CROSS = {
     "source_mixture_report": 1,    # total-token scalar (one row)
     "decayed_user_engagement": 1,  # max-ts scalar (one row)
     "spectral_outlier_embeddings": 1,  # score-stats scalar (one row)
+    "idle_rich_accounts_report": 1,    # avg-balance threshold scalar (one row)
 }
 
 

@@ -111,6 +111,45 @@ def test_cow_merge_requires_published_table(spark, tmp_path):
         tbl.merge_publish(updates, ["k"], lambda t: t)
 
 
+def test_append_is_file_granular(spark, tmp_path):
+    # same-schema appends write ONLY the new rows; every existing file
+    # hard-links into the new version (O(batch), not O(table))
+    tbl = ParquetTable(spark, str(tmp_path / "t"), keep_versions=10)
+    _clustered_publish(spark, tbl)
+    before = {os.path.basename(f): os.stat(f).st_ino for f in tbl.files()}
+    extra = spark.createDataFrame(
+        [(1000, 1, None)], "k long, val long, details string"
+    )
+    tbl.append(extra)
+    after = {os.path.basename(f): os.stat(f).st_ino for f in tbl.files()}
+    assert all(after.get(b) == ino for b, ino in before.items())
+    assert tbl.read().count() == 101
+    # column order differences still take the fast path
+    before2 = dict(after)
+    tbl.append(
+        spark.createDataFrame(
+            [(2, None, 1001)], "val long, details string, k long"
+        ).select("val", "details", "k")
+    )
+    after2 = {os.path.basename(f): os.stat(f).st_ino for f in tbl.files()}
+    assert all(after2.get(b) == ino for b, ino in before2.items())
+    assert tbl.read().filter("k = 1001").collect()[0]["val"] == 2
+    assert tbl.read().count() == 102
+
+
+def test_append_schema_evolution_still_rewrites(spark, tmp_path):
+    tbl = ParquetTable(spark, str(tmp_path / "t"), keep_versions=10)
+    _clustered_publish(spark, tbl, n=10, files=1)
+    widened = spark.createDataFrame(
+        [(500, 5, None, "new")], "k long, val long, details string, extra string"
+    )
+    tbl.append(widened, evolve=True)
+    out = tbl.read()
+    assert out.count() == 11
+    assert out.filter("k = 1").collect()[0]["extra"] is None
+    assert out.filter("k = 500").collect()[0]["extra"] == "new"
+
+
 def test_warehouse_upserts_still_exact_through_cow(spark, tmp_path):
     from id3c_spark.etl.warehouse import Warehouse
 

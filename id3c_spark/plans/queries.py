@@ -5590,9 +5590,11 @@ def min_price_supplier_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 kernel (correlated scalar min over a dimension): for each
     small part, the ASIA supplier(s) offering its regional minimum price.
     The oracle states it as a genuine correlated subquery; the Spark plan
-    de-correlates it the way Catalyst itself would — aggregate the
-    regional min per part once, then equi-join back on (part, price) —
-    so the dimension joins broadcast and the fact side shuffles once."""
+    de-correlates it BETTER than the classic aggregate-then-self-join
+    rewrite: a min() window over the part key computes the regional
+    minimum and keeps the matching rows in the SAME pass — the fact-side
+    joins+scan run once (the self-join shape scanned them twice), one
+    shuffle on l_partkey, dimensions broadcast."""
     p = t(spark, sf_dir, "part").filter(F.col("p_size") < 10)
     li = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
@@ -5604,9 +5606,9 @@ def min_price_supplier_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
         .select("l_partkey", "l_extendedprice", "s_name", "n_name")
     )
-    mn = asia.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("min_price"))
+    w = Window.partitionBy("l_partkey")
     return (
-        asia.join(mn, ["l_partkey"])
+        asia.withColumn("min_price", F.min("l_extendedprice").over(w))
         .filter(F.col("l_extendedprice") == F.col("min_price"))
         .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .select("p_partkey", "p_name", "s_name", "n_name", "min_price")

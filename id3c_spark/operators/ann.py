@@ -878,3 +878,68 @@ def exact_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def knn_classify(
+    queries: DataFrame,
+    labeled: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    topk_fn=None,
+) -> DataFrame:
+    """k-NN label propagation: predict each query vector's label by
+    majority vote over its k nearest labeled neighbors →
+    (id_col, pred_label, votes, mean_sim). The auto-labeling /
+    weak-supervision primitive a curation pipeline runs right after
+    similarity search: a small hand-labeled seed set classifies the
+    unlabeled corpus.
+
+    Vote tie-break is deterministic: highest vote count, then highest
+    mean similarity, then smallest label. *topk_fn* swaps the neighbor
+    generator — exact ``cosine_topk`` by default, any of the ANN ladder
+    (``lsh_bucketed_topk``, ``ivf_trained_topk``…) at scale; everything
+    downstream of the candidate relation is one label equi-join (the
+    labeled side is the SMALL side — broadcast) plus two grouped
+    aggregations over ≤ |Q|·k rows, so the classifier inherits the
+    index's scale shape unchanged."""
+    fn = topk_fn or (lambda q, c: cosine_topk(q, c, k=k, id_col=id_col, vec_col=vec_col))
+    neighbors = fn(queries, labeled)
+    labels = F.broadcast(
+        labeled.select(
+            F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nl")
+        )
+    )
+    # mean over int-micros, not avg over doubles: the sims are 6-dp
+    # values, so summing them as exact int64 micros is order-independent
+    # (a float avg's last ulp depends on partitioning and can flip the
+    # 6-dp rounding against the SQL oracle)
+    votes = (
+        neighbors.join(labels, "neighbor_id")
+        .groupBy(F.col("query_id"), F.col("nl"))
+        .agg(
+            F.count(F.lit(1)).alias("votes"),
+            (
+                F.round(
+                    F.sum(F.round(F.col("sim") * 1e6).cast("long"))
+                    / F.count(F.lit(1)),
+                    0,
+                )
+                / F.lit(1e6)
+            ).alias("mean_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.desc("mean_sim"), F.asc("nl")
+    )
+    return (
+        votes.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("query_id").alias(id_col),
+            F.col("nl").alias("pred_label"),
+            "votes",
+            "mean_sim",
+        )
+    )

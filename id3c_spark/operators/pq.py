@@ -105,11 +105,18 @@ def pq_train(
         .transpose(1, 0, 2)
         .copy()
     )  # (m, k, dsub)
-    comp = vp.select("id", F.posexplode("v").alias("d", "x")).select(
-        "id",
-        (F.col("d") / dsub).cast("int").alias("sub"),
-        (F.col("d") % dsub).alias("dim"),
-        "x",
+    # persist: every Lloyd iteration re-joins the exploded (id, sub, dim,
+    # x) component relation — without the cache the N·d-row posexplode
+    # re-runs max_iter times
+    comp = (
+        vp.select("id", F.posexplode("v").alias("d", "x"))
+        .select(
+            "id",
+            (F.col("d") / dsub).cast("int").alias("sub"),
+            (F.col("d") % dsub).alias("dim"),
+            "x",
+        )
+        .persist()
     )
     for _ in range(max_iter):
         bc = sc.broadcast(cent)
@@ -126,6 +133,7 @@ def pq_train(
             new[r.sub][r.code][r.dim] = r.c
         cent = new
         bc.destroy()
+    comp.unpersist()
     vp.unpersist()
     return cent
 

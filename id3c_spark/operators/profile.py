@@ -169,3 +169,122 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("n_cms"))
     )
+
+
+def _kmv_hash(col) -> F.Column:
+    """Deterministic uniform hash of *col* into (0, 1]: the first 13 hex
+    digits of md5 as an exact 52-bit integer scaled by 16^-13. 13 digits
+    keep the integer below 2^53, so the double is EXACT and a SQL oracle
+    computing ('0x' || substr(md5(x),1,13))::BIGINT / 16^13 reproduces it
+    bit-for-bit (the same discipline as cms_sketch's position hash)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("bigint")
+        / F.lit(float(16 ** 13))
+    )
+
+
+def kmv_sketch(df: DataFrame, group_col: str, value_col: str, k: int = 64) -> DataFrame:
+    """Per-group KMV (k-minimum-values) distinct sketch: the k smallest
+    distinct value hashes per group → (group, h, r) with r the hash's
+    1-based rank. Beyer et al. 2007; the mergeable-summary alternative to
+    HLL when set OPERATIONS (union / intersection / Jaccard) are needed,
+    not just cardinality.
+
+    Scale shape: duplicates collapse map-side in the distinct's partial
+    aggregation, so the one shuffle carries distinct (group, hash) pairs;
+    the rank window then runs per group. The sketch itself is ≤ k rows
+    per group — broadcastable state, mergeable by re-ranking the union
+    of sketches (see kmv_jaccard)."""
+    w = Window.partitionBy("g").orderBy("h")
+    return (
+        df.select(F.col(group_col).alias("g"), _kmv_hash(F.col(value_col)).alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= k)
+    )
+
+
+def kmv_cardinality(df: DataFrame, group_col: str, value_col: str, k: int = 64) -> DataFrame:
+    """Per-group distinct-count estimate from a KMV sketch →
+    (group, n_rows, n_sketch, est_distinct). The unbiased estimator is
+    (k − 1) / m_k with m_k the k-th smallest hash; a group with fewer
+    than k distinct values keeps its EXACT count (its sketch is the whole
+    hash set). Estimates round to 6 dp so the DuckDB oracle matches
+    exactly."""
+    sk = kmv_sketch(df, group_col, value_col, k)
+    agg = sk.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_sketch"), F.max("h").alias("m_k")
+    )
+    rows = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    return (
+        rows.join(agg, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_rows",
+            "n_sketch",
+            F.round(
+                F.when(F.col("n_sketch") < k, F.col("n_sketch").cast("double"))
+                .otherwise((F.lit(k - 1)) / F.col("m_k")),
+                6,
+            ).alias("est_distinct"),
+        )
+    )
+
+
+def kmv_jaccard(df: DataFrame, group_col: str, value_col: str, k: int = 64) -> DataFrame:
+    """Estimated pairwise Jaccard similarity between every pair of groups
+    from their KMV sketches → (group_a, group_b, k_used, n_common,
+    est_jaccard), group_a < group_b.
+
+    The merged sketch of a pair is the k smallest hashes of the UNION of
+    the two sketches (valid because each side's sketch is its k smallest
+    — the union's k smallest are among them); the Jaccard estimate is the
+    fraction of merged-sketch hashes present in BOTH sides. All inputs
+    are ≤ k-row-per-group relations, so the pair join broadcasts; the
+    full corpus is scanned exactly once by kmv_sketch."""
+    sk = kmv_sketch(df, group_col, value_col, k).select("g", "h").persist()
+    groups = sk.select("g").distinct()
+    # |G|² pair relation (the one intentional crossJoin — group count,
+    # not corpus, bounds it); each side's sketch then attaches by EQUI
+    # join on its group key
+    pairs = (
+        groups.select(F.col("g").alias("ga"))
+        .crossJoin(F.broadcast(groups.select(F.col("g").alias("gb"))))
+        .where(F.col("ga") < F.col("gb"))
+    )
+    merged_w = Window.partitionBy("ga", "gb").orderBy("h")
+    union = (
+        pairs.join(sk.select(F.col("g").alias("ga"), "h"), "ga")
+        .unionByName(pairs.join(sk.select(F.col("g").alias("gb"), "h"), "gb"))
+        .select("ga", "gb", "h")
+        .distinct()
+        .withColumn("r", F.row_number().over(merged_w))
+        .where(F.col("r") <= k)
+    )
+    in_a = F.broadcast(
+        sk.select(F.col("g").alias("ga"), "h").withColumn("in_a", F.lit(1))
+    )
+    in_b = F.broadcast(
+        sk.select(F.col("g").alias("gb"), "h").withColumn("in_b", F.lit(1))
+    )
+    return (
+        union.join(in_a, ["ga", "h"], "left")
+        .join(in_b, ["gb", "h"], "left")
+        .groupBy("ga", "gb")
+        .agg(
+            F.count(F.lit(1)).alias("k_used"),
+            F.sum(
+                F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+            ).alias("n_common"),
+        )
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            "k_used",
+            "n_common",
+            F.round(F.col("n_common") / F.col("k_used"), 6).alias("est_jaccard"),
+        )
+    )

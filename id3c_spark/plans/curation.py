@@ -45,9 +45,14 @@ def curate(
     stage name (callers act on ``packed``/``shards``, or inspect
     intermediate stages for audit counts)."""
     metrics = corpus.repetition_metrics(docs, id_col, text_col)
+    # persist: quality's lineage embeds the full-corpus metrics aggregation,
+    # and it is re-read by the words relation, the decontamination probe,
+    # and both sides of the exact-dedup split — Spark does not dedupe
+    # common subplans across one action, so without the cache the Gopher
+    # metrics pass (a full-corpus scan + two aggs) would run 3-4×.
     quality = docs.join(
         metrics.filter("keep").select(F.col("id").alias(id_col)), id_col, "left_semi"
-    )
+    ).persist()
 
     # ONE tokenize+explode pass feeds both shingle stages (decontamination
     # at k=5 and near-dup pairs at k=3 both shingle the same text): build

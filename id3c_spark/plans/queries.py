@@ -5820,6 +5820,184 @@ def idle_rich_accounts_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "knn_label_embeddings",
+    # k-NN label propagation: every 5th vector plays the unlabeled set,
+    # the rest the labeled seed corpus; majority label over the 5 nearest
+    # cosine neighbors, (votes, mean_sim, label) tie-break. Similarity
+    # rounds to 6 dp BEFORE ranking (catalog determinism contract).
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e, label
+      FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id % 5 = 0),
+    c AS (SELECT * FROM v WHERE vec_id % 5 != 0),
+    p AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nl,
+             round(
+               list_sum(list_transform(range(1, 65), i -> q.e[i] * c.e[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> q.e[i] * q.e[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> c.e[i] * c.e[i])))),
+               6) AS sim
+      FROM q CROSS JOIN c),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM p),
+    votes AS (
+      SELECT query_id, nl, count(*) AS votes,
+             round(CAST(sum(CAST(round(sim * 1e6) AS BIGINT)) AS DOUBLE)
+                   / count(*), 0) / 1000000.0 AS mean_sim
+      FROM r WHERE rank <= 5 GROUP BY 1, 2),
+    best AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY votes DESC, mean_sim DESC, nl) AS rk
+      FROM votes)
+    SELECT query_id AS vec_id, nl AS pred_label, votes, mean_sim
+    FROM best WHERE rk = 1
+    """,
+)
+def knn_label_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification over the embedding table (ann.knn_classify):
+    the auto-labeling step after similarity search — a labeled seed set
+    votes on each unlabeled vector's label via its 5 nearest cosine
+    neighbors. The neighbor generator is the exact distributed blocked
+    GEMM here (the oracle is brute force); at corpus scale the same
+    classifier composes with any ANN-ladder index via topk_fn."""
+    emb = t(spark, sf_dir, "embeddings")
+    unlabeled = emb.filter(F.col("vec_id") % 5 == 0)
+    seed = emb.filter(F.col("vec_id") % 5 != 0)
+    return ann.knn_classify(unlabeled, seed, k=5)
+
+
+@query(
+    "kmv_source_cardinality",
+    # KMV (k-minimum-values) distinct sketch per source: 13-hex-digit md5
+    # prefix as an exact 52-bit-scaled double, k=64 smallest distinct
+    # hashes, (k-1)/m_k estimator (exact count below k).
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT source AS g,
+             ('0x' || substr(md5(text), 1, 13))::BIGINT / 4503599627370496.0 AS h
+      FROM documents WHERE text IS NOT NULL),
+    sk AS (
+      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS r FROM h),
+    agg AS (
+      SELECT g, count(*) AS n_sketch, max(h) AS m_k
+      FROM sk WHERE r <= 64 GROUP BY g),
+    nr AS (SELECT source AS g, count(*) AS n_rows FROM documents GROUP BY 1)
+    SELECT nr.g AS source, nr.n_rows, agg.n_sketch,
+           round(CASE WHEN agg.n_sketch < 64 THEN CAST(agg.n_sketch AS DOUBLE)
+                      ELSE 63.0 / agg.m_k END, 6) AS est_distinct
+    FROM nr JOIN agg USING (g)
+    """,
+)
+def kmv_source_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-text cardinality per source via a KMV sketch
+    (profile.kmv_cardinality) — the mergeable-summary cardinality family
+    next to approx_count_distinct's HLL: the sketch supports set algebra
+    (see kmv_source_jaccard), duplicates collapse in the map-side partial
+    aggregation, and per-group state is ≤ k rows."""
+    from id3c_spark.operators.profile import kmv_cardinality
+
+    docs = t(spark, sf_dir, "documents")
+    return kmv_cardinality(docs, "source", "text", k=64)
+
+
+@query(
+    "kmv_source_jaccard",
+    # Pairwise Jaccard between sources estimated purely from the k=64 KMV
+    # sketches: merged sketch = k smallest of the union, estimate = the
+    # fraction of merged hashes present in both sides.
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT source AS g,
+             ('0x' || substr(md5(text), 1, 13))::BIGINT / 4503599627370496.0 AS h
+      FROM documents WHERE text IS NOT NULL),
+    sk AS (
+      SELECT g, h FROM (
+        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS r FROM h)
+      WHERE r <= 64),
+    gs AS (SELECT DISTINCT g FROM sk),
+    pr AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+    u AS (
+      SELECT DISTINCT pr.ga, pr.gb, s.h
+      FROM pr JOIN sk s ON s.g = pr.ga OR s.g = pr.gb),
+    m AS (
+      SELECT ga, gb, h, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS r
+      FROM u),
+    j AS (
+      SELECT m.ga, m.gb, count(*) AS k_used,
+             CAST(sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+      FROM m
+      LEFT JOIN sk sa ON sa.g = m.ga AND sa.h = m.h
+      LEFT JOIN sk sb ON sb.g = m.gb AND sb.h = m.h
+      WHERE m.r <= 64
+      GROUP BY 1, 2)
+    SELECT ga AS group_a, gb AS group_b, k_used, n_common,
+           round(n_common / k_used, 6) AS est_jaccard
+    FROM j
+    """,
+)
+def kmv_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated text-set Jaccard between every pair of sources from KMV
+    sketches alone (profile.kmv_jaccard): the corpus is scanned once to
+    build ≤ 64-row per-source sketches; every pairwise set operation then
+    runs on broadcast-sized state — how cross-source overlap is audited
+    without an all-pairs text join."""
+    from id3c_spark.operators.profile import kmv_jaccard
+
+    docs = t(spark, sf_dir, "documents")
+    return kmv_jaccard(docs, "source", "text", k=64)
+
+
+@query(
+    "event_transition_matrix",
+    # First-order Markov transition matrix over per-user event sequences:
+    # lead() successor per (user, ts, event_id) order, transition counts,
+    # row-normalized probabilities.
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events),
+    c AS (
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    tt AS (SELECT from_type, CAST(sum(n) AS DOUBLE) AS tot FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, c.n, round(c.n / tt.tot, 6) AS prob
+    FROM c JOIN tt USING (from_type)
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix of event types: one user-keyed window
+    builds successor pairs, one map-side-combined aggregation counts
+    them, and the row normalization runs over the |types|² counts
+    relation — the sequence-mining shape (next-action prediction, funnel
+    discovery) whose shuffles are keyed by user and by transition, never
+    by raw event."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wt).cast("double"), 6).alias("prob"),
+    )
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

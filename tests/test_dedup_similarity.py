@@ -376,3 +376,67 @@ def test_hashed_embeddings_similarity_structure(spark):
     assert dot(vecs[4], vecs[4]) == 0.0
     # shared-vocabulary pair far more similar than the unrelated one
     assert dot(vecs[1], vecs[2]) > 0.5 > abs(dot(vecs[1], vecs[3]))
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    from id3c_spark.operators.ann import knn_classify
+
+    # labeled corpus: two tight clusters in 4-d; class 0 near e1, class 1
+    # near e2. Queries sit inside each cluster.
+    labeled = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0], 0),
+         (2, [0.9, 0.1, 0.0, 0.0], 0),
+         (3, [1.0, 0.1, 0.1, 0.0], 0),
+         (4, [0.0, 1.0, 0.0, 0.0], 1),
+         (5, [0.1, 0.9, 0.0, 0.0], 1),
+         (6, [0.0, 1.0, 0.1, 0.1], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    queries = spark.createDataFrame(
+        [(100, [0.95, 0.05, 0.0, 0.0]), (200, [0.05, 0.95, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in knn_classify(queries, labeled, k=3).collect()}
+    assert out[100].pred_label == 0 and out[100].votes == 3
+    assert out[200].pred_label == 1 and out[200].votes == 3
+    assert 0.0 < out[100].mean_sim <= 1.0
+
+    # 2-2 vote split: mean_sim breaks the tie (class 0's two nearest
+    # members average 0.766471 vs class 1's 0.753424 for this query)
+    q2 = spark.createDataFrame(
+        [(300, [0.69, 0.71, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    r = knn_classify(q2, labeled, k=4).collect()[0]
+    assert r.votes == 2
+    assert r.pred_label == 0
+    assert r.mean_sim == 0.766471
+
+
+def test_knn_classify_composes_with_ann_index(spark):
+    """topk_fn swaps the exact GEMM for an ANN index; prediction schema
+    and determinism hold."""
+    import numpy as np
+
+    from id3c_spark.operators import ann
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(60, 64))
+    rows = [(i, v.tolist(), int(i % 3)) for i, v in enumerate(base)]
+    labeled = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    queries = spark.createDataFrame(
+        [(1000 + i, (base[i] + 0.01 * rng.normal(size=64)).tolist())
+         for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    out = ann.knn_classify(
+        queries, labeled, k=3,
+        topk_fn=lambda q, c: ann.lsh_bucketed_topk(
+            q, c, dim=64, k=3, planes=64, bands=8
+        ),
+    ).collect()
+    got = {r.vec_id: r.pred_label for r in out}
+    # near-duplicate queries recover their seed's label for most queries
+    hits = sum(got.get(1000 + i) == i % 3 for i in range(20))
+    assert hits >= 15, hits

@@ -48,6 +48,12 @@ ALLOWED_CROSS = {
     "decayed_user_engagement": 1,  # max-ts scalar (one row)
     "spectral_outlier_embeddings": 1,  # score-stats scalar (one row)
     "idle_rich_accounts_report": 1,    # avg-balance threshold scalar (one row)
+    # |G|² group-pair relation over the distinct sketch groups — bounded
+    # by group count, never corpus size (profile.kmv_jaccard); it appears
+    # twice because both union branches re-derive the pair relation
+    "kmv_source_jaccard": 2,
+    # cosine_topk's B×S blocked-GEMM crossJoin inside the kNN classifier
+    "knn_label_embeddings": 1,
 }
 
 

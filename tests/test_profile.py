@@ -74,3 +74,63 @@ def test_cms_bounded_relation(spark):
 
     df = spark.range(0, 5000).selectExpr("id % 1000 as k")
     assert cms_sketch(df, "k", depth=3, width=64).count() <= 3 * 64
+
+
+def test_kmv_cardinality_exact_below_k_and_estimate_above(spark):
+    from id3c_spark.operators.profile import kmv_cardinality
+
+    rows = [("small", f"v{i}") for i in range(10)] * 3  # 10 distinct, 30 rows
+    rows += [("big", f"w{i}") for i in range(500)]      # 500 distinct
+    rows += [("big", None)]                             # nulls don't count
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {r.g: r for r in kmv_cardinality(df, "g", "v", k=64).collect()}
+
+    # below k: the sketch IS the distinct set — exact count, no estimator
+    assert out["small"].n_sketch == 10
+    assert out["small"].est_distinct == 10.0
+    assert out["small"].n_rows == 30
+    # above k: (k-1)/m_k estimate within the KMV error envelope
+    # (σ ≈ 1/√(k−2) ≈ 13% at k=64; 3σ bound)
+    assert out["big"].n_sketch == 64
+    assert 500 * 0.6 <= out["big"].est_distinct <= 500 * 1.4
+    assert out["big"].n_rows == 501
+
+
+def test_kmv_jaccard_tracks_true_overlap(spark):
+    from id3c_spark.operators.profile import kmv_jaccard
+
+    shared = [f"s{i}" for i in range(300)]
+    only_a = [f"a{i}" for i in range(100)]
+    only_b = [f"b{i}" for i in range(100)]
+    rows = [("A", v) for v in shared + only_a] + [("B", v) for v in shared + only_b]
+    rows += [("C", f"c{i}") for i in range(200)]  # disjoint from both
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {(r.group_a, r.group_b): r for r in
+           kmv_jaccard(df, "g", "v", k=64).collect()}
+
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    # true J(A,B) = 300/500 = 0.6; k=64 KMV has σ ≈ √(J(1−J)/k) ≈ 0.06
+    ab = out[("A", "B")]
+    assert 0.4 <= ab.est_jaccard <= 0.8
+    assert ab.n_common <= ab.k_used == 64
+    # disjoint pairs estimate (near) zero
+    assert out[("A", "C")].est_jaccard <= 0.05
+    assert out[("B", "C")].est_jaccard <= 0.05
+
+
+def test_kmv_sketch_bounded_and_mergeable_state(spark):
+    from id3c_spark.operators.profile import kmv_sketch
+
+    df = spark.createDataFrame(
+        [("g1", f"v{i}") for i in range(200)] + [("g2", "x")],
+        "g string, v string",
+    )
+    sk = kmv_sketch(df, "g", "v", k=16).collect()
+    by_g = {}
+    for r in sk:
+        by_g.setdefault(r.g, []).append(r)
+    assert len(by_g["g1"]) == 16        # capped at k
+    assert len(by_g["g2"]) == 1         # whole (tiny) hash set
+    hs = sorted(r.h for r in by_g["g1"])
+    assert [r.h for r in sorted(by_g["g1"], key=lambda r: r.r)] == hs
+    assert all(0.0 < h <= 1.0 for h in hs)

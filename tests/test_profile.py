@@ -134,3 +134,20 @@ def test_kmv_sketch_bounded_and_mergeable_state(spark):
     hs = sorted(r.h for r in by_g["g1"])
     assert [r.h for r in sorted(by_g["g1"], key=lambda r: r.r)] == hs
     assert all(0.0 < h <= 1.0 for h in hs)
+
+
+def test_kmv_sketch_map_side_topk_plan(spark):
+    """The k-smallest window must compile to a PARTIAL WindowGroupLimit:
+    each map partition keeps only its local k smallest hashes before the
+    shuffle, so per-group sketch state — not the distinct hash set —
+    crosses the wire (the property that makes KMV viable at corpus
+    scale with few groups)."""
+    from id3c_spark.operators.profile import kmv_sketch
+
+    df = spark.range(10000).selectExpr(
+        "CAST(id % 4 AS STRING) AS g", "CAST(id AS STRING) AS v"
+    )
+    plan = kmv_sketch(df, "g", "v", k=64)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("WindowGroupLimit")[-1].split("\n")[0]

@@ -18,8 +18,67 @@ import os
 import shutil
 from collections.abc import Callable, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def with_zorder_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 16,
+    key_col: str = "_zkey",
+) -> DataFrame:
+    """Append a Morton (Z-order) key interleaving the given numeric
+    columns' bits — the multi-dimensional clustering layout (Delta's
+    OPTIMIZE ZORDER BY): range-clustering files on the Z key keeps every
+    participating column's per-file footer min/max range tight AT ONCE,
+    so read_pruned / merge_publish skip files on ANY of the columns. A
+    linear sort serves only its leading column.
+
+    Each column is min/max-normalized to *bits* bits with one tiny
+    global aggregate (collected: 2·|cols| scalars), then bits interleave
+    JVM-side as a shiftright/and/shiftleft expression tree — whole-stage
+    codegen, no UDF. NULLs map to bucket 0 (they cluster together at the
+    low end). bits·|cols| must fit a long (≤ 62).
+    """
+    assert bits * len(cols) <= 62, "z-key overflows a long"
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    parts: list[Column] = []
+    for ci, c in enumerate(cols):
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) if (mn is not None and mx is not None and mx > mn) else None
+        if span is None:
+            bucket = F.lit(0).cast("long")
+        else:
+            # coalesce INSIDE least: Spark's least() skips NULL args, so
+            # least(top, NULL) is top — a NULL value would land in the
+            # highest bucket instead of 0
+            bucket = F.least(
+                F.lit(top).cast("long"),
+                F.coalesce(
+                    F.floor(
+                        (F.col(c).cast("double") - F.lit(mn))
+                        / F.lit(span)
+                        * F.lit(top + 1)
+                    ),
+                    F.lit(0).cast("long"),
+                ),
+            ).cast("long")
+        for b in range(bits):
+            parts.append(
+                F.shiftleft(
+                    F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
+                    b * len(cols) + ci,
+                )
+            )
+    key = parts[0]
+    for p in parts[1:]:
+        key = key.bitwiseOR(p)
+    return df.withColumn(key_col, key)
 
 
 class ParquetTable:
@@ -106,6 +165,7 @@ class ParquetTable:
         key_cols: Sequence[Sequence[str]] | Sequence[str],
         merge_fn: Callable[[DataFrame], DataFrame],
         cluster_by: Sequence[str] | None = None,
+        zorder_by: Sequence[str] | None = None,
     ) -> int:
         """File-granular copy-on-write MERGE: rewrite ONLY the files whose
         footer min/max key ranges overlap the update batch's key range;
@@ -202,10 +262,7 @@ class ParquetTable:
 
         v = (self.current_version() or 0) + 1
         out = os.path.join(self.path, f"v{v}")
-        if cluster_by:
-            merged = merged.repartitionByRange(
-                *[F.col(c) for c in cluster_by]
-            ).sortWithinPartitions(*cluster_by)
+        merged = self._clustered(merged, cluster_by, zorder_by)
         merged.write.mode("overwrite").parquet(out)
         for fname in carried:
             dst = os.path.join(out, os.path.basename(fname))
@@ -216,15 +273,107 @@ class ParquetTable:
         self.flip(v)
         return v
 
-    def stage(self, df: DataFrame) -> int:
+    def pruned_files(
+        self,
+        ranges: dict[str, tuple],
+        version: int | None = None,
+    ) -> list[str]:
+        """The files a read_pruned(*ranges*) would open: footer min/max
+        proven to overlap every [lo, hi] bound (None = unbounded), plus
+        any file lacking usable stats (never prove-skip without proof)."""
+        keep = []
+        for fname in self.files(version):
+            ok = True
+            for c, (lo, hi) in ranges.items():
+                rng = self._footer_range(fname, c)
+                if rng is None:
+                    continue  # no stats: cannot prove non-overlap
+                try:
+                    if (hi is not None and rng[0] > hi) or (
+                        lo is not None and rng[1] < lo
+                    ):
+                        ok = False
+                        break
+                except TypeError:  # incomparable stats type: stay safe
+                    continue
+            if ok:
+                keep.append(fname)
+        return keep
+
+    def read_pruned(
+        self,
+        ranges: dict[str, tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Data-skipping read: open ONLY the files whose footer min/max
+        overlaps every [lo, hi] in *ranges* (either bound None =
+        unbounded), with the residual row filter applied on top. The
+        file-level analogue of partition pruning — on a table clustered
+        with cluster_by/zorder_by, a point or range lookup touches a few
+        files of a 100 TB table instead of scanning it. Files without
+        usable stats are read (skipping must never drop rows)."""
+        schema = self.read(version).schema
+        keep = self.pruned_files(ranges, version)
+        df = (
+            self.spark.read.schema(schema).parquet(*keep)
+            if keep
+            else self.spark.createDataFrame([], schema)
+        )
+        for c, (lo, hi) in ranges.items():
+            if lo is not None:
+                df = df.filter(F.col(c) >= lo)
+            if hi is not None:
+                df = df.filter(F.col(c) <= hi)
+        return df
+
+    @staticmethod
+    def _clustered(
+        df: DataFrame,
+        cluster_by: Sequence[str] | None,
+        zorder_by: Sequence[str] | None,
+        partitions: int | None = None,
+    ) -> DataFrame:
+        """Apply the write layout: range-partition + sort on the cluster
+        columns, or on a Morton key over *zorder_by* (dropped before the
+        write — it is a layout device, not data). *partitions* pins the
+        file count (an explicit repartition count opts out of AQE's
+        partition coalescing, which would otherwise fold a small table
+        into one file and defeat layout tests / incremental compaction
+        targets); None sizes by spark.sql.shuffle.partitions + AQE."""
+        if zorder_by:
+            df = with_zorder_key(df, zorder_by)
+            args = ([partitions] if partitions else []) + [F.col("_zkey")]
+            return (
+                df.repartitionByRange(*args)
+                .sortWithinPartitions("_zkey")
+                .drop("_zkey")
+            )
+        if cluster_by:
+            args = ([partitions] if partitions else []) + [
+                F.col(c) for c in cluster_by
+            ]
+            return df.repartitionByRange(*args).sortWithinPartitions(*cluster_by)
+        return df
+
+    def stage(
+        self,
+        df: DataFrame,
+        cluster_by: Sequence[str] | None = None,
+        zorder_by: Sequence[str] | None = None,
+        partitions: int | None = None,
+    ) -> int:
         """Write a new version directory WITHOUT flipping the pointer.
         Readers keep seeing the old version until flip(); a failure after
         staging leaves only an unreferenced directory behind. Lets a
         multi-table promotion do all its expensive writes first and flip
-        every pointer in one quick final pass."""
+        every pointer in one quick final pass. *cluster_by*/*zorder_by*
+        pick the file layout (tight footer ranges → read_pruned and
+        merge_publish skip files)."""
         v = (self.current_version() or 0) + 1
         out = os.path.join(self.path, f"v{v}")
-        df.write.mode("overwrite").parquet(out)
+        self._clustered(df, cluster_by, zorder_by, partitions).write.mode(
+            "overwrite"
+        ).parquet(out)
         return v
 
     def flip(self, v: int) -> None:
@@ -235,9 +384,16 @@ class ParquetTable:
         os.replace(tmp, self._pointer)
         self._vacuum(keep=self.keep_versions)
 
-    def publish(self, df: DataFrame) -> int:
+    def publish(
+        self,
+        df: DataFrame,
+        cluster_by: Sequence[str] | None = None,
+        zorder_by: Sequence[str] | None = None,
+        partitions: int | None = None,
+    ) -> int:
         """Write a new version, then flip the pointer (atomic rename)."""
-        v = self.stage(df)
+        v = self.stage(df, cluster_by=cluster_by, zorder_by=zorder_by,
+                       partitions=partitions)
         self.flip(v)
         return v
 

@@ -156,39 +156,17 @@ def zorder_key(
 ) -> "Column":
     """Interleaved-bit (Morton) key over numeric *cols*.
 
-    Each column is min/max-normalized to a 2^bits integer grid (the
-    bounds come from ONE tiny agg — two scalars per column), then the
-    grid coordinates' bits are interleaved. Sorting by this key gives
-    the multi-dimensional locality range-clustering can't: each output
-    file covers a small HYPER-RECTANGLE of the key space, so footer
-    min/max stats skip files for predicates on ANY of the clustered
-    columns, not just the leading one."""
-    bounds = df.agg(
-        *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
-        *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
-    ).collect()[0]
-    cells = (1 << bits) - 1
-    coords = []
-    for c in cols:
-        lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
-        span = (hi - lo) or 1.0
-        coords.append(
-            F.least(
-                F.lit(cells),
-                F.floor(
-                    (F.col(c).cast("double") - F.lit(lo))
-                    / F.lit(span)
-                    * F.lit(1 << bits)
-                ).cast("long"),
-            )
-        )
-    key = F.lit(0).cast("long")
-    for bit in range(bits - 1, -1, -1):
-        for coord in coords:
-            key = F.shiftleft(key, 1).bitwiseOR(
-                F.shiftright(coord, bit).bitwiseAND(F.lit(1))
-            )
-    return key
+    Delegates to the canonical NULL-safe implementation in
+    :func:`id3c_spark.sources.store.zorder_key_expr` (NULLs and
+    degenerate constant/empty columns map to bucket 0 instead of
+    poisoning the key). Sorting by this key gives the multi-dimensional
+    locality range-clustering can't: each output file covers a small
+    HYPER-RECTANGLE of the key space, so footer min/max stats skip
+    files for predicates on ANY of the clustered columns, not just the
+    leading one."""
+    from .store import zorder_key_expr
+
+    return zorder_key_expr(df, cols, bits)
 
 
 def write_zordered(

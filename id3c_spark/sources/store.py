@@ -22,13 +22,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def with_zorder_key(
+def zorder_key_expr(
     df: DataFrame,
     cols: Sequence[str],
     bits: int = 16,
-    key_col: str = "_zkey",
-) -> DataFrame:
-    """Append a Morton (Z-order) key interleaving the given numeric
+) -> Column:
+    """Morton (Z-order) key expression interleaving the given numeric
     columns' bits — the multi-dimensional clustering layout (Delta's
     OPTIMIZE ZORDER BY): range-clustering files on the Z key keeps every
     participating column's per-file footer min/max range tight AT ONCE,
@@ -36,10 +35,12 @@ def with_zorder_key(
     linear sort serves only its leading column.
 
     Each column is min/max-normalized to *bits* bits with one tiny
-    global aggregate (collected: 2·|cols| scalars), then bits interleave
-    JVM-side as a shiftright/and/shiftleft expression tree — whole-stage
-    codegen, no UDF. NULLs map to bucket 0 (they cluster together at the
-    low end). bits·|cols| must fit a long (≤ 62).
+    global aggregate over *df* (collected: 2·|cols| scalars), then bits
+    interleave JVM-side as a shiftright/and/shiftleft expression tree —
+    whole-stage codegen, no UDF. NULLs map to bucket 0 (they cluster
+    together at the low end). bits·|cols| must fit a long (≤ 62). The
+    returned Column is name-bound (plain ``F.col`` refs), so it applies
+    to any frame carrying *cols*.
     """
     assert bits * len(cols) <= 62, "z-key overflows a long"
     stats = df.agg(
@@ -78,7 +79,17 @@ def with_zorder_key(
     key = parts[0]
     for p in parts[1:]:
         key = key.bitwiseOR(p)
-    return df.withColumn(key_col, key)
+    return key
+
+
+def with_zorder_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 16,
+    key_col: str = "_zkey",
+) -> DataFrame:
+    """*df* plus the :func:`zorder_key_expr` Morton key as *key_col*."""
+    return df.withColumn(key_col, zorder_key_expr(df, cols, bits))
 
 
 class ParquetTable:
@@ -448,8 +459,39 @@ class ParquetTable:
         step). Data is unchanged: readers see the same rows, just fewer,
         larger files; published as a normal new version so time travel
         and the atomic pointer flip still hold. coalesce() not
-        repartition(): no shuffle, partitions merge in place."""
+        repartition(): no shuffle, partitions merge in place.
+
+        Full-table rewrite — O(table). For routine post-ingest upkeep on
+        a large table use :meth:`compact_incremental`, which touches only
+        the undersized files."""
         return self.publish(self.read().coalesce(target_files))
+
+    def compact_incremental(self, min_file_bytes: int = 64 << 20) -> int:
+        """Incremental OPTIMIZE: bin-pack ONLY the files smaller than
+        *min_file_bytes* into fewer files; every already-large file
+        hard-links into the new version untouched. After many streaming
+        micro-batch appends this is O(small-file debt), not O(table) —
+        a 100 TB corpus pays for its stragglers, never for its bulk.
+        No-op (returns the current version) when fewer than two files
+        are undersized, so it is safe to run on a schedule."""
+        small = [f for f in self.files() if os.path.getsize(f) < min_file_bytes]
+        if len(small) < 2:
+            return self.current_version() or 0
+        large = [f for f in self.files() if f not in set(small)]
+        bins = max(1, sum(os.path.getsize(f) for f in small) // min_file_bytes + 1)
+        schema = self.read().schema
+        packed = self.spark.read.schema(schema).parquet(*small).coalesce(int(bins))
+        v = (self.current_version() or 0) + 1
+        out = os.path.join(self.path, f"v{v}")
+        packed.write.mode("overwrite").parquet(out)
+        for fname in large:
+            dst = os.path.join(out, os.path.basename(fname))
+            try:
+                os.link(fname, dst)
+            except OSError:
+                shutil.copy2(fname, dst)
+        self.flip(v)
+        return v
 
     def _vacuum(self, keep: int) -> None:
         v = self.current_version() or 0

@@ -96,6 +96,42 @@ def test_read_pruned_equals_plain_filter(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_compact_incremental_packs_small_keeps_large_by_inode(spark, tmp_path):
+    import os
+
+    tbl = ParquetTable(spark, str(tmp_path / "c"), keep_versions=10)
+    tbl.publish(_grid(spark, n=128), cluster_by=["a"], partitions=2)  # 2 large files
+    for i in range(5):  # five tiny single-row appends → small-file debt
+        tbl.append(
+            spark.createDataFrame([(1000 + i, 0, i)], "a long, b long, payload long")
+        )
+    before = tbl.read().orderBy("a", "b", "payload").collect()
+    files = tbl.files()
+    sizes = sorted(os.path.getsize(f) for f in files)
+    threshold = (sizes[-3] + sizes[-2]) // 2  # between tiny and large
+    large_inodes = {
+        os.path.basename(f): os.stat(f).st_ino
+        for f in files
+        if os.path.getsize(f) >= threshold
+    }
+    assert len(large_inodes) == 2 and len(files) >= 7
+
+    tbl.compact_incremental(min_file_bytes=threshold)
+    after_files = tbl.files()
+    # all tiny files packed into 1; the 2 large carried by hard link
+    assert len(after_files) == 3
+    carried = {
+        os.path.basename(f): os.stat(f).st_ino
+        for f in after_files
+        if os.path.basename(f) in large_inodes
+    }
+    assert carried == large_inodes  # zero-copy: same inodes
+    assert tbl.read().orderBy("a", "b", "payload").collect() == before
+    # one undersized file left → scheduled rerun is a no-op
+    v = tbl.current_version()
+    assert tbl.compact_incremental(min_file_bytes=threshold) == v
+
+
 def test_merge_publish_zorder_layout_round_trip(spark, tmp_path):
     from id3c_spark.operators.merge import merge
 

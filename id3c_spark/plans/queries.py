@@ -5998,6 +5998,108 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "int8_topk_embeddings",
+    # Quantize → dequantize → exact top-k: proves the ¼-size int8 index
+    # preserves neighbor structure. floor(x·127/s + 0.5) is round-half-up
+    # in both engines (round() is not); the dequantized chain then runs
+    # the same brute-force cosine as embedding_topk.
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings),
+    qs AS (
+      SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS s
+      FROM v),
+    dq AS (
+      SELECT vec_id,
+             CASE WHEN s = 0 THEN list_transform(e, x -> 0.0)
+                  ELSE list_transform(e,
+                         x -> floor(x * 127.0 / s + 0.5) * s / 127.0)
+             END AS e
+      FROM qs),
+    p AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(
+               list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i])))),
+               6) AS sim
+      FROM dq a CROSS JOIN dq b WHERE a.vec_id != b.vec_id),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM p)
+    SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 3
+    """,
+)
+def int8_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-3 over int8-quantized-then-dequantized vectors
+    (ann.quantize_int8): the compressed index a 100 TB embedding store
+    actually serves from — ¼ the bytes per vector, component error
+    ≤ scale/254 — running through the SAME distributed blocked-GEMM
+    top-k as the float path. Quantization is pure expression-level
+    transform/array_max (whole-stage codegen, no UDF)."""
+    emb = t(spark, sf_dir, "embeddings")
+    dq = ann.dequantize_int8(ann.quantize_int8(emb))
+    return ann.cosine_topk(dq, dq, k=3)
+
+
+@query(
+    "int8_error_embeddings",
+    # Corpus-level reconstruction-error report for the int8 index: worst
+    # absolute component error and per-vector scale spread. The integer
+    # codes and double scales are bit-identical across engines, so only
+    # the final statistics need the usual 6-dp rounding.
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings),
+    qs AS (
+      SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS s
+      FROM v),
+    err AS (
+      SELECT vec_id, s,
+             list_max(list_transform(e,
+               x -> abs(CASE WHEN s = 0 THEN 0.0
+                             ELSE floor(x * 127.0 / s + 0.5) * s / 127.0
+                        END - x))) AS vmax
+      FROM qs)
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           round(max(vmax), 6) AS max_abs_err,
+           round(max(vmax / s), 9) AS max_rel_err,
+           round(min(s), 6) AS min_scale,
+           round(max(s), 6) AS max_scale
+    FROM err WHERE s > 0
+    """,
+)
+def int8_error_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction-error audit for int8 embedding quantization: the
+    quality gate you run before switching the ANN serving path to the
+    compressed index. max_rel_err ≤ 1/254 + ε certifies the symmetric
+    quantizer's bound; everything is one map-side-combined aggregate
+    over expression-computed per-vector errors — no shuffle beyond the
+    final scalar agg, no UDF."""
+    emb = t(spark, sf_dir, "embeddings")
+    v = ann._as_double(F.col("embedding"))
+    s = F.array_max(F.transform(v, F.abs))
+    recon = F.transform(
+        v,
+        lambda x: F.when(s == 0, F.lit(0.0)).otherwise(
+            F.floor(x * F.lit(127.0) / s + F.lit(0.5)) * s / F.lit(127.0)
+        ),
+    )
+    vmax = F.array_max(F.zip_with(recon, v, lambda r, x: F.abs(r - x)))
+    per_vec = emb.select(s.alias("s"), vmax.alias("vmax")).where(F.col("s") > 0)
+    return per_vec.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(F.max("vmax"), 6).alias("max_abs_err"),
+        F.round(F.max(F.col("vmax") / F.col("s")), 9).alias("max_rel_err"),
+        F.round(F.min("s"), 6).alias("min_scale"),
+        F.round(F.max("s"), 6).alias("max_scale"),
+    )
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

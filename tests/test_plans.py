@@ -54,6 +54,8 @@ ALLOWED_CROSS = {
     "kmv_source_jaccard": 2,
     # cosine_topk's B×S blocked-GEMM crossJoin inside the kNN classifier
     "knn_label_embeddings": 1,
+    # cosine_topk's B×S blocked GEMM over the dequantized int8 index
+    "int8_topk_embeddings": 1,
 }
 
 

@@ -419,3 +419,39 @@ def test_winnowing_matches_scalar_replay_property(spark, words):
         pos = max(j for j, h in enumerate(window) if h == m) + s
         want.add((pos, m))
     assert {(r["pos"], r["h"]) for r in rows} == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False, width=32),
+            min_size=4, max_size=4,
+        ),
+        min_size=1, max_size=8,
+    )
+)
+def test_int8_quantize_roundtrip_bound_property(spark, vecs):
+    """quantize_int8 invariants: codes in [-127,127], reconstruction
+    error per component ≤ scale/254 (+ 1 ulp slack), zero vectors
+    round-trip to exact zeros."""
+    from id3c_spark.operators.ann import dequantize_int8, quantize_int8
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = quantize_int8(df).collect()
+    for r in q:
+        assert all(-127 <= c <= 127 for c in r.q)
+        assert r.scale >= 0
+    dq = {
+        r.vec_id: r.embedding
+        for r in dequantize_int8(quantize_int8(df)).collect()
+    }
+    orig = {r.vec_id: [float(x) for x in r.embedding] for r in df.collect()}
+    scales = {r.vec_id: r.scale for r in q}
+    for vid, vals in orig.items():
+        bound = scales[vid] / 254.0 * (1.0 + 1e-9) + 1e-12
+        for got, want in zip(dq[vid], vals):
+            assert abs(got - want) <= bound, (vid, got, want, bound)

@@ -171,3 +171,53 @@ def test_warehouse_upserts_still_exact_through_cow(spark, tmp_path):
     assert row["access_role"] == "role-x"
     assert row["collection_identifier"] == "c005"  # null update kept target
     assert '"a"' in row["details"]
+
+
+def test_changes_cdc_is_file_granular(spark, tmp_path):
+    """Change feed between versions: exact delete+insert rows, computed
+    WITHOUT reading files hard-link-carried between the versions."""
+    tbl = ParquetTable(spark, str(tmp_path / "cdc"), keep_versions=10)
+    _clustered_publish(spark, tbl)
+    v1 = tbl.current_version()
+    updates = spark.createDataFrame(
+        [(5, 999, None), (200, 1, None)], "k long, val long, details string"
+    )
+    v2 = tbl.merge_publish(
+        updates, ["k"],
+        lambda target: merge(target, updates, ["k"], "k").df,
+        cluster_by=["k"],
+    )
+
+    feed = tbl.changes(v1, v2)
+    got = {(r.k, r.val, r._change_type) for r in feed.collect()}
+    assert (5, 999, "insert") in got and (200, 1, "insert") in got
+    assert (5, 50, "delete") in got  # old value of key 5
+    # no other key appears in the feed
+    assert {r[0] for r in got} == {5, 200}
+
+    # carried files (same basename in both versions) are never scanned
+    carried = {os.path.basename(f) for f in tbl.files(v1)} & {
+        os.path.basename(f) for f in tbl.files(v2)
+    }
+    assert carried  # the merge really did carry files forward
+    scanned = {os.path.basename(f) for f in feed.inputFiles()}
+    assert not (scanned & carried)
+
+
+def test_changes_cdc_after_evolving_append(spark, tmp_path):
+    tbl = ParquetTable(spark, str(tmp_path / "ev"), keep_versions=10)
+    _clustered_publish(spark, tbl, n=10)
+    v1 = tbl.current_version()
+    v2 = tbl.append(
+        spark.createDataFrame(
+            [(300, 1, None, "fresh")],
+            "k long, val long, details string, note string",
+        ),
+        evolve=True,
+    )
+    feed = tbl.changes(v1, v2).collect()
+    ins = [r for r in feed if r._change_type == "insert"]
+    # old rows acquire note=NULL on BOTH sides, so only the new row and
+    # (under the union rewrite) its delete-counterparts differ
+    assert any(r.k == 300 and r.note == "fresh" for r in ins)
+    assert all(r.k == 300 or r.note is None for r in feed)

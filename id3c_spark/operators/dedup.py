@@ -185,19 +185,38 @@ def ngram_jaccard_pairs(
         )
         if stop.limit(1).count():
             sh = sh.join(F.broadcast(stop.select("sh")), "sh", "left_anti").persist()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    # Per-doc set size rides ON the shingle rows (one id-keyed window
+    # into the persisted relation, no separate sizes aggregate), so the
+    # PPJoin length filter applies INSIDE the self-join and the final
+    # jaccard needs no size joins at all: J(A,B) ≤ min(n_a,n_b) /
+    # max(n_a,n_b), so any pair at jaccard ≥ t has sizes within ratio t
+    # — on a real corpus, where doc lengths span orders of magnitude,
+    # cross-size candidates are most of the candidate volume, and the
+    # bound is exact, so results are unchanged.
+    shn = sh.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("id"))
+    ).persist()
     # one self-join: the grouped intersection counts ARE the candidate set
     # (any pair with jaccard > 0 shares a shingle and lands here once)
     inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        shn.alias("a")
+        .join(
+            shn.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.n").cast("double") * F.lit(float(threshold)) <= F.col("b.n"))
+            & (F.col("b.n").cast("double") * F.lit(float(threshold)) <= F.col("a.n")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
         .agg(F.count("*").alias("n_inter"))
     )
     return (
         inter
-        .join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -599,8 +618,10 @@ def dedup_clusters(
     component — the step that turns pairwise near-dup evidence into a
     keep-one-canonical-document decision (keep rows where id == cluster).
 
-    Two regimes, picked by the EXACT edge count (free — the deduped edge
-    relation is materialized by the checkpoint either way):
+    Two regimes, picked by the EXACT raw pair count (free — the pair
+    relation is materialized by the checkpoint either way; the
+    symmetrize+distinct pass only the label regime needs is deferred
+    until that regime is chosen):
 
       - edges ≤ *driver_cutoff*: min-root union-find on the driver. The
         dup-pair graph is the output of heavy distributed filtering and is
@@ -616,17 +637,18 @@ def dedup_clusters(
     Both regimes produce identical min-label components, so the DuckDB
     oracle's recursive reachability replay matches either path.
     """
-    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     # localCheckpoint (not persist): iterative plans grow a level of
     # lineage per round, and Spark's plan stringification alone OOMs past
     # ~15 rounds — checkpointing truncates the logical plan so every round
-    # starts from a LogicalRDD of constant depth
-    edges = (
-        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint()
-    )
-    if edges.count() <= driver_cutoff:
+    # starts from a LogicalRDD of constant depth. The heavy pair pipeline
+    # is materialized exactly once, as the RAW directed pairs: the
+    # symmetrize+distinct pass (one extra shuffle over data the driver
+    # regime never needs) is deferred until the distributed label path is
+    # actually chosen.
+    raw = pairs.select(
+        F.col(id_a).alias("a"), F.col(id_b).alias("b")
+    ).localCheckpoint()
+    if raw.count() <= driver_cutoff:
         parent: dict = {}
 
         def find(x):
@@ -637,24 +659,29 @@ def dedup_clusters(
                 parent[x], x = root, parent[x]
             return root
 
-        rows = edges.collect()
+        rows = raw.collect()
         for row in rows:
             ra, rb = find(row["a"]), find(row["b"])
             if ra != rb:                       # min root wins → min labels
                 if rb < ra:
                     ra, rb = rb, ra
                 parent[rb] = ra
-        nodes = {r["a"] for r in rows}         # edges hold both directions
+        nodes = {r["a"] for r in rows} | {r["b"] for r in rows}
         out = [(n, find(n)) for n in sorted(nodes)]
         # schema follows the edges' id type (string ids etc. — not just long)
         from pyspark.sql.types import StructField, StructType
 
-        id_type = edges.schema["a"].dataType
+        id_type = raw.schema["a"].dataType
         schema = StructType(
             [StructField("id", id_type), StructField("cluster", id_type)]
         )
         return pairs.sparkSession.createDataFrame(out, schema)
 
+    edges = (
+        raw.unionByName(raw.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("a").alias("node")).distinct()
         .withColumn("label", F.col("node"))

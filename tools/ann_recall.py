@@ -67,6 +67,9 @@ def main() -> int:
     }
     books = pq_train(emb, m=8, k=16, max_iter=2)
     variants = [
+        ("int8 quantized corpus, exact GEMM (¼ index bytes)",
+         lambda: ann.cosine_topk(
+             emb, ann.dequantize_int8(ann.quantize_int8(emb)), k=k)),
         ("lsh (16 planes, 4 bands)",
          lambda: ann.lsh_bucketed_topk(emb, emb, 64, k=k)),
         ("lsh tuned (16 planes, 8 bands)",

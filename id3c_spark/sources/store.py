@@ -364,6 +364,8 @@ class ParquetTable:
                 F.col(c) for c in cluster_by
             ]
             return df.repartitionByRange(*args).sortWithinPartitions(*cluster_by)
+        if partitions:  # honor an explicit file count even unclustered
+            return df.repartition(partitions)
         return df
 
     def stage(

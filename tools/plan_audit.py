@@ -81,6 +81,12 @@ DEFAULT_QUERIES = [
     "large_volume_customers",
     "excess_part_shippers",
     "pagerank_weighted_docs",
+    # late-round-7 additions
+    "int8_topk_embeddings",
+    "int8_error_embeddings",
+    "kmv_source_jaccard",
+    "knn_label_embeddings",
+    "event_transition_matrix",
 ]
 
 

@@ -221,3 +221,28 @@ def test_changes_cdc_after_evolving_append(spark, tmp_path):
     # (under the union rewrite) its delete-counterparts differ
     assert any(r.k == 300 and r.note == "fresh" for r in ins)
     assert all(r.k == 300 or r.note is None for r in feed)
+
+
+def test_changes_cdc_reconstructs_next_version(spark, tmp_path):
+    """Applying the change feed to v1 reproduces v2 exactly (multiset):
+    the CDC invariant that lets a downstream consumer mirror the table
+    without re-reading it."""
+    tbl = ParquetTable(spark, str(tmp_path / "rc"), keep_versions=10)
+    _clustered_publish(spark, tbl, n=50)
+    v1 = tbl.current_version()
+    updates = spark.createDataFrame(
+        [(7, 700, None), (8, 800, None), (99, 1, None)],
+        "k long, val long, details string",
+    )
+    v2 = tbl.merge_publish(
+        updates, ["k"],
+        lambda target: merge(target, updates, ["k"], "k").df,
+        cluster_by=["k"],
+    )
+    feed = tbl.changes(v1, v2)
+    ins = feed.filter("_change_type = 'insert'").drop("_change_type")
+    dele = feed.filter("_change_type = 'delete'").drop("_change_type")
+    rebuilt = tbl.read(v1).exceptAll(dele).unionByName(ins)
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, tbl.read(v2).collect())
+    )

@@ -917,7 +917,13 @@ def corpus_profile(input_parquet: str, columns: str | None, approx: bool) -> Non
 @corpus.command("compact")
 @click.argument("table_path")
 @click.option("--target-files", default=8, show_default=True, type=int)
-def corpus_compact(table_path: str, target_files: int) -> None:
+@click.option("--min-file-mb", default=None, type=int,
+              help="incremental mode: bin-pack ONLY files smaller than "
+                   "this, hard-link large files forward — O(small-file "
+                   "debt), not O(table); safe to run on a schedule. "
+                   "Overrides --target-files.")
+def corpus_compact(table_path: str, target_files: int,
+                   min_file_mb: int | None) -> None:
     """Compact the current corpus version into fewer, larger files
     (post-ingest OPTIMIZE; published as a normal new version so time
     travel and atomic reads hold)."""
@@ -925,6 +931,10 @@ def corpus_compact(table_path: str, target_files: int) -> None:
 
     spark = get_spark("corpus-compact")
     table = ParquetTable(spark, table_path)
+    if min_file_mb is not None:
+        v = table.compact_incremental(min_file_bytes=min_file_mb << 20)
+        click.echo(json.dumps({"version": v, "min_file_mb": min_file_mb}))
+        return
     v = table.compact(target_files=target_files)
     click.echo(json.dumps({"version": v, "target_files": target_files}))
 

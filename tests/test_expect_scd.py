@@ -204,6 +204,15 @@ def test_cli_corpus_compact_and_zorder(spark, tmp_path):
     assert len(glob.glob(f"{t.path}/v{v}/*.parquet")) <= 2
     assert t.read().count() == 500
 
+    # incremental mode: a 1 MiB floor packs every tiny file into one,
+    # publishing a new version with identical rows
+    res = runner.invoke(cli, ["corpus", "compact", t.path, "--min-file-mb", "1"])
+    assert res.exit_code == 0, res.output
+    v2 = json.loads(res.output)["version"]
+    assert v2 == v + 1
+    assert len(glob.glob(f"{t.path}/v{v2}/*.parquet")) == 1
+    assert t.read().count() == 500
+
     src = str(tmp_path / "src.parquet")
     spark.range(0, 1000).selectExpr("id % 50 AS x", "(id * 7) % 50 AS y").write.parquet(src)
     out = str(tmp_path / "z")

@@ -544,6 +544,7 @@ def ivf_trained_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_iter: int = 2,
+    coarse=None,
 ) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer — ``ivf_topk`` with Lloyd
     k-means cells instead of md5-pivot cells (reusing pq_train's m=1
@@ -554,7 +555,12 @@ def ivf_trained_topk(
     (ANN_RECALL_r7.md), and since candidates are exact-cosine reranked
     the end recall IS the candidate recall. Same scale shape as ivf_topk:
     broadcast centroids, one Arrow assignment pass per side, cell-keyed
-    candidate join."""
+    candidate join.
+
+    *coarse* injects a pretrained pq_train(m=1, k=nlist) model (the
+    FAISS train-once/serve-many separation): a production index trains
+    on a sample ONCE and every serving query skips the Lloyd passes —
+    at 100 TB, retraining per lookup would dwarf the lookup."""
     from id3c_spark.operators.pq import _assign_topn, _normalized, pq_train
 
     same = queries is corpus
@@ -563,7 +569,8 @@ def ivf_trained_topk(
     qp = cp if same else _prep(queries, id_col, vec_col)
     vn = _normalized(cp).persist()
     qn = vn if same else _normalized(qp)
-    coarse = pq_train(vn, "id", "v", m=1, k=nlist, max_iter=train_iter)
+    if coarse is None:
+        coarse = pq_train(vn, "id", "v", m=1, k=nlist, max_iter=train_iter)
     bcg = cp.sparkSession.sparkContext.broadcast(coarse)
     cells = _assign_topn(vn, bcg, 1)
     probes = _assign_topn(qn, bcg, nprobe)

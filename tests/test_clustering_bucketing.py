@@ -317,3 +317,19 @@ def test_zorder_key_constant_column_degenerates_gracefully(spark):
     df = spark.range(0, 100).select(F.col("id").alias("a"), F.lit(7).alias("b"))
     keys = df.select(zorder_key(df, ["a", "b"]).alias("z")).distinct().count()
     assert keys > 50  # the varying column still spreads the key space
+
+
+def test_ivf_trained_pretrained_coarse_matches_in_call_training(spark):
+    """Injecting a pretrained coarse model (train-once/serve-many) gives
+    the same results as training inside the call."""
+    from id3c_spark.operators.ann import ivf_trained_topk
+    from id3c_spark.operators.pq import _normalized, _prep, pq_train
+
+    df = pq_vectors(spark)
+    vn = _normalized(_prep(df, "vec_id", "embedding"))
+    model = pq_train(vn, "id", "v", m=1, k=4, max_iter=2)
+    served = ivf_trained_topk(df, df, k=3, nlist=4, nprobe=2, coarse=model)
+    trained = ivf_trained_topk(df, df, k=3, nlist=4, nprobe=2)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, trained.collect())
+    )

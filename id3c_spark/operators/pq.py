@@ -444,11 +444,31 @@ def ivfpq_topk(
             else pq_train(corpus, id_col, vec_col, m=m, k=kcent, max_iter=train_iter)
         )
         codes = pq_encode(corpus, mdl, id_col, vec_col)
+    return _adc_topk(
+        probes.join(qp, "id"), codes.join(cells, "id"), mdl, bcg, k, residual
+    )
+
+
+def _adc_topk(
+    probe_vecs: DataFrame,
+    codes_cells: DataFrame,
+    mdl,
+    bcg,
+    k: int,
+    residual: bool,
+) -> DataFrame:
+    """The IVFPQ scoring stage, factored out so a PERSISTED index
+    (plans/ann_index.py) serves through the identical code path as the
+    in-memory ivfpq_topk: *probe_vecs* is (id, cell, v) — each query
+    replicated per probed cell with its (normalized, for residual)
+    vector; *codes_cells* is (id, cell, codes); *mdl* the (m, k*, dsub)
+    codebooks; *bcg* the broadcast coarse model when *residual*."""
+    import numpy as np
+    import pandas as pd
+
     m, _, dsub = mdl.shape
-    packs = (
-        codes.join(cells, "id")
-        .groupBy("cell")
-        .agg(F.collect_list(F.struct("id", "codes")).alias("recs"))
+    packs = codes_cells.groupBy("cell").agg(
+        F.collect_list(F.struct("id", "codes")).alias("recs")
     )
 
     def pack_cells(batches):
@@ -472,10 +492,8 @@ def ivfpq_topk(
     # sf0.1, and quadratic-in-|Q| replication at scale). A pathologically
     # hot cell makes one big row; sub-split it like ann._packed_cells if
     # the coarse quantizer is unbalanced.
-    qpacks = (
-        probes.join(qp, "id")
-        .groupBy("cell")
-        .agg(F.collect_list(F.struct("id", "v")).alias("recs"))
+    qpacks = probe_vecs.groupBy("cell").agg(
+        F.collect_list(F.struct("id", "v")).alias("recs")
     )
 
     def pack_probes(batches):
@@ -494,7 +512,7 @@ def ivfpq_topk(
         pack_probes, "cell long, q_ids binary, q_mat binary"
     )
     joined = probe_packs.join(cell_packs, "cell")
-    bc = cp.sparkSession.sparkContext.broadcast(mdl)
+    bc = probe_vecs.sparkSession.sparkContext.broadcast(mdl)
 
     def score(batches):
         cent = bc.value

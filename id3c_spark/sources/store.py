@@ -311,6 +311,49 @@ class ParquetTable:
                 keep.append(fname)
         return keep
 
+    def pruned_files_in(
+        self,
+        column: str,
+        values,
+        version: int | None = None,
+    ) -> list[str]:
+        """The files a point-set lookup would open: footer min/max admits
+        at least one of *values* (files lacking stats are kept — skipping
+        must never drop rows). The IN-list analogue of pruned_files: on a
+        table clustered by *column*, a scattered probe set (e.g. an ANN
+        query's nprobe cells) touches only its cells' files."""
+        vals = sorted(set(values))
+        keep = []
+        for fname in self.files(version):
+            rng = self._footer_range(fname, column)
+            if rng is None:
+                keep.append(fname)
+                continue
+            try:
+                if any(rng[0] <= v <= rng[1] for v in vals):
+                    keep.append(fname)
+            except TypeError:
+                keep.append(fname)
+        return keep
+
+    def read_pruned_in(
+        self,
+        column: str,
+        values,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Data-skipping IN-list read: only files whose footer range
+        admits one of *values*, with the exact membership filter on
+        top."""
+        schema = self.read(version).schema
+        keep = self.pruned_files_in(column, values, version)
+        df = (
+            self.spark.read.schema(schema).parquet(*keep)
+            if keep
+            else self.spark.createDataFrame([], schema)
+        )
+        return df.filter(F.col(column).isin(list(values)))
+
     def read_pruned(
         self,
         ranges: dict[str, tuple],

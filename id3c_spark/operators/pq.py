@@ -429,6 +429,7 @@ def ivfpq_topk(
     kcent: int = 16,
     train_iter: int = 2,
     residual: bool | None = None,
+    cell_splits: int = 1,
 ) -> DataFrame:
     """IVF + PQ — the FAISS-IVFPQ composition that ends the ANN ladder
     (exact blocked GEMM → LSH → IVF → PQ → IVFPQ): the corpus's PQ codes
@@ -504,7 +505,8 @@ def ivfpq_topk(
         )
         codes = pq_encode(corpus, mdl, id_col, vec_col)
     return _adc_topk(
-        probes.join(qp, "id"), codes.join(cells, "id"), mdl, bcg, k, residual
+        probes.join(qp, "id"), codes.join(cells, "id"), mdl, bcg, k, residual,
+        cell_splits=cell_splits,
     )
 
 
@@ -515,7 +517,7 @@ def _adc_topk(
     bcg,
     k: int,
     residual: bool,
-    cell_splits: int = 4,
+    cell_splits: int = 1,
 ) -> DataFrame:
     """The IVFPQ scoring stage, factored out so a PERSISTED index
     (plans/ann_index.py) serves through the identical code path as the
@@ -530,7 +532,11 @@ def _adc_topk(
     each emits its partial top-k and the global window merges, so the
     result is EXACTLY the unsplit one while the largest task shrinks
     ~cell_splits× (the AQE-skew analogue for packed-binary rows, which
-    AQE cannot split itself)."""
+    AQE cannot split itself). The trade: each sub-pack emits its own
+    partial top-k, so the pre-window relation grows ~cell_splits× —
+    default 1 here (the in-call quantizer is freshly trained and
+    near-balanced); the persisted-index serving path defaults to 4,
+    where ingest drift is what actually skews cells."""
     import numpy as np
     import pandas as pd
 
@@ -596,20 +602,26 @@ def _adc_topk(
                 # residual ADC: the (already normalized) query's residual
                 # AGAINST THIS CELL is what its codes were encoded against
                 pivot = coarse[int(row["cell"])] if residual else None
+                nq = len(qids)
+                # ONE vectorized LUT + gather for every query in the pack
+                # (elementwise ops batch exactly, so each value is
+                # bit-identical to the per-query formulation) — the
+                # per-query Python loop was the pack-row cost that made
+                # cell sub-splitting expensive
+                qv = qmat - pivot if residual else qmat        # (nq, d)
+                qs = qv.reshape(nq, m, dsub)
+                lut = np.round(
+                    ((qs[:, :, None, :] - cent[None]) ** 2).sum(axis=3), 6
+                )                                              # (nq, m, k*)
+                lut_mi = np.rint(lut * 1e6).astype(np.int64)
+                dist_all = (
+                    lut_mi[:, np.arange(m)[None, :], ccodes].sum(axis=2) / 1e6
+                )                                              # (nq, ncand)
                 out_q, out_n, out_d = [], [], []
-                for i in range(len(qids)):
-                    qv = qmat[i] - pivot if residual else qmat[i]
-                    qs = qv.reshape(m, dsub)
-                    lut = np.round(
-                        ((qs[:, None, :] - cent) ** 2).sum(axis=2), 6
-                    )
-                    lut_mi = np.rint(lut * 1e6).astype(np.int64)
-                    dist = (
-                        lut_mi[np.arange(m)[None, :], ccodes].sum(axis=1) / 1e6
-                    )
+                for i in range(nq):
                     mask = cids != qids[i]
                     cand_ids = cids[mask]
-                    cand_d = dist[mask]
+                    cand_d = dist_all[i][mask]
                     order = np.lexsort((cand_ids, cand_d))[:k]
                     out_q.extend([qids[i]] * len(order))
                     out_n.extend(cand_ids[order])

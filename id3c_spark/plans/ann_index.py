@@ -194,9 +194,12 @@ def serve_topk(
     codes_cells = t["codes"].read_pruned_in("cell", probed).select(
         "id", "cell", "codes"
     )
+    # cell_splits=4: a long-lived index accumulates ingest drift — the
+    # hot-cell bound matters here, and serving ks are small enough that
+    # the ~4× partial-top-k growth is noise
     short = _adc_topk(
         probe_vecs, codes_cells, books, bcg, k=rerank_shortlist or k,
-        residual=True,
+        residual=True, cell_splits=4,
     )
     if rerank_shortlist is None:
         return short

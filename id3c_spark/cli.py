@@ -1008,6 +1008,41 @@ def corpus_ann_query(index_path: str, queries_parquet: str, k: int,
         click.echo(json.dumps(row.asDict()))
 
 
+@corpus.command("dedup-index")
+@click.argument("action", type=click.Choice(["build", "query", "add"]))
+@click.argument("index_path")
+@click.argument("input_parquet")
+@click.option("--threshold", default=0.5, show_default=True, type=float)
+@click.option("--id-col", default="doc_id", show_default=True)
+@click.option("--text-col", default="text", show_default=True)
+def corpus_dedup_index(action: str, index_path: str, input_parquet: str,
+                       threshold: float, id_col: str, text_col: str) -> None:
+    """Persisted cross-batch near-dup index: ``build`` it from a corpus,
+    ``query`` a new batch against it (NDJSON matches ≥ threshold), or
+    ``add`` a deduped batch to it (file-granular append)."""
+    from id3c_spark.plans.dedup_index import (
+        add_batch,
+        build_dedup_index,
+        dedup_against_index,
+    )
+
+    spark = get_spark("corpus-dedup-index")
+    df = spark.read.parquet(input_parquet)
+    if action == "build":
+        v = build_dedup_index(df, index_path, id_col=id_col, text_col=text_col)
+        click.echo(json.dumps({"index": index_path, "versions": v}))
+    elif action == "add":
+        v = add_batch(spark, index_path, df, id_col=id_col, text_col=text_col)
+        click.echo(json.dumps({"index": index_path, "versions": v}))
+    else:
+        out = dedup_against_index(
+            spark, index_path, df, id_col=id_col, text_col=text_col,
+            threshold=threshold,
+        )
+        for row in out.collect():
+            click.echo(json.dumps(row.asDict()))
+
+
 @corpus.command("check")
 @click.argument("input_parquet")
 @click.option("--not-null", "not_null_cols", multiple=True,

@@ -88,3 +88,32 @@ def test_add_batch_is_file_granular_and_extends_matches(spark, tmp_path):
     out = dedup_against_index(spark, path, second, threshold=0.5)
     matched = {r.corpus_id for r in out.collect()}
     assert any(c % 3 == 1 for c in matched) or any(c % 3 == 2 for c in matched)
+
+
+def test_cli_dedup_index_build_query_add(spark, tmp_path):
+    import json as _json
+
+    from click.testing import CliRunner
+
+    from id3c_spark.cli import cli
+
+    docs = _docs(spark)
+    corpus_path = str(tmp_path / "corpus.parquet")
+    batch_path = str(tmp_path / "batch.parquet")
+    docs.filter(F.col("doc_id") % 3 != 0).write.parquet(corpus_path)
+    docs.filter(F.col("doc_id") % 3 == 0).write.parquet(batch_path)
+    idx = str(tmp_path / "dix_cli")
+    runner = CliRunner()
+
+    res = runner.invoke(cli, ["corpus", "dedup-index", "build", idx, corpus_path])
+    assert res.exit_code == 0, res.output
+    assert _json.loads(res.output)["versions"]["signatures"] == 1
+
+    res = runner.invoke(cli, ["corpus", "dedup-index", "query", idx, batch_path])
+    assert res.exit_code == 0, res.output
+    rows = [_json.loads(l) for l in res.output.strip().splitlines() if l]
+    assert rows and {"new_id", "corpus_id", "jaccard"} <= set(rows[0])
+
+    res = runner.invoke(cli, ["corpus", "dedup-index", "add", idx, batch_path])
+    assert res.exit_code == 0, res.output
+    assert _json.loads(res.output)["versions"]["shingles"] == 2

@@ -1001,3 +1001,59 @@ def dequantize_int8(
             lambda x: x.cast("double") * F.col(scale_col) / F.lit(127.0),
         ),
     ).drop(q_col, scale_col)
+
+
+def embedding_drift(
+    df: DataFrame,
+    side_col: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension distribution drift between two embedding
+    populations (side 0 vs side 1 of *side_col*): means and the
+    standardized mean difference ``smd = (μ₀−μ₁) / √((σ₀²+σ₁²)/2)`` —
+    the monitoring signal that tells an ANN index owner the quantizer
+    was trained on yesterday's distribution (rebuild when |smd| grows).
+
+    Numerics: components round to exact integer micros via
+    floor(x·1e6 + 0.5) — identical half-up in every engine — and all
+    sufficient statistics (n, Σ, Σx²) are exact int64 sums, so the
+    final double arithmetic runs on identical integers in Spark and any
+    SQL oracle. One posexplode + one map-side-combined aggregate; the
+    shuffle is d rows of statistics, never vectors.
+    """
+    micros = F.floor(
+        F.col("x").cast("double") * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    ex = df.select(
+        side_col.cast("int").alias("side"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    ).select("side", "dim", micros.alias("mi"))
+
+    def side_aggs(s: int) -> list[Column]:
+        this = F.col("side") == s
+        return [
+            F.count(F.when(this, 1)).alias(f"n_{s}"),
+            F.sum(F.when(this, F.col("mi"))).alias(f"s_{s}"),
+            F.sum(F.when(this, F.col("mi") * F.col("mi"))).alias(f"q_{s}"),
+        ]
+
+    g = ex.groupBy("dim").agg(*side_aggs(0), *side_aggs(1))
+    mean = {s: F.col(f"s_{s}") / F.col(f"n_{s}") for s in (0, 1)}
+    var = {
+        s: F.col(f"q_{s}") / F.col(f"n_{s}") - mean[s] * mean[s] for s in (0, 1)
+    }
+    denom = F.sqrt((var[0] + var[1]) / F.lit(2.0))
+    return g.select(
+        "dim",
+        F.col("n_0").cast("long").alias("n_0"),
+        F.col("n_1").cast("long").alias("n_1"),
+        F.round(mean[0] / F.lit(1e6), 6).alias("mean_0"),
+        F.round(mean[1] / F.lit(1e6), 6).alias("mean_1"),
+        F.round(
+            F.when(denom == 0, F.lit(0.0)).otherwise(
+                (mean[0] - mean[1]) / denom
+            ),
+            6,
+        ).alias("smd"),
+    )

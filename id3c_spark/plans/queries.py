@@ -6100,6 +6100,52 @@ def int8_error_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_drift",
+    # Exact integer-micro sufficient statistics (floor(x·1e6 + 0.5) is
+    # half-up in both engines), so every double op downstream runs on
+    # identical integers; only the final stats round to 6 dp.
+    oracle="""
+    WITH ex AS (
+      SELECT CAST(vec_id % 2 AS INT) AS side, i - 1 AS dim,
+             CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT) AS mi
+      FROM embeddings CROSS JOIN range(1, 65) AS t(i)),
+    g AS (
+      SELECT dim,
+             CAST(count(*) FILTER (side = 0) AS BIGINT) AS n_0,
+             CAST(sum(mi) FILTER (side = 0) AS BIGINT) AS s_0,
+             CAST(sum(mi * mi) FILTER (side = 0) AS BIGINT) AS q_0,
+             CAST(count(*) FILTER (side = 1) AS BIGINT) AS n_1,
+             CAST(sum(mi) FILTER (side = 1) AS BIGINT) AS s_1,
+             CAST(sum(mi * mi) FILTER (side = 1) AS BIGINT) AS q_1
+      FROM ex GROUP BY dim),
+    d AS (
+      SELECT dim, n_0, n_1,
+             s_0 / n_0 AS m0, s_1 / n_1 AS m1,
+             q_0 / n_0 - (s_0 / n_0) * (s_0 / n_0) AS v0,
+             q_1 / n_1 - (s_1 / n_1) * (s_1 / n_1) AS v1
+      FROM g)
+    SELECT CAST(dim AS INT) AS dim, n_0, n_1,
+           round(m0 / 1000000.0, 6) AS mean_0,
+           round(m1 / 1000000.0, 6) AS mean_1,
+           round(CASE WHEN sqrt((v0 + v1) / 2.0) = 0 THEN 0.0
+                      ELSE (m0 - m1) / sqrt((v0 + v1) / 2.0) END, 6) AS smd
+    FROM d
+    """,
+)
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension drift report between two embedding populations
+    (ann.embedding_drift; here the vec_id parity split stands in for
+    yesterday-vs-today): means + standardized mean difference from exact
+    integer-micro statistics — the monitoring signal that triggers a
+    persisted-ANN-index rebuild (plans/ann_index.py) when the quantizer's
+    training distribution has drifted. One posexplode + one
+    map-side-combined aggregate; d statistic rows shuffle, never
+    vectors."""
+    emb = t(spark, sf_dir, "embeddings")
+    return ann.embedding_drift(emb, F.col("vec_id") % 2)
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

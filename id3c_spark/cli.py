@@ -981,6 +981,26 @@ def corpus_ann_build(input_parquet: str, index_path: str, nlist: int,
     click.echo(json.dumps({"index": index_path, "versions": versions}))
 
 
+@corpus.command("ann-add")
+@click.argument("index_path")
+@click.argument("input_parquet")
+@click.option("--id-col", default="vec_id", show_default=True)
+@click.option("--vec-col", default="embedding", show_default=True)
+def corpus_ann_add(index_path: str, input_parquet: str, id_col: str,
+                   vec_col: str) -> None:
+    """Incrementally ingest a vector batch into a persisted ANN index:
+    encode with the stored models (no retraining) and append
+    file-granularly."""
+    from id3c_spark.plans.ann_index import add_to_index
+
+    spark = get_spark("corpus-ann-add")
+    v = add_to_index(
+        spark, index_path, spark.read.parquet(input_parquet),
+        id_col=id_col, vec_col=vec_col,
+    )
+    click.echo(json.dumps({"index": index_path, "versions": v}))
+
+
 @corpus.command("ann-query")
 @click.argument("index_path")
 @click.argument("queries_parquet")

@@ -143,3 +143,27 @@ def test_add_to_index_serves_new_vectors_without_retraining(spark, tmp_path):
     old_hits = served.filter(F.col("neighbor_id") < 400).count()
     new_hits = served.filter(F.col("neighbor_id") >= 400).count()
     assert old_hits > 0 and new_hits >= 0
+
+
+def test_cli_ann_add(spark, tmp_path):
+    import json as _json
+
+    from click.testing import CliRunner
+
+    from id3c_spark.cli import cli
+
+    emb = _emb(spark)
+    base_p = str(tmp_path / "base.parquet")
+    new_p = str(tmp_path / "new.parquet")
+    emb.filter(F.col("vec_id") < 400).write.parquet(base_p)
+    emb.filter(F.col("vec_id") >= 400).write.parquet(new_p)
+    idx = str(tmp_path / "cli_idx2")
+    runner = CliRunner()
+    res = runner.invoke(cli, [
+        "corpus", "ann-build", base_p, idx, "--nlist", "8", "--m", "8",
+        "--kcent", "8",
+    ])
+    assert res.exit_code == 0, res.output
+    res = runner.invoke(cli, ["corpus", "ann-add", idx, new_p])
+    assert res.exit_code == 0, res.output
+    assert _json.loads(res.output)["versions"]["codes"] == 2

@@ -87,6 +87,7 @@ DEFAULT_QUERIES = [
     "kmv_source_jaccard",
     "knn_label_embeddings",
     "event_transition_matrix",
+    "embedding_drift",
 ]
 
 

@@ -455,3 +455,45 @@ def test_int8_quantize_roundtrip_bound_property(spark, vecs):
         bound = scales[vid] / 254.0 * (1.0 + 1e-9) + 1e-12
         for got, want in zip(dq[vid], vals):
             assert abs(got - want) <= bound, (vid, got, want, bound)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 1),
+            st.lists(st.floats(-100, 100, allow_nan=False, width=32),
+                     min_size=4, max_size=4),
+        ),
+        min_size=4, max_size=12,
+    ).filter(lambda rows: {s for s, _ in rows} == {0, 1})
+)
+def test_embedding_drift_properties(spark, rows):
+    """Invariants: identical populations → smd 0 everywhere; swapping
+    sides negates smd; n_0+n_1 == corpus size per dim."""
+    from id3c_spark.operators.ann import embedding_drift
+
+    df = spark.createDataFrame(
+        [(i, s, [float(x) for x in v]) for i, (s, v) in enumerate(rows)],
+        "vec_id long, side int, embedding array<float>",
+    )
+    out = {r.dim: r for r in embedding_drift(df, F.col("side")).collect()}
+    n = len(rows)
+    assert all(r.n_0 + r.n_1 == n for r in out.values())
+    flipped = {
+        r.dim: r
+        for r in embedding_drift(df, 1 - F.col("side")).collect()
+    }
+    for d, r in out.items():
+        f = flipped[d]
+        assert (r.n_0, r.n_1) == (f.n_1, f.n_0)
+        assert abs(r.smd + f.smd) < 2e-6  # negation up to the 6-dp round
+
+    # identical populations: duplicate every vector onto both sides
+    dup = spark.createDataFrame(
+        [(i * 2 + s2, s2, [float(x) for x in v])
+         for i, (_, v) in enumerate(rows) for s2 in (0, 1)],
+        "vec_id long, side int, embedding array<float>",
+    )
+    same = embedding_drift(dup, F.col("side")).collect()
+    assert all(r.smd == 0.0 and r.mean_0 == r.mean_1 for r in same)

@@ -516,23 +516,11 @@ def ivf_topk(
     probes = _ivf_assign(qp, bp, nprobe)
 
     # a corpus vector lives in exactly one cell and a query probes nprobe
-    # DISTINCT cells, so each (query, neighbor) pair appears at most once —
-    # no dedup shuffle needed before rerank
-    cand = (
-        probes.alias("q")
-        .join(cells.alias("c"), F.col("q.cell") == F.col("c.cell"))
-        .filter(F.col("q.id") != F.col("c.id"))
-        .select(F.col("q.id").alias("query_id"), F.col("c.id").alias("neighbor_id"))
-    )
-    qe = qp.select(F.col("id").alias("query_id"), F.col("v").alias("qv"))
-    ce = cp.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"))
-    scored = _score_pairs(cand, qe, ce)
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "sim", "rank")
-    )
+    # DISTINCT cells, so each (query, neighbor) pair appears at most once
+    # and partial top-k per pack + the global window is exact; the packed
+    # per-cell GEMM ships each cell's vectors once per probing pack
+    # instead of once per candidate pair (_score_pairs' shape)
+    return _cell_gemm_topk(probes.join(qp, "id"), cells.join(cp, "id"), k)
 
 
 def ivf_trained_topk(
@@ -574,21 +562,9 @@ def ivf_trained_topk(
     bcg = cp.sparkSession.sparkContext.broadcast(coarse)
     cells = _assign_topn(vn, bcg, 1)
     probes = _assign_topn(qn, bcg, nprobe)
-    cand = (
-        probes.alias("q")
-        .join(cells.alias("c"), F.col("q.cell") == F.col("c.cell"))
-        .filter(F.col("q.id") != F.col("c.id"))
-        .select(F.col("q.id").alias("query_id"), F.col("c.id").alias("neighbor_id"))
-    )
-    qe = qp.select(F.col("id").alias("query_id"), F.col("v").alias("qv"))
-    ce = cp.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"))
-    scored = _score_pairs(cand, qe, ce)
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "sim", "rank")
-    )
+    # packed per-cell GEMM over the RAW vectors (cosine is scale-free, so
+    # scoring raw while assigning normalized is exact) — see ivf_topk
+    return _cell_gemm_topk(probes.join(qp, "id"), cells.join(cp, "id"), k)
 
 
 def lsh_bucketed_topk(
@@ -1056,4 +1032,88 @@ def embedding_drift(
             ),
             6,
         ).alias("smd"),
+    )
+
+
+def _cell_gemm_topk(
+    probe_vecs: DataFrame,
+    cell_vecs: DataFrame,
+    k: int,
+    cell_splits: int = 4,
+) -> DataFrame:
+    """Exact-cosine top-k over cell-partitioned candidates: pack the
+    corpus vectors per (cell, id-hash salt) and the probing queries per
+    cell, join on cell, and run one cosine GEMM per pack pair — the
+    IVF-Flat scoring stage. Compared to joining raw candidate PAIRS back
+    to the embedding columns (ann._score_pairs over |Q|·nprobe·cellsize
+    rows), each cell's vectors ship once per probing pack instead of
+    once per candidate pair — the shuffled bytes drop by ~the average
+    cell size. Same 6-dp rounding + id tiebreak as cosine_topk, so
+    results are identical; a corpus vector lives in exactly one cell, so
+    partial top-k per pack + the global window is exact."""
+    import numpy as np
+    import pandas as pd
+
+    packs = (
+        cell_vecs.groupBy(
+            "cell",
+            F.pmod(F.xxhash64(F.col("id")), F.lit(cell_splits)).alias("__s"),
+        )
+        .agg(F.collect_list(F.struct("id", "v")).alias("recs"))
+    )
+
+    def pack(label_ids, label_mat):
+        def run(batches):
+            for pdf in batches:
+                out = []
+                for _, row in pdf.iterrows():
+                    recs = row["recs"]
+                    ids = np.asarray([r["id"] for r in recs], dtype=np.int64)
+                    mat = np.asarray(
+                        [np.asarray(r["v"], dtype=np.float64) for r in recs]
+                    )
+                    out.append((row["cell"], ids.tobytes(), mat.tobytes()))
+                yield pd.DataFrame(out, columns=["cell", label_ids, label_mat])
+        return run
+
+    cell_packs = packs.mapInPandas(
+        pack("c_ids", "c_mat"), "cell long, c_ids binary, c_mat binary"
+    )
+    qpacks = probe_vecs.groupBy("cell").agg(
+        F.collect_list(F.struct("id", "v")).alias("recs")
+    )
+    probe_packs = qpacks.mapInPandas(
+        pack("q_ids", "q_mat"), "cell long, q_ids binary, q_mat binary"
+    )
+    joined = probe_packs.join(cell_packs, "cell")
+
+    def score(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                qids, qmat = _unpack(row["q_ids"], row["q_mat"])
+                cids, cmat = _unpack(row["c_ids"], row["c_mat"])
+                qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+                cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+                sims = np.round((qmat @ cmat.T) / np.outer(qnorm, cnorm), 6)
+                out_q, out_n, out_s = [], [], []
+                for i in range(len(qids)):
+                    mask = cids != qids[i]
+                    cand_ids = cids[mask]
+                    cand_s = sims[i][mask]
+                    order = np.lexsort((cand_ids, -cand_s))[:k]
+                    out_q.extend([qids[i]] * len(order))
+                    out_n.extend(cand_ids[order])
+                    out_s.extend(cand_s[order])
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
+                )
+
+    partial = joined.mapInPandas(
+        score, "query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
     )

@@ -511,21 +511,38 @@ class ParquetTable:
         the undersized files."""
         return self.publish(self.read().coalesce(target_files))
 
-    def compact_incremental(self, min_file_bytes: int = 64 << 20) -> int:
+    def compact_incremental(
+        self,
+        min_file_bytes: int = 64 << 20,
+        cluster_by: Sequence[str] | None = None,
+        zorder_by: Sequence[str] | None = None,
+    ) -> int:
         """Incremental OPTIMIZE: bin-pack ONLY the files smaller than
         *min_file_bytes* into fewer files; every already-large file
         hard-links into the new version untouched. After many streaming
         micro-batch appends this is O(small-file debt), not O(table) —
         a 100 TB corpus pays for its stragglers, never for its bulk.
         No-op (returns the current version) when fewer than two files
-        are undersized, so it is safe to run on a schedule."""
+        are undersized, so it is safe to run on a schedule.
+
+        On a clustered table pass the SAME *cluster_by*/*zorder_by* as
+        the original publish: the packed files then re-sort on the
+        cluster key, so their footer ranges stay as tight as the bulk's
+        and read_pruned keeps skipping them (a plain coalesce of
+        interleaved appends would give the packed files full-width
+        footers)."""
         small = [f for f in self.files() if os.path.getsize(f) < min_file_bytes]
         if len(small) < 2:
             return self.current_version() or 0
         large = [f for f in self.files() if f not in set(small)]
         bins = max(1, sum(os.path.getsize(f) for f in small) // min_file_bytes + 1)
         schema = self.read().schema
-        packed = self.spark.read.schema(schema).parquet(*small).coalesce(int(bins))
+        packed = self.spark.read.schema(schema).parquet(*small)
+        packed = (
+            self._clustered(packed, cluster_by, zorder_by, int(bins))
+            if (cluster_by or zorder_by)
+            else packed.coalesce(int(bins))
+        )
         v = (self.current_version() or 0) + 1
         out = os.path.join(self.path, f"v{v}")
         packed.write.mode("overwrite").parquet(out)

@@ -153,3 +153,31 @@ def test_merge_publish_zorder_layout_round_trip(spark, tmp_path):
     n_files = len(tbl.files())
     if n_files >= 8:
         assert len(tbl.pruned_files({"a": (0, 7)})) < n_files
+
+
+def test_compact_incremental_preserves_cluster_layout(spark, tmp_path):
+    """Re-clustering the packed small files keeps their footer ranges
+    tight, so pruning still skips them after compaction."""
+    import os
+
+    tbl = ParquetTable(spark, str(tmp_path / "cc"), keep_versions=10)
+    tbl.publish(_grid(spark, n=64), cluster_by=["a"], partitions=4)
+    # interleaved appends spanning the full a-range (worst case for a
+    # plain coalesce: packed file would cover all of a)
+    for i in range(4):
+        tbl.append(
+            spark.createDataFrame(
+                [(i * 16 + j, 0, 0) for j in range(3)],
+                "a long, b long, payload long",
+            )
+        )
+    files = tbl.files()
+    sizes = sorted(os.path.getsize(f) for f in files)
+    threshold = (sizes[-5] + sizes[-4]) // 2  # 4 big files stay
+    tbl.compact_incremental(min_file_bytes=threshold, cluster_by=["a"])
+    n_files = len(tbl.files())
+    # a narrow a-range predicate skips most files INCLUDING the packed
+    # ones (each packed file covers a narrow, sorted a-range)
+    kept = tbl.pruned_files({"a": (0, 7)})
+    assert len(kept) < n_files
+    assert tbl.read().count() == 64 * 64 + 12

@@ -922,8 +922,12 @@ def corpus_profile(input_parquet: str, columns: str | None, approx: bool) -> Non
                    "this, hard-link large files forward — O(small-file "
                    "debt), not O(table); safe to run on a schedule. "
                    "Overrides --target-files.")
+@click.option("--cluster-by", default=None,
+              help="incremental mode: re-sort the packed files on these "
+                   "comma-separated columns so their footer ranges stay "
+                   "prunable (pass the table's original layout keys)")
 def corpus_compact(table_path: str, target_files: int,
-                   min_file_mb: int | None) -> None:
+                   min_file_mb: int | None, cluster_by: str | None) -> None:
     """Compact the current corpus version into fewer, larger files
     (post-ingest OPTIMIZE; published as a normal new version so time
     travel and atomic reads hold)."""
@@ -932,7 +936,12 @@ def corpus_compact(table_path: str, target_files: int,
     spark = get_spark("corpus-compact")
     table = ParquetTable(spark, table_path)
     if min_file_mb is not None:
-        v = table.compact_incremental(min_file_bytes=min_file_mb << 20)
+        v = table.compact_incremental(
+            min_file_bytes=min_file_mb << 20,
+            cluster_by=(
+                [c.strip() for c in cluster_by.split(",")] if cluster_by else None
+            ),
+        )
         click.echo(json.dumps({"version": v, "min_file_mb": min_file_mb}))
         return
     v = table.compact(target_files=target_files)

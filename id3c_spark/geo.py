@@ -352,30 +352,61 @@ def _auto_cell_deg(locs_bbox: DataFrame) -> float:
     return float(span) if span else 1.0
 
 
+#: Max covering cells per axis a single polygon may expand to; a polygon
+#: whose bbox span exceeds ``MAX_SPAN_CELLS`` base cells is emitted at a
+#: coarser power-of-two grid level instead, so per-polygon expansion is
+#: hard-capped at (MAX_SPAN_CELLS+1)² rows regardless of skew (a state
+#: polygon among tracts no longer blows up the broadcast).
+MAX_SPAN_CELLS = 8
+
+
 def polygon_cells(
-    locs_bbox: DataFrame, cell_deg: float
+    locs_bbox: DataFrame, cell_deg: float, max_span_cells: int = MAX_SPAN_CELLS
 ) -> DataFrame:
-    """Covering-cell relation: one row per (polygon, grid cell) for every
-    cell of a fixed lng/lat grid intersecting the polygon's bbox — the
+    """Covering-cell relation: one row per (polygon, grid cell, level) for
+    every cell of a lng/lat grid intersecting the polygon's bbox — the
     equi-join key that replaces the nested-loop bbox predicate. Pure
     JVM-side sequence+explode; any point inside the bbox lands in one of
-    these cells (floor is monotone), so the cover is complete."""
-    return locs_bbox.withColumn(
-        "__cx",
-        F.explode(
-            F.sequence(
-                F.floor(F.col("__bbox.xmin") / cell_deg).cast("long"),
-                F.floor(F.col("__bbox.xmax") / cell_deg).cast("long"),
-            )
+    these cells (floor is monotone), so the cover is complete.
+
+    Each polygon picks its own power-of-two grid level ``__lvl`` (cell side
+    ``cell_deg * 2**__lvl``): the smallest level at which its bbox span fits
+    in *max_span_cells* cells, so per-polygon expansion is bounded by
+    (max_span_cells+1)² rows even for a national-scale polygon among
+    tracts — the skew case a fixed single-resolution grid cannot cap."""
+    span = F.greatest(
+        F.col("__bbox.xmax") - F.col("__bbox.xmin"),
+        F.col("__bbox.ymax") - F.col("__bbox.ymin"),
+    )
+    lvl = F.greatest(
+        F.lit(0),
+        F.coalesce(
+            F.ceil(F.log2(span / F.lit(cell_deg * max_span_cells))), F.lit(0)
         ),
-    ).withColumn(
-        "__cy",
-        F.explode(
-            F.sequence(
-                F.floor(F.col("__bbox.ymin") / cell_deg).cast("long"),
-                F.floor(F.col("__bbox.ymax") / cell_deg).cast("long"),
-            )
-        ),
+    ).cast("int")
+    side = F.lit(float(cell_deg)) * F.pow(F.lit(2.0), lvl.cast("double"))
+    return (
+        locs_bbox.withColumn("__lvl", lvl)
+        .withColumn("__side", side)
+        .withColumn(
+            "__cx",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__bbox.xmin") / F.col("__side")).cast("long"),
+                    F.floor(F.col("__bbox.xmax") / F.col("__side")).cast("long"),
+                )
+            ),
+        )
+        .withColumn(
+            "__cy",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__bbox.ymin") / F.col("__side")).cast("long"),
+                    F.floor(F.col("__bbox.ymax") / F.col("__side")).cast("long"),
+                )
+            ),
+        )
+        .drop("__side")
     )
 
 
@@ -399,27 +430,64 @@ def lookup_tract(
     BroadcastNestedLoopJoin of a bare bbox range predicate (the r6 shape,
     flagged weak at a national-polygon × 100×-points scale). The exact
     bbox filter + Arrow-batched ray-cast refine are unchanged, so results
-    are identical."""
+    are identical.
+
+    Broadcast payload is SLIM: the cover carries only
+    (lvl, cx, cy, tract_identifier, bbox) — never the WKT, which for a
+    national multipolygon set is tens of KB per polygon and would multiply
+    per covering cell. The WKT joins back by identifier (equi-join, planner
+    free to hash/sort-merge) only for rows that survived the bbox filter.
+    Per-polygon cell expansion is capped by polygon_cells' per-polygon grid
+    level, so an oversized polygon among tracts cannot blow the broadcast."""
     locs = with_bbox(locations).select(
         F.col("identifier").alias("tract_identifier"), "polygon_wkt", "__bbox"
     )
     cell = cell_deg if cell_deg is not None else _auto_cell_deg(locs)
-    cover = polygon_cells(locs, cell)
-    pts = (
-        points.withColumn("__pid", F.monotonically_increasing_id())
-        .withColumn("__cx", F.floor(F.col(lng_col) / cell).cast("long"))
-        .withColumn("__cy", F.floor(F.col(lat_col) / cell).cast("long"))
+    cover = polygon_cells(locs, cell).select(
+        "__lvl", "__cx", "__cy", "tract_identifier", "__bbox"
     )
+    pts = points.withColumn("__pid", F.monotonically_increasing_id())
+    # Distinct grid levels actually present — bounded (≤ ~60 for any double
+    # span) and tiny in practice (1-2); drives the per-point cell expansion.
+    levels = sorted(
+        r["__lvl"] for r in cover.select("__lvl").distinct().collect()
+    )
+    if not levels:
+        return pts.withColumn("tract_identifier", F.lit(None).cast("string")).drop(
+            "__pid"
+        )
+    pts_cells = pts.withColumn(
+        "__lc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(l).alias("__lvl"),
+                        F.floor(F.col(lng_col) / F.lit(cell * 2.0**l))
+                        .cast("long")
+                        .alias("__cx"),
+                        F.floor(F.col(lat_col) / F.lit(cell * 2.0**l))
+                        .cast("long")
+                        .alias("__cy"),
+                    )
+                    for l in levels
+                ]
+            )
+        ),
+    ).select(*pts.columns, "__lc.__lvl", "__lc.__cx", "__lc.__cy")
     cand = (
-        pts.join(F.broadcast(cover), ["__cx", "__cy"], "inner")
+        pts_cells.join(F.broadcast(cover), ["__lvl", "__cx", "__cy"], "inner")
         .filter(
             (F.col(lng_col) >= F.col("__bbox.xmin")) & (F.col(lng_col) <= F.col("__bbox.xmax"))
             & (F.col(lat_col) >= F.col("__bbox.ymin")) & (F.col(lat_col) <= F.col("__bbox.ymax"))
+        )
+        .join(
+            locs.select("tract_identifier", "polygon_wkt"), "tract_identifier"
         )
         .filter(_contains_udf(F.col("polygon_wkt"), F.col(lng_col), F.col(lat_col)))
     )
     best = distinct_on(cand, ["__pid"], [F.col("tract_identifier").asc()])
     return (
         pts.join(best.select("__pid", "tract_identifier"), "__pid", "left")
-        .drop("__pid", "polygon_wkt", "__bbox", "__cx", "__cy")
+        .drop("__pid", "polygon_wkt", "__bbox", "__cx", "__cy", "__lvl")
     )

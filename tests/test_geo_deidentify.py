@@ -114,6 +114,53 @@ def test_polygon_cell_cover_complete(spark):
         assert all(v == "t" for v in out.values()), (cell, out)
 
 
+def test_oversized_polygon_cell_cap_and_slim_broadcast(spark):
+    # r7-ADVICE: a polygon much larger than the p90 span (state among
+    # tracts) must NOT expand to O((span/cell)^2) cover rows — it gets its
+    # own coarser grid level, hard-capped at (MAX_SPAN_CELLS+1)^2 rows.
+    big = "POLYGON ((0 0, 1000 0, 1000 1000, 0 1000, 0 0))"
+    locs = spark.createDataFrame(
+        [("tiny-a", SQUARE), ("tiny-b", FAR_SQUARE), ("state", big)],
+        "identifier string, polygon_wkt string",
+    )
+    bboxed = geo.with_bbox(locs).select(
+        F.col("identifier").alias("tract_identifier"), "polygon_wkt", "__bbox"
+    )
+    cover = geo.polygon_cells(bboxed, cell_deg=1.0)  # tiny cell vs 1000-span
+    per_poly = {
+        r.tract_identifier: r.n
+        for r in cover.groupBy("tract_identifier").agg(F.count("*").alias("n")).collect()
+    }
+    cap = (geo.MAX_SPAN_CELLS + 1) ** 2
+    assert all(n <= cap for n in per_poly.values()), per_poly
+    # the broadcast side must not carry WKT (slim cover: lvl/cx/cy/id/bbox)
+    out = geo.lookup_tract(
+        spark.createDataFrame(
+            [(1, 5.0, 5.0), (2, 500.0, 500.0), (3, 25.0, 25.0)],
+            "pid long, lng double, lat double",
+        ),
+        locs,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {r.pid: r.tract_identifier for r in out.collect()}
+    # point 1 is inside both SQUARE and the state polygon → identifier
+    # tie-break picks 'state' < 'tiny-a'; point 2 only in the state polygon
+    assert got == {1: "state", 2: "state", 3: "state"}
+    # results identical when the oversized polygon is absent
+    small = spark.createDataFrame(
+        [("tiny-a", SQUARE)], "identifier string, polygon_wkt string"
+    )
+    got2 = {
+        r.pid: r.tract_identifier
+        for r in geo.lookup_tract(
+            spark.createDataFrame([(1, 5.0, 5.0)], "pid long, lng double, lat double"),
+            small,
+        ).collect()
+    }
+    assert got2 == {1: "tiny-a"}
+
+
 def test_ray_casting_boundary():
     ring = geo.parse_wkt_polygon(SQUARE)
     assert geo.point_in_ring(5, 5, ring)

@@ -86,11 +86,20 @@ def dedup_against_index(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    prune_cap: int = 100_000,
 ) -> DataFrame:
     """(new_id, corpus_id, jaccard ≥ threshold): which incoming docs
     duplicate something already indexed. The batch's banded signatures
     broadcast onto the corpus signature scan (no corpus shuffle); the
-    exact verify reads only candidate corpus ids' shingle files."""
+    exact verify reads only candidate corpus ids' shingle files.
+
+    File pruning is best-effort and BOUNDED: at most *prune_cap* distinct
+    candidate ids are collected to drive ``read_pruned_in`` (mirroring
+    merge_publish's cap-and-fallback). A hot band hash that matches a
+    large fraction of the corpus — where the collect would otherwise be
+    O(corpus) driver memory and a pathological isin expression — instead
+    falls back to scanning the full shingles table; the equi-join on the
+    candidate pairs keeps results identical either way."""
     t = _tables(spark, path)
     batch_sh, batch_sigs = _batch_relations(
         new_batch, id_col, text_col, k, num_hashes, bands
@@ -105,8 +114,14 @@ def dedup_against_index(
         .distinct()
         .persist()
     )
-    cand_ids = [r.corpus_id for r in cand.select("corpus_id").distinct().collect()]
-    corpus_sh = t["shingles"].read_pruned_in("id", cand_ids)
+    cand_ids = [
+        r.corpus_id
+        for r in cand.select("corpus_id").distinct().limit(prune_cap + 1).collect()
+    ]
+    if len(cand_ids) > prune_cap:
+        corpus_sh = t["shingles"].read()
+    else:
+        corpus_sh = t["shingles"].read_pruned_in("id", cand_ids)
     sizes_new = batch_sh.groupBy("id").agg(F.count("*").alias("n_new"))
     sizes_corpus = corpus_sh.groupBy("id").agg(F.count("*").alias("n_corpus"))
     inter = (

@@ -19,6 +19,9 @@ in-memory oracle-verified operator (pinned by test)."""
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -102,6 +105,86 @@ def build_index(
     cells.unpersist()
     enc_src.unpersist()
     return versions
+
+
+def _source_fingerprint(source_path: str, params: str) -> str:
+    """sha1 over (relative path, size, mtime_ns) of every data file under
+    *source_path* plus the training-parameter string — the cache key for
+    build-once serving. Any rewrite of the corpus (new files, new
+    mtimes) or any parameter change yields a new key, so a stale index
+    can never serve a changed corpus."""
+    h = hashlib.sha1(params.encode())
+    if os.path.isdir(source_path):
+        names = sorted(
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(source_path)
+            for f in fs
+            if not f.startswith((".", "_"))
+        )
+    else:
+        names = [source_path]
+    for n in names:
+        st = os.stat(n)
+        rel = os.path.relpath(n, source_path) if os.path.isdir(source_path) else os.path.basename(n)
+        h.update(f"{rel}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()[:16]
+
+
+def cached_index(
+    spark: SparkSession,
+    source_path: str,
+    nlist: int = 16,
+    m: int = 32,
+    kcent: int = 16,
+    train_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_root: str | None = None,
+) -> str:
+    """Return the directory of a persisted IVFADC index over the parquet
+    corpus at *source_path*, building it at most once per (corpus
+    fingerprint, params): the build-once/serve-many discipline the
+    in-memory ``ivfpq_topk`` lacks. Training amortizes across every
+    later batch — and across PROCESSES, because the index lives on disk
+    keyed by the source files' (path, size, mtime) fingerprint.
+
+    A `_COMPLETE` marker written after all four tables publish makes
+    partially built directories invisible to readers; stale fingerprints
+    of the same corpus basename are pruned so the cache stays bounded.
+    Override the location with $SPARK_GRAFT_ANN_CACHE (default:
+    <repo>/spark-warehouse/ann_cache, a gitignored path)."""
+    root = cache_root or os.environ.get("SPARK_GRAFT_ANN_CACHE") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        "ann_cache",
+    )
+    params = f"nlist={nlist},m={m},kcent={kcent},iters={train_iter},{id_col},{vec_col}"
+    pkey = hashlib.sha1(params.encode()).hexdigest()[:8]
+    key = _source_fingerprint(source_path, params)
+    base = os.path.basename(source_path.rstrip("/")).replace(".parquet", "")
+    # <corpus>-<params>-<data fingerprint>: pruning drops only stale DATA
+    # fingerprints of the same corpus+params, never other configurations
+    prefix = f"{base}-{pkey}-"
+    path = os.path.join(root, prefix + key)
+    marker = os.path.join(path, "_COMPLETE")
+    if not os.path.exists(marker):
+        corpus = spark.read.parquet(source_path)
+        build_index(
+            corpus, path, nlist=nlist, m=m, kcent=kcent,
+            train_iter=train_iter, id_col=id_col, vec_col=vec_col,
+        )
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(params + "\n")
+        os.replace(tmp, marker)
+        # prune stale fingerprints of the same corpus (bounded cache)
+        import shutil
+
+        for d in os.listdir(root):
+            full = os.path.join(root, d)
+            if d.startswith(prefix) and full != path:
+                shutil.rmtree(full, ignore_errors=True)
+    return path
 
 
 def _load_models(spark: SparkSession, path: str):
@@ -203,7 +286,12 @@ def serve_topk(
     )
     if rerank_shortlist is None:
         return short
-    corpus_vecs = t["vectors"].read().select(
+    # every shortlist neighbor came from a probed cell's codes, so the
+    # rerank corpus read prunes to the same probed-cell files — the
+    # refine step opens nprobe/nlist of the vectors table, never the
+    # whole corpus (file-level superset: footer pruning keeps any file
+    # whose cell range intersects, it never drops probed-cell rows)
+    corpus_vecs = t["vectors"].read_pruned_in("cell", probed).select(
         F.col("id").alias(id_col), F.col("v").alias(vec_col)
     )
     return exact_rerank(

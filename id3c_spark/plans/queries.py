@@ -2476,16 +2476,25 @@ def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_ivfpq_oracle(m=32, kcent=16, iters=2, nlist=16, nprobe=6, topk=5),
 )
 def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Residual IVF+PQ (pq.ivfpq_topk, FAISS IVFADC): codebooks trained on
-    per-cell residuals v − pivot(cell), codes inverted-file-partitioned by
-    deterministic md5-pivot cells, nprobe-cell probing with per-cell query-
-    residual LUTs — the billion-vector serving-index layout, fully
-    oracle-mirrored. Residual (vs raw-vector r6) encoding is what lifts
-    near-dup recall (ANN_RECALL_r7.md)."""
-    from id3c_spark.operators.pq import ivfpq_topk
+    """Residual IVF+PQ (FAISS IVFADC) served from the PERSISTED index
+    (plans/ann_index.py): the trained quantizers and cell-clustered codes
+    are built once per corpus fingerprint (cached_index) and every batch
+    after that only broadcasts the stored models and opens the probed
+    cells' code files — the build-once/serve-many layout a billion-vector
+    corpus requires, instead of re-paying two k-means trainings per
+    lookup. serve_topk is pinned bit-equal to the in-memory ivfpq_topk
+    (test_ann_index.py), which the oracle mirrors end to end. Residual
+    (vs raw-vector r6) encoding is what lifts near-dup recall
+    (ANN_RECALL_r7.md)."""
+    from id3c_spark.plans.ann_index import cached_index, serve_topk
 
-    emb = t(spark, sf_dir, "embeddings")
-    return ivfpq_topk(emb, emb, k=5, nlist=16, nprobe=6, m=32, kcent=16, train_iter=2)
+    idx = cached_index(
+        spark, f"{sf_dir}/embeddings.parquet",
+        nlist=16, m=32, kcent=16, train_iter=2,
+    )
+    return serve_topk(
+        spark, idx, t(spark, sf_dir, "embeddings"), k=5, nprobe=6
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -5729,18 +5738,21 @@ def excess_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def ivfpq_rerank_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVFADC+R — the production serving composition: residual IVFPQ
-    admits a 4k ADC-ranked shortlist, exact_rerank restores true-cosine
-    order over only those pairs (raw vectors are touched for 20 rows per
-    query, never the corpus). Measured near-dup recall 0.81 at nprobe=6 —
-    the candidate-generation ceiling (ANN_RECALL_r7.md). Fully
-    oracle-mirrored end to end."""
-    from id3c_spark.operators.pq import ivfpq_topk
+    """IVFADC+R — the production serving composition: the PERSISTED
+    index (plans/ann_index.py, shared with ivfpq_topk_embeddings — one
+    build amortizes both) admits a 4k ADC-ranked shortlist, exact_rerank
+    restores true-cosine order over only those pairs (raw vectors are
+    touched for 20 rows per query, never the corpus). Measured near-dup
+    recall 0.81 at nprobe=6 — the candidate-generation ceiling
+    (ANN_RECALL_r7.md). Fully oracle-mirrored end to end."""
+    from id3c_spark.plans.ann_index import cached_index, serve_topk
 
     emb = t(spark, sf_dir, "embeddings")
-    shortlist = ivfpq_topk(
-        emb, emb, k=20, nlist=16, nprobe=6, m=32, kcent=16, train_iter=2
+    idx = cached_index(
+        spark, f"{sf_dir}/embeddings.parquet",
+        nlist=16, m=32, kcent=16, train_iter=2,
     )
+    shortlist = serve_topk(spark, idx, emb, k=20, nprobe=6)
     return ann.exact_rerank(emb, emb, shortlist, k=5)
 
 

@@ -167,3 +167,79 @@ def test_cli_ann_add(spark, tmp_path):
     res = runner.invoke(cli, ["corpus", "ann-add", idx, new_p])
     assert res.exit_code == 0, res.output
     assert _json.loads(res.output)["versions"]["codes"] == 2
+
+
+def test_rerank_read_prunes_to_probed_cells(spark, tmp_path):
+    """The IVFADC+R refine must NOT scan the whole vectors table: its
+    corpus read prunes to the probed cells' files (every shortlist
+    neighbor came from a probed cell), and the pruned-read results are
+    identical to a full-scan rerank."""
+    from id3c_spark.operators.ann import _prep, exact_rerank
+    from id3c_spark.plans.ann_index import _load_models
+    from id3c_spark.operators.pq import _assign_topn, _normalized
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx5")
+    build_index(emb, path, nlist=8, m=8, kcent=8, train_iter=2)
+    t = _tables(spark, path)
+
+    one = emb.orderBy("vec_id").limit(1)
+    nprobe = 2
+    # reproduce the serve-side probe decision
+    coarse, _, _ = _load_models(spark, path)
+    bcg = spark.sparkContext.broadcast(coarse)
+    qn = _normalized(_prep(one, "vec_id", "embedding"))
+    probed = sorted(
+        {r.cell for r in _assign_topn(qn, bcg, nprobe).collect()}
+    )
+    n_files = len(t["vectors"].files())
+    kept = t["vectors"].pruned_files_in("cell", probed)
+    # the rerank scan's input files are a strict subset of the table
+    assert set(kept) < set(t["vectors"].files())
+    assert len(kept) < n_files
+
+    # and the served rerank (pruned read) equals a full-scan rerank
+    served = serve_topk(
+        spark, path, one, k=2, nprobe=nprobe, rerank_shortlist=10
+    )
+    shortlist = serve_topk(spark, path, one, k=10, nprobe=nprobe)
+    full_corpus = t["vectors"].read().select(
+        F.col("id").alias("vec_id"), F.col("v").alias("embedding")
+    )
+    want = exact_rerank(
+        qn.select(F.col("id").alias("vec_id"), F.col("v").alias("embedding")),
+        full_corpus,
+        shortlist,
+        k=2,
+    )
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_cached_index_builds_once_and_rebuilds_on_change(spark, tmp_path):
+    """cached_index keys on (source fingerprint, params): a second call
+    serves from disk without rebuilding (same path, same inodes), a
+    param change builds a sibling, and stale fingerprints of the same
+    corpus are pruned."""
+    from id3c_spark.plans.ann_index import cached_index
+
+    src = str(tmp_path / "corpus.parquet")
+    _emb(spark).limit(200).write.parquet(src)
+    root = str(tmp_path / "cache")
+
+    p1 = cached_index(spark, src, nlist=4, m=8, kcent=8, cache_root=root)
+    t = _tables(spark, p1)
+    inodes = {os.path.basename(f): os.stat(f).st_ino for f in t["codes"].files()}
+    p2 = cached_index(spark, src, nlist=4, m=8, kcent=8, cache_root=root)
+    assert p2 == p1
+    after = {os.path.basename(f): os.stat(f).st_ino for f in _tables(spark, p1)["codes"].files()}
+    assert after == inodes  # untouched: no rebuild happened
+
+    # different params → a different index; the old fingerprint survives
+    # only until the SOURCE changes (prune is per corpus+fingerprint)
+    p3 = cached_index(spark, src, nlist=8, m=8, kcent=8, cache_root=root)
+    assert p3 != p1
+
+    served = serve_topk(spark, p1, _emb(spark).limit(5), k=2, nprobe=4)
+    assert served.count() > 0

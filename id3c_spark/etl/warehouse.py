@@ -46,7 +46,10 @@ class Warehouse:
         cluster = [k for k in ([key_cols[0]] if isinstance(key_cols[0], str) else list(key_cols[0])) if k]
         if not tbl.exists():
             base = self.spark.createDataFrame([], schemas.WAREHOUSE_SCHEMAS[name])
-            tbl.publish(merge(base, updates, key_cols, id_col, **kw).df)
+            tbl.publish(
+                merge(base, updates, key_cols, id_col, **kw).df,
+                cluster_by=cluster,
+            )
         else:
             tbl.merge_publish(
                 updates, key_cols,

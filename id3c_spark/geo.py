@@ -378,10 +378,18 @@ def polygon_cells(
         F.col("__bbox.xmax") - F.col("__bbox.xmin"),
         F.col("__bbox.ymax") - F.col("__bbox.ymin"),
     )
+    # +1e-9 before ceil: when span/(cell·max) sits a hair ABOVE a power of
+    # two but FP log2 lands a hair below the integer, an un-nudged ceil
+    # picks the finer level and the per-axis count can reach
+    # max_span_cells+2 — the nudge keeps the (max_span_cells+1)² cap hard
+    # (an exact power of two now rounds up a level: coarser, still capped)
     lvl = F.greatest(
         F.lit(0),
         F.coalesce(
-            F.ceil(F.log2(span / F.lit(cell_deg * max_span_cells))), F.lit(0)
+            F.ceil(
+                F.log2(span / F.lit(cell_deg * max_span_cells)) + F.lit(1e-9)
+            ),
+            F.lit(0),
         ),
     ).cast("int")
     side = F.lit(float(cell_deg)) * F.pow(F.lit(2.0), lvl.cast("double"))
@@ -407,6 +415,17 @@ def polygon_cells(
             ),
         )
         .drop("__side")
+    )
+
+
+def _slim_cover(locs: DataFrame, cell: float) -> DataFrame:
+    """The BROADCAST side of the spatial join: covering cells carrying
+    only (lvl, cx, cy, identifier, bbox) — never the WKT, which for a
+    national multipolygon set is tens of KB per polygon and would
+    multiply per covering cell. Factored out so the slimness is pinnable
+    by test (tests/test_geo_deidentify.py)."""
+    return polygon_cells(locs, cell).select(
+        "__lvl", "__cx", "__cy", "tract_identifier", "__bbox"
     )
 
 
@@ -443,19 +462,21 @@ def lookup_tract(
         F.col("identifier").alias("tract_identifier"), "polygon_wkt", "__bbox"
     )
     cell = cell_deg if cell_deg is not None else _auto_cell_deg(locs)
-    cover = polygon_cells(locs, cell).select(
-        "__lvl", "__cx", "__cy", "tract_identifier", "__bbox"
-    )
-    pts = points.withColumn("__pid", F.monotonically_increasing_id())
+    cover = _slim_cover(locs, cell)
+    # No synthetic row id: the point row ITSELF is the key. A
+    # monotonically_increasing_id referenced from two join branches can
+    # diverge if Spark recomputes the source with different partitioning
+    # (silent mis-assignment at cluster scale); partitioning the top-1
+    # window and the final null-safe join by the full point row is
+    # recompute-proof, and duplicate point rows simply share one match.
+    pts = points
     # Distinct grid levels actually present — bounded (≤ ~60 for any double
     # span) and tiny in practice (1-2); drives the per-point cell expansion.
     levels = sorted(
         r["__lvl"] for r in cover.select("__lvl").distinct().collect()
     )
     if not levels:
-        return pts.withColumn("tract_identifier", F.lit(None).cast("string")).drop(
-            "__pid"
-        )
+        return pts.withColumn("tract_identifier", F.lit(None).cast("string"))
     pts_cells = pts.withColumn(
         "__lc",
         F.explode(
@@ -486,8 +507,16 @@ def lookup_tract(
         )
         .filter(_contains_udf(F.col("polygon_wkt"), F.col(lng_col), F.col(lat_col)))
     )
-    best = distinct_on(cand, ["__pid"], [F.col("tract_identifier").asc()])
-    return (
-        pts.join(best.select("__pid", "tract_identifier"), "__pid", "left")
-        .drop("__pid", "polygon_wkt", "__bbox", "__cx", "__cy", "__lvl")
+    point_cols = list(points.columns)
+    best = distinct_on(
+        cand, point_cols, [F.col("tract_identifier").asc()]
+    ).select(*point_cols, "tract_identifier")
+    p, b = pts.alias("__p"), best.alias("__b")
+    cond = None
+    for c in point_cols:
+        eq = F.col(f"__p.`{c}`").eqNullSafe(F.col(f"__b.`{c}`"))
+        cond = eq if cond is None else cond & eq
+    return p.join(b, cond, "left").select(
+        *[F.col(f"__p.`{c}`") for c in point_cols],
+        F.col("__b.tract_identifier"),
     )

@@ -117,3 +117,26 @@ def test_cli_dedup_index_build_query_add(spark, tmp_path):
     res = runner.invoke(cli, ["corpus", "dedup-index", "add", idx, batch_path])
     assert res.exit_code == 0, res.output
     assert _json.loads(res.output)["versions"]["shingles"] == 2
+
+
+def test_prune_cap_fallback_returns_identical_pairs(spark, tmp_path):
+    """The bounded-collect fallback (dedup_index.py prune_cap): when the
+    band join yields more candidate ids than prune_cap — the planted
+    hot-band case where collecting them would be O(corpus) driver memory
+    — the verify falls back to the FULL shingles scan. Results must be
+    identical to the pruned path (the equi-join on candidate pairs is
+    unchanged either way)."""
+    docs = _docs(spark)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "dix_cap")
+    build_dedup_index(corpus, path)
+
+    pruned = dedup_against_index(spark, path, batch, threshold=0.5)
+    # prune_cap=0 forces EVERY candidate set over the cap → full-scan path
+    fallback = dedup_against_index(
+        spark, path, batch, threshold=0.5, prune_cap=0
+    )
+    got = sorted(map(tuple, fallback.collect()))
+    assert got == sorted(map(tuple, pruned.collect()))
+    assert len(got) > 0  # the synthetic corpus plants near-dups

@@ -339,3 +339,49 @@ def test_shipping_views_vs_oracle(spark, warehouse, identifiers, tmp_path):
         ("enc-1", "Flu_A_pan"), ("enc-1", "RSV"), ("enc-1", "Flu_B_pan"),
         ("enc-2", "Flu_A_pan"),
     }
+
+
+def test_bootstrap_publish_is_clustered_so_first_merge_prunes(spark, tmp_path):
+    """The FIRST publish of a warehouse table must range-cluster on the
+    match key (etl/warehouse.py _upsert): un-clustered bootstrap footers
+    span the whole key range, so the first post-bootstrap merge cannot
+    skip any file. With clustering, a single-key update touches a strict
+    subset of files and every untouched file hard-links forward."""
+    import os
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wanted = spark.createDataFrame(
+        [(f"tgt-{i:04d}", False) for i in range(300)],
+        "identifier string, control boolean",
+    )
+    # tiny fixture: stop AQE folding the range shuffle to one partition
+    # so the clustered multi-file layout is observable
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        wh.find_or_create_target(wanted)
+    finally:
+        spark.conf.set(coalesce_key, prev)
+
+    tbl = wh.tables["target"]
+    files = tbl.files()
+    assert len(files) > 1  # multi-file bootstrap layout
+    # clustered footers: one key's value prunes to a strict file subset
+    kept = tbl.pruned_files_in("identifier", ["tgt-0000"])
+    assert set(kept) < set(files)
+
+    # first merge after bootstrap: update one identifier; untouched
+    # files must carry forward by hard link (same inode), proving the
+    # bootstrap layout lets merge_publish prune
+    before = {os.path.basename(f): os.stat(f).st_ino for f in files}
+    wh.find_or_create_target(
+        spark.createDataFrame(
+            [("tgt-0000", False), ("tgt-9999", True)],
+            "identifier string, control boolean",
+        )
+    )
+    after = {os.path.basename(f): os.stat(f).st_ino for f in tbl.files()}
+    carried = sum(1 for b, ino in before.items() if after.get(b) == ino)
+    assert carried >= len(before) - 2  # only the touched file(s) rewrote
+    assert tbl.read().count() == 301

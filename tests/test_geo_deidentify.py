@@ -134,6 +134,11 @@ def test_oversized_polygon_cell_cap_and_slim_broadcast(spark):
     cap = (geo.MAX_SPAN_CELLS + 1) ** 2
     assert all(n <= cap for n in per_poly.values()), per_poly
     # the broadcast side must not carry WKT (slim cover: lvl/cx/cy/id/bbox)
+    # — pinned on the PRODUCTION relation lookup_tract broadcasts, not a
+    # test-local reconstruction
+    slim = geo._slim_cover(bboxed, 1.0)
+    assert "polygon_wkt" not in slim.columns
+    assert set(slim.columns) == {"__lvl", "__cx", "__cy", "tract_identifier", "__bbox"}
     out = geo.lookup_tract(
         spark.createDataFrame(
             [(1, 5.0, 5.0), (2, 500.0, 500.0), (3, 25.0, 25.0)],
@@ -733,3 +738,32 @@ def test_multimodal_plumbing(spark):
     assert abs(feats[4].mean_byte - 100.0) < 1e-9
     frames = multimodal.sample_video_frames(media, every_ms=1000).collect()
     assert [f.frame_ts_ms for f in frames] == [0, 1000, 2000]
+
+
+def test_lookup_tract_deterministic_without_row_ids(spark):
+    # r8-ADVICE: the old monotonically_increasing_id row key could diverge
+    # between the two join branches under recomputation. The point row
+    # itself is now the key (null-safe): duplicate point rows share one
+    # match, null payload columns survive the join-back, and a
+    # no-coordinate point keeps a null tract.
+    locs = spark.createDataFrame(
+        [("t", SQUARE)], "identifier string, polygon_wkt string"
+    )
+    pts = spark.createDataFrame(
+        [
+            (1, "a", 5.0, 5.0),
+            (1, "a", 5.0, 5.0),          # exact duplicate row
+            (2, None, 5.0, 5.0),         # null payload column
+            (3, "c", None, None),        # no coordinates
+            (4, "d", 500.0, 500.0),      # outside every polygon
+        ],
+        "pid long, tag string, lng double, lat double",
+    )
+    rows = geo.lookup_tract(pts, locs).collect()
+    assert len(rows) == 5  # row multiplicity preserved
+    got = {(r.pid, r.tag): r.tract_identifier for r in rows}
+    assert got[(1, "a")] == "t"
+    assert sum(1 for r in rows if (r.pid, r.tag) == (1, "a")) == 2
+    assert got[(2, None)] == "t"       # null-safe join keeps the match
+    assert got[(3, "c")] is None
+    assert got[(4, "d")] is None

@@ -970,9 +970,9 @@ def corpus_zorder(input_parquet: str, output: str, cols: str,
 @corpus.command("ann-build")
 @click.argument("input_parquet")
 @click.argument("index_path")
-@click.option("--nlist", default=16, show_default=True, type=int)
-@click.option("--m", default=32, show_default=True, type=int)
-@click.option("--kcent", default=16, show_default=True, type=int)
+@click.option("--nlist", default=8, show_default=True, type=int)
+@click.option("--m", default=16, show_default=True, type=int)
+@click.option("--kcent", default=256, show_default=True, type=int)
 @click.option("--id-col", default="vec_id", show_default=True)
 @click.option("--vec-col", default="embedding", show_default=True)
 def corpus_ann_build(input_parquet: str, index_path: str, nlist: int,

@@ -96,6 +96,10 @@ def pq_train(
         .limit(k)
         .collect()
     )
+    # a corpus smaller than k yields fewer seeds: train min(N, k)
+    # centroids, exactly what the SQL oracle's `cl < k` seed filter
+    # admits (row_number over N rows caps itself)
+    k = min(k, len(seeds))
     dim = len(seeds[0].v)
     assert dim % m == 0, f"dim {dim} not divisible into {m} subspaces"
     dsub = dim // m
@@ -494,6 +498,15 @@ def ivfpq_topk(
         )
         codes = pq_encode(enc_src, mdl, "id", "v")
         qp = qn  # probe packs carry the normalized query vector
+        # both training actions are done — release the cached corpus
+        # relations NOW so a long-lived session doesn't accumulate
+        # storage blocks across calls. The returned lazy plan recomputes
+        # each released pass at most once (every op is deterministic:
+        # md5 seed order, broadcast models, Arrow math), so results are
+        # bit-identical; the recompute is one normalize/residual Arrow
+        # pass, not a training.
+        vn.unpersist()
+        enc_src.unpersist()
     else:
         bp = _ivf_pivots(cp, nlist)
         cells = _ivf_assign(cp, bp, 1)
@@ -504,10 +517,13 @@ def ivfpq_topk(
             else pq_train(corpus, id_col, vec_col, m=m, k=kcent, max_iter=train_iter)
         )
         codes = pq_encode(corpus, mdl, id_col, vec_col)
-    return _adc_topk(
+    out = _adc_topk(
         probes.join(qp, "id"), codes.join(cells, "id"), mdl, bcg, k, residual,
         cell_splits=cell_splits,
     )
+    if same:
+        cp.unpersist()
+    return out
 
 
 def _adc_topk(

@@ -38,9 +38,9 @@ def _tables(spark: SparkSession, path: str) -> dict[str, ParquetTable]:
 def build_index(
     corpus: DataFrame,
     path: str,
-    nlist: int = 16,
-    m: int = 32,
-    kcent: int = 16,
+    nlist: int = 8,
+    m: int = 16,
+    kcent: int = 256,
     train_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -50,7 +50,14 @@ def build_index(
     (same training discipline as ivfpq_topk's default path: normalized
     vectors, trained coarse, SALTED residual codebooks). codes and
     vectors cluster by cell so each file's footer covers a narrow cell
-    range. Returns the published version per table."""
+    range. Returns the published version per table.
+
+    Default codebooks are 8-bit (kcent=256, the FAISS norm): measured
+    reranked recall@5 at nprobe=6 is 0.918 vs 0.697 for the r7-r9 4-bit
+    m=32/k*=16 shape at the same code bytes (ANN_RECALL_r10.md) — with
+    k*=256 the ADC shortlist loses essentially nothing, so end recall
+    equals the coarse probe ceiling. Size nlist to the corpus (~√N,
+    FAISS guidance) — the small default matches the test corpora."""
     from id3c_spark.operators.ann import _prep
     from id3c_spark.operators.pq import (
         _assign_topn,
@@ -107,26 +114,33 @@ def build_index(
     return versions
 
 
-def _source_fingerprint(source_path: str, params: str) -> str:
-    """sha1 over (relative path, size, mtime_ns) of every data file under
-    *source_path* plus the training-parameter string — the cache key for
-    build-once serving. Any rewrite of the corpus (new files, new
-    mtimes) or any parameter change yields a new key, so a stale index
-    can never serve a changed corpus."""
+def _source_fingerprint(spark: SparkSession, source_path: str, params: str) -> str:
+    """sha1 over (file path, length, modification time) of every data
+    file under *source_path* plus the training-parameter string — the
+    cache key for build-once serving. Any rewrite of the corpus (new
+    files, new mtimes) or any parameter change yields a new key, so a
+    stale index can never serve a changed corpus.
+
+    The listing goes through the Hadoop FileSystem API — the same
+    resolver ``spark.read.parquet`` uses — so the fingerprint works for
+    any scheme Spark can read (``file:``, ``hdfs:``, ``s3a:``…): object
+    stores expose length + modification time in their listings even
+    though there is no local ``stat``. This is the object-store-safe
+    replacement for the earlier driver-local ``os.walk``."""
     h = hashlib.sha1(params.encode())
-    if os.path.isdir(source_path):
-        names = sorted(
-            os.path.join(dp, f)
-            for dp, _, fs in os.walk(source_path)
-            for f in fs
-            if not f.startswith((".", "_"))
-        )
-    else:
-        names = [source_path]
-    for n in names:
-        st = os.stat(n)
-        rel = os.path.relpath(n, source_path) if os.path.isdir(source_path) else os.path.basename(n)
-        h.update(f"{rel}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(source_path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    entries = []
+    it = fs.listFiles(p, True)  # recursive; a single file lists itself
+    while it.hasNext():
+        st = it.next()
+        uri_path = st.getPath().toUri().getPath()
+        if os.path.basename(uri_path).startswith((".", "_")):
+            continue
+        entries.append(f"{uri_path}|{st.getLen()}|{st.getModificationTime()}\n")
+    for e in sorted(entries):
+        h.update(e.encode())
     return h.hexdigest()[:16]
 
 
@@ -140,19 +154,30 @@ def cached_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cache_root: str | None = None,
+    prune_age_sec: float = 6 * 3600,
 ) -> str:
     """Return the directory of a persisted IVFADC index over the parquet
     corpus at *source_path*, building it at most once per (corpus
     fingerprint, params): the build-once/serve-many discipline the
     in-memory ``ivfpq_topk`` lacks. Training amortizes across every
     later batch — and across PROCESSES, because the index lives on disk
-    keyed by the source files' (path, size, mtime) fingerprint.
+    keyed by the source files' (path, size, mtime) fingerprint (Hadoop
+    FS listing, so remote corpora fingerprint too).
 
-    A `_COMPLETE` marker written after all four tables publish makes
-    partially built directories invisible to readers; stale fingerprints
-    of the same corpus basename are pruned so the cache stays bounded.
+    Concurrency-safe: the build lands in a private ``.tmp-<pid>``
+    sibling and is ``os.rename``d into place — an atomic publish, so two
+    processes that both miss the cache race to a WHOLE index each and
+    the loser discards its own copy; nobody ever writes into a directory
+    another process is reading. A `_COMPLETE` marker inside the renamed
+    directory makes the publish idempotent. Stale DATA fingerprints of
+    the same (corpus path, params) are pruned only once *prune_age_sec*
+    old — a freshly superseded index may still be mid-serve in another
+    process, so eviction is deferred, not immediate.
     Override the location with $SPARK_GRAFT_ANN_CACHE (default:
     <repo>/spark-warehouse/ann_cache, a gitignored path)."""
+    import shutil
+    import time
+
     root = cache_root or os.environ.get("SPARK_GRAFT_ANN_CACHE") or os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "spark-warehouse",
@@ -160,29 +185,47 @@ def cached_index(
     )
     params = f"nlist={nlist},m={m},kcent={kcent},iters={train_iter},{id_col},{vec_col}"
     pkey = hashlib.sha1(params.encode()).hexdigest()[:8]
-    key = _source_fingerprint(source_path, params)
+    key = _source_fingerprint(spark, source_path, params)
+    # the prune scope keys on the FULL source path (hashed), not just the
+    # basename: two corpora that share a basename (sf0.001/embeddings vs
+    # sf1/embeddings) must never evict each other's index
+    canonical = source_path if "://" in source_path else os.path.abspath(source_path)
+    skey = hashlib.sha1(canonical.rstrip("/").encode()).hexdigest()[:8]
     base = os.path.basename(source_path.rstrip("/")).replace(".parquet", "")
-    # <corpus>-<params>-<data fingerprint>: pruning drops only stale DATA
-    # fingerprints of the same corpus+params, never other configurations
-    prefix = f"{base}-{pkey}-"
+    prefix = f"{base}-{skey}-{pkey}-"
     path = os.path.join(root, prefix + key)
     marker = os.path.join(path, "_COMPLETE")
     if not os.path.exists(marker):
         corpus = spark.read.parquet(source_path)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)  # stale crash debris of OUR pid
         build_index(
-            corpus, path, nlist=nlist, m=m, kcent=kcent,
+            corpus, tmp, nlist=nlist, m=m, kcent=kcent,
             train_iter=train_iter, id_col=id_col, vec_col=vec_col,
         )
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
+        with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
             f.write(params + "\n")
-        os.replace(tmp, marker)
-        # prune stale fingerprints of the same corpus (bounded cache)
-        import shutil
-
+        try:
+            os.rename(tmp, path)  # atomic publish (same filesystem)
+        except OSError:
+            # a concurrent builder won the rename — serve its copy
+            if os.path.exists(marker):
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                raise
+        # deferred prune of stale fingerprints of this corpus+params:
+        # only evict directories old enough that no live process should
+        # still be serving them
+        now = time.time()
         for d in os.listdir(root):
             full = os.path.join(root, d)
-            if d.startswith(prefix) and full != path:
+            if not (d.startswith(prefix) and full != path):
+                continue
+            try:
+                age = now - os.stat(full).st_mtime
+            except OSError:
+                continue
+            if age >= prune_age_sec:
                 shutil.rmtree(full, ignore_errors=True)
     return path
 
@@ -270,10 +313,16 @@ def serve_topk(
 
     coarse, books, t = _load_models(spark, path)
     bcg = spark.sparkContext.broadcast(coarse)
-    qn = _normalized(_prep(queries, id_col, vec_col)).persist()
+    # deliberately NO persist on the query-batch relations: a serving
+    # session calls this per batch, and leaked storage blocks accumulate
+    # without bound (pinned by test_serve_topk_leaves_no_cached_blocks).
+    # The probed-cell collect recomputes normalize+assign once more in
+    # the final action — two Arrow passes over the QUERY batch, noise
+    # next to the ADC scoring they gate.
+    qn = _normalized(_prep(queries, id_col, vec_col))
     probes = _assign_topn(qn, bcg, nprobe)
-    probe_vecs = probes.join(qn, "id").persist()
-    probed = [r.cell for r in probe_vecs.select("cell").distinct().collect()]
+    probe_vecs = probes.join(qn, "id")
+    probed = [r.cell for r in probes.select("cell").distinct().collect()]
     codes_cells = t["codes"].read_pruned_in("cell", probed).select(
         "id", "cell", "codes"
     )

@@ -2473,7 +2473,7 @@ def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ivfpq_topk_embeddings",
-    oracle=_ivfpq_oracle(m=32, kcent=16, iters=2, nlist=16, nprobe=6, topk=5),
+    oracle=_ivfpq_oracle(m=16, kcent=256, iters=2, nlist=8, nprobe=6, topk=5),
 )
 def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual IVF+PQ (FAISS IVFADC) served from the PERSISTED index
@@ -2484,13 +2484,15 @@ def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus requires, instead of re-paying two k-means trainings per
     lookup. serve_topk is pinned bit-equal to the in-memory ivfpq_topk
     (test_ann_index.py), which the oracle mirrors end to end. Residual
-    (vs raw-vector r6) encoding is what lifts near-dup recall
-    (ANN_RECALL_r7.md)."""
+    (vs raw-vector r6) encoding is what lifts near-dup recall, and the
+    r10 8-bit codebooks (m=16, k*=256 — the FAISS norm, same code bytes
+    as the old m=32/k*=16) make the ADC shortlist essentially lossless:
+    reranked recall@5 0.918 vs 0.697 (ANN_RECALL_r10.md)."""
     from id3c_spark.plans.ann_index import cached_index, serve_topk
 
     idx = cached_index(
         spark, f"{sf_dir}/embeddings.parquet",
-        nlist=16, m=32, kcent=16, train_iter=2,
+        nlist=8, m=16, kcent=256, train_iter=2,
     )
     return serve_topk(
         spark, idx, t(spark, sf_dir, "embeddings"), k=5, nprobe=6
@@ -5734,7 +5736,7 @@ def excess_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ivfpq_rerank_topk_embeddings",
     oracle=_ivfpq_rerank_oracle(
-        m=32, kcent=16, iters=2, nlist=16, nprobe=6, shortlist=20, topk=5
+        m=16, kcent=256, iters=2, nlist=8, nprobe=6, shortlist=20, topk=5
     ),
 )
 def ivfpq_rerank_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5742,15 +5744,17 @@ def ivfpq_rerank_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     index (plans/ann_index.py, shared with ivfpq_topk_embeddings — one
     build amortizes both) admits a 4k ADC-ranked shortlist, exact_rerank
     restores true-cosine order over only those pairs (raw vectors are
-    touched for 20 rows per query, never the corpus). Measured near-dup
-    recall 0.81 at nprobe=6 — the candidate-generation ceiling
-    (ANN_RECALL_r7.md). Fully oracle-mirrored end to end."""
+    touched for 20 rows per query, never the corpus). With the r10 8-bit
+    codebooks the shortlist is essentially lossless, so end recall sits
+    at the coarse probe ceiling: reranked recall@5 0.918 / near-dup
+    0.935 at nprobe=6 (ANN_RECALL_r10.md, vs 0.697/0.811 for r7-r9's
+    4-bit codebooks). Fully oracle-mirrored end to end."""
     from id3c_spark.plans.ann_index import cached_index, serve_topk
 
     emb = t(spark, sf_dir, "embeddings")
     idx = cached_index(
         spark, f"{sf_dir}/embeddings.parquet",
-        nlist=16, m=32, kcent=16, train_iter=2,
+        nlist=8, m=16, kcent=256, train_iter=2,
     )
     shortlist = serve_topk(spark, idx, emb, k=20, nprobe=6)
     return ann.exact_rerank(emb, emb, shortlist, k=5)

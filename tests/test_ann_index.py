@@ -243,3 +243,42 @@ def test_cached_index_builds_once_and_rebuilds_on_change(spark, tmp_path):
 
     served = serve_topk(spark, p1, _emb(spark).limit(5), k=2, nprobe=4)
     assert served.count() > 0
+
+
+def test_serve_topk_leaves_no_cached_blocks(spark, tmp_path):
+    """Serving is leak-free: repeated serve_topk calls (with and without
+    rerank) leave ZERO persisted RDDs behind — a long-lived serving
+    session must not accumulate storage blocks per batch (r9 leak:
+    qn/probe_vecs persisted and never released)."""
+    from id3c_spark.operators.pq import ivfpq_topk
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx_leak")
+    build_index(emb, path, nlist=8, m=8, kcent=8, train_iter=2)
+    spark.catalog.clearCache()
+
+    def n_cached():
+        # unpersist is async (blocking=False): poll briefly before
+        # reporting so the assertion doesn't race the block cleanup
+        import time
+
+        for _ in range(50):
+            n = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+            if n == 0:
+                return 0
+            time.sleep(0.1)
+        return n
+
+    assert n_cached() == 0
+    for _ in range(3):
+        serve_topk(spark, path, emb.limit(10), k=2, nprobe=2).collect()
+        serve_topk(
+            spark, path, emb.limit(10), k=2, nprobe=2, rerank_shortlist=6
+        ).collect()
+    assert n_cached() == 0
+
+    # the in-memory chain (training actions inside) releases its corpus
+    # caches too once the result is computed
+    ivfpq_topk(emb.limit(50), emb.limit(50), k=2, nlist=4, nprobe=2,
+               m=8, kcent=8, train_iter=1).collect()
+    assert n_cached() == 0

@@ -533,7 +533,8 @@ def _adc_topk(
     bcg,
     k: int,
     residual: bool,
-    cell_splits: int = 1,
+    cell_splits: int | None = 1,
+    split_rows: int = 65536,
 ) -> DataFrame:
     """The IVFPQ scoring stage, factored out so a PERSISTED index
     (plans/ann_index.py) serves through the identical code path as the
@@ -544,22 +545,41 @@ def _adc_topk(
 
     *cell_splits* bounds the hot-cell pack: corpus codes group on
     (cell, id-hash salt) so an unbalanced coarse quantizer's biggest
-    cell splits into *cell_splits* packs instead of one giant row —
-    each emits its partial top-k and the global window merges, so the
-    result is EXACTLY the unsplit one while the largest task shrinks
-    ~cell_splits× (the AQE-skew analogue for packed-binary rows, which
-    AQE cannot split itself). The trade: each sub-pack emits its own
-    partial top-k, so the pre-window relation grows ~cell_splits× —
-    default 1 here (the in-call quantizer is freshly trained and
-    near-balanced); the persisted-index serving path defaults to 4,
-    where ingest drift is what actually skews cells."""
+    cell splits into multiple packs instead of one giant row — each
+    emits its partial top-k and the global window merges, so the result
+    is EXACTLY the unsplit one while the largest task shrinks (the
+    AQE-skew analogue for packed-binary rows, which AQE cannot split
+    itself). The trade: every split pack recomputes its probing
+    queries' LUTs and emits its own partial top-k, so splits are pure
+    overhead on cells that are NOT oversized. cell_splits=None (the
+    serving default) therefore sizes splits ADAPTIVELY from per-cell
+    counts — one tiny nlist-bounded aggregate, the stats-before-strategy
+    step — splitting each cell into ceil(rows / split_rows) packs:
+    balanced small cells get exactly 1 (no redundant LUT work), a
+    drifted hot cell still shards to bounded tasks. An int keeps the
+    fixed salt (default 1: the in-call quantizer is freshly trained and
+    near-balanced)."""
     import numpy as np
     import pandas as pd
 
     m, _, dsub = mdl.shape
+    if cell_splits is None:
+        sizes = codes_cells.groupBy("cell").count().collect()
+        split_of = {
+            r["cell"]: -(-r["count"] // split_rows) for r in sizes
+        }
+        if all(v == 1 for v in split_of.values()):
+            split_expr = F.lit(0)
+        else:
+            pairs = [x for c, n in split_of.items() for x in (F.lit(c), F.lit(n))]
+            split_expr = F.pmod(
+                F.xxhash64(F.col("id")),
+                F.element_at(F.create_map(*pairs), F.col("cell")),
+            )
+    else:
+        split_expr = F.pmod(F.xxhash64(F.col("id")), F.lit(cell_splits))
     packs = codes_cells.groupBy(
-        "cell",
-        F.pmod(F.xxhash64(F.col("id")), F.lit(cell_splits)).alias("__split"),
+        "cell", split_expr.alias("__split")
     ).agg(F.collect_list(F.struct("id", "codes")).alias("recs"))
 
     def pack_cells(batches):
@@ -626,10 +646,18 @@ def _adc_topk(
                 # cell sub-splitting expensive
                 qv = qmat - pivot if residual else qmat        # (nq, d)
                 qs = qv.reshape(nq, m, dsub)
-                lut = np.round(
-                    ((qs[:, :, None, :] - cent[None]) ** 2).sum(axis=3), 6
-                )                                              # (nq, m, k*)
-                lut_mi = np.rint(lut * 1e6).astype(np.int64)
+                # per-subspace loop: elementwise arithmetic and the
+                # dsub-axis reduction are IDENTICAL to the one-shot
+                # (nq, m, k*, dsub) broadcast, but the largest temporary
+                # shrinks m× — at k*=256 the fused form materializes
+                # ~200 MB per pack row and the scoring stage goes
+                # memory-bandwidth-bound
+                lut_mi = np.empty((nq, m, cent.shape[1]), dtype=np.int64)
+                for s in range(m):
+                    lut_s = np.round(
+                        ((qs[:, s, None, :] - cent[s][None]) ** 2).sum(axis=2), 6
+                    )                                          # (nq, k*)
+                    lut_mi[:, s, :] = np.rint(lut_s * 1e6)
                 dist_all = (
                     lut_mi[:, np.arange(m)[None, :], ccodes].sum(axis=2) / 1e6
                 )                                              # (nq, ncand)

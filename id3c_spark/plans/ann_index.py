@@ -326,12 +326,14 @@ def serve_topk(
     codes_cells = t["codes"].read_pruned_in("cell", probed).select(
         "id", "cell", "codes"
     )
-    # cell_splits=4: a long-lived index accumulates ingest drift — the
-    # hot-cell bound matters here, and serving ks are small enough that
-    # the ~4× partial-top-k growth is noise
+    # cell_splits=None → ADAPTIVE: a long-lived index accumulates ingest
+    # drift, so hot cells must still shard to bounded tasks — but a
+    # fixed split count makes every split pack recompute its queries'
+    # LUTs (4× redundant work on balanced cells; measurable at k*=256).
+    # The per-cell count aggregate sizes splits to ceil(rows/65536)
     short = _adc_topk(
         probe_vecs, codes_cells, books, bcg, k=rerank_shortlist or k,
-        residual=True, cell_splits=4,
+        residual=True, cell_splits=None,
     )
     if rerank_shortlist is None:
         return short

@@ -282,3 +282,32 @@ def test_serve_topk_leaves_no_cached_blocks(spark, tmp_path):
     ivfpq_topk(emb.limit(50), emb.limit(50), k=2, nlist=4, nprobe=2,
                m=8, kcent=8, train_iter=1).collect()
     assert n_cached() == 0
+
+
+def test_adaptive_cell_splits_exact(spark, tmp_path):
+    """cell_splits=None sizes splits from per-cell counts; forcing tiny
+    split_rows shards every cell into many packs and the merged result
+    must be EXACTLY the unsplit one (partial top-k per pack + global
+    window)."""
+    from id3c_spark.operators.ann import _prep
+    from id3c_spark.operators.pq import (
+        _adc_topk, _assign_topn, _normalized, _residuals, pq_encode, pq_train,
+    )
+
+    emb = _emb(spark).limit(120)
+    vn = _normalized(_prep(emb, "vec_id", "embedding"))
+    coarse = pq_train(vn, "id", "v", m=1, k=4, max_iter=1)
+    bcg = spark.sparkContext.broadcast(coarse)
+    cells = _assign_topn(vn, bcg, 1)
+    enc = _residuals(vn, cells, bcg)
+    books = pq_train(enc, "id", "v", m=8, k=8, max_iter=1, seed_salt=":pq")
+    codes_cells = pq_encode(enc, books, "id", "v").join(cells, "id")
+    probe_vecs = _assign_topn(vn, bcg, 2).join(vn, "id")
+
+    base = _adc_topk(probe_vecs, codes_cells, books, bcg, k=3,
+                     residual=True, cell_splits=1)
+    forced = _adc_topk(probe_vecs, codes_cells, books, bcg, k=3,
+                       residual=True, cell_splits=None, split_rows=7)
+    assert sorted(map(tuple, forced.collect())) == sorted(
+        map(tuple, base.collect())
+    )

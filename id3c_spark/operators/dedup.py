@@ -164,27 +164,24 @@ def ngram_jaccard_pairs(
     stopword-removal semantics; sizes and intersections use the same
     relation, mirrored in the oracle). Pairs whose every shared shingle is
     ultra-common can be missed — at a sane cap they sit far below any
-    useful threshold. When no shingle exceeds the cap the plan is
-    byte-identical to the uncapped one (eager emptiness gate).
+    useful threshold. An empty stop set makes the anti-join a semantic
+    no-op, so the whole flow stays LAZY — no eager emptiness probe
+    blocking the driver per call (the probe was a measurable share of
+    the curation pipeline's latency).
     """
     # persist: the shingle relation feeds both self-join sides AND the size
     # aggregate — without it the explode+md5+distinct pipeline runs 3×
     # (Spark does not dedupe common subplans within one action)
     sh = _distinct_shingles(df, id_col, text_col, k, words=words).persist()
     if max_df is not None:
-        # Eager emptiness gate (one map-side-combined agg + limit-1): when
-        # no shingle exceeds the cap the anti-join is pure overhead, so the
-        # uncapped relation is used unchanged. The STOP set (df > max_df)
-        # is small by construction — broadcast it and anti-join;
-        # broadcasting the KEEP set would ship nearly every distinct
-        # shingle to every executor.
+        # The STOP set (df > max_df) is small by construction — broadcast
+        # it and anti-join; broadcasting the KEEP set would ship nearly
+        # every distinct shingle to every executor.
         stop = (
             sh.groupBy("sh").agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_df)
-            .persist()
         )
-        if stop.limit(1).count():
-            sh = sh.join(F.broadcast(stop.select("sh")), "sh", "left_anti").persist()
+        sh = sh.join(F.broadcast(stop.select("sh")), "sh", "left_anti")
     # Per-doc set size rides ON the shingle rows (one id-keyed window
     # into the persisted relation, no separate sizes aggregate), so the
     # PPJoin length filter applies INSIDE the self-join and the final

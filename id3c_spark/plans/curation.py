@@ -76,8 +76,14 @@ def curate(
     # (which materializes twice inside dedup_clusters' convergence check),
     # the `unique` anti-join, and every returned stage all re-derive the
     # full quality→decontaminate→exact lineage otherwise (Spark does not
-    # dedupe common subplans across actions)
-    exact = clean.join(exact_keep, id_col, "left_semi").persist()
+    # dedupe common subplans across actions).
+    # Semi-join the CACHED quality relation, not `clean`: exact_keep is
+    # already a subset of clean's ids (the exact-dedup winners), so the
+    # row set is identical — but joining `clean` would embed the
+    # decontamination probe a SECOND time in one action (clean appears
+    # both inside exact_keep's lineage and as the join's left side, and
+    # Spark does not dedupe common subplans within an action either)
+    exact = quality.join(exact_keep, id_col, "left_semi").persist()
     words_exact = words_q.join(
         exact.select(F.col(id_col).alias("id")), "id", "left_semi"
     )

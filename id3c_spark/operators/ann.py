@@ -97,14 +97,41 @@ def _unpack(ids_bytes: bytes, mat_bytes: bytes) -> tuple:
 AUTO_SHARD_ROWS = 65536
 
 
-def _auto_shards(df: DataFrame, cap: int = 4096) -> int:
-    """Stats-driven shard count: ceil(N / AUTO_SHARD_ROWS), clamped.
+#: Parquet bytes per GEMM shard when sizing from file stats: compressed
+#: source bytes under-represent in-memory float64 rows ~2-4×, so the
+#: divisor is conservative relative to AUTO_SHARD_ROWS' 32 MB in-memory
+#: target.
+AUTO_SHARD_BYTES = 16 << 20
 
-    The count is a column-pruned scan (one cheap job) — the same
-    statistics-before-strategy step AQE applies to joins, applied to the
-    block layout: a 2 k-vector corpus becomes ONE matmul task instead of
-    a fixed 8×8 grid of overhead, while 100 M vectors get ~1.5 k shards
-    that each fit a task's memory comfortably."""
+
+def _auto_shards(df: DataFrame, cap: int = 4096) -> int:
+    """Stats-driven shard count — the same statistics-before-strategy
+    step AQE applies to joins, applied to the block layout: a 2 k-vector
+    corpus becomes ONE matmul task instead of a fixed 8×8 grid of
+    overhead, while 100 M vectors get ~1.5 k shards that each fit a
+    task's memory comfortably.
+
+    When the frame maps to source files, shards come from the files'
+    total size — a driver-side listing, NO Spark job (the per-call
+    count() was a measurable share of small-corpus latency, and at
+    100 TB a listing beats a scan outright; bytes-per-shard is how Spark
+    itself sizes scan partitions). Filters between the scan and the
+    GEMM only shrink rows, so file bytes over-estimate and the layout
+    just gets a few extra (cheap, possibly empty) blocks. Frames with
+    no file lineage (in-memory, post-shuffle) keep the exact
+    column-pruned count."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        jvm = df.sparkSession._jvm
+        conf = df.sparkSession._jsc.hadoopConfiguration()
+        total = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            total += p.getFileSystem(conf).getFileStatus(p).getLen()
+        return max(1, min(cap, -(-total // AUTO_SHARD_BYTES)))
     n = df.count()
     return max(1, min(cap, -(-n // AUTO_SHARD_ROWS)))
 
@@ -161,7 +188,15 @@ def cosine_topk(
         cpacked = _packed_blocks(corpus, id_col, vec_col, corpus_shards, "cb")
     q = qpacked.toDF("qb", "q_ids", "q_mat")
     c = cpacked.toDF("cb", "c_ids", "c_mat")
-    pairs = q.crossJoin(c).repartition(query_blocks * corpus_shards, "qb", "cb")
+    n_pairs = query_blocks * corpus_shards
+    if n_pairs > 1:
+        # spread the block pairs one-per-task
+        pairs = q.crossJoin(c).repartition(n_pairs, "qb", "cb")
+    else:
+        # single pair: an exchange is a pure extra stage, but the bare
+        # crossJoin inherits the pack groupBy's (mostly empty) partitions
+        # — coalesce narrows to one task without a shuffle
+        pairs = q.crossJoin(c).coalesce(1)
 
     def partial_topk(batches):
         for pdf in batches:
@@ -217,10 +252,13 @@ def cosine_pairs_above(
     corpus_shards = corpus_shards or _auto_shards(corpus)
     # persisted: feeds both crossJoin sides (n_blocks small rows)
     blocks = _packed_blocks(corpus, id_col, vec_col, corpus_shards, "qb").persist()
+    pairs = blocks.toDF("qb", "a_ids", "a_mat").crossJoin(
+        blocks.toDF("cb", "c_ids", "c_mat")
+    )
     pairs = (
-        blocks.toDF("qb", "a_ids", "a_mat")
-        .crossJoin(blocks.toDF("cb", "c_ids", "c_mat"))
-        .repartition(corpus_shards * corpus_shards, "qb", "cb")
+        pairs.repartition(corpus_shards * corpus_shards, "qb", "cb")
+        if corpus_shards > 1
+        else pairs.coalesce(1)  # see cosine_topk: no exchange for one pair
     )
 
     def shard_pairs(batches):

@@ -1010,6 +1010,22 @@ def corpus_ann_add(index_path: str, input_parquet: str, id_col: str,
     click.echo(json.dumps({"index": index_path, "versions": v}))
 
 
+@corpus.command("ann-drift")
+@click.argument("index_path")
+def corpus_ann_drift(index_path: str) -> None:
+    """Quantizer-drift report for a persisted ANN index: per-cell
+    occupancy/residual drift vs the build-time baseline, one NDJSON row
+    per cell plus a final verdict row — rebuild when any cell flags
+    (ann-add never retrains; this is the documented rebuild policy)."""
+    from id3c_spark.plans.ann_index import index_drift_report
+
+    spark = get_spark("corpus-ann-drift")
+    rows = index_drift_report(spark, index_path).orderBy("cell").collect()
+    for row in rows:
+        click.echo(json.dumps(row.asDict()))
+    click.echo(json.dumps({"rebuild": any(r["rebuild"] for r in rows)}))
+
+
 @corpus.command("ann-query")
 @click.argument("index_path")
 @click.argument("queries_parquet")

@@ -31,8 +31,30 @@ from id3c_spark.sources.store import ParquetTable
 def _tables(spark: SparkSession, path: str) -> dict[str, ParquetTable]:
     return {
         name: ParquetTable(spark, f"{path}/{name}")
-        for name in ("centroids", "codebooks", "codes", "vectors")
+        for name in ("centroids", "codebooks", "codes", "vectors", "stats")
     }
+
+
+def _cell_stats(vectors: DataFrame) -> DataFrame:
+    """(cell, n, mean_resid2) over an (id, cell, rv≡residual vector)
+    relation: occupancy and mean 6-dp squared residual norm per coarse
+    cell — the drift baseline captured at build time."""
+    return (
+        vectors.select(
+            "cell",
+            F.round(
+                F.aggregate(
+                    "rv", F.lit(0.0), lambda acc, x: acc + x * x
+                ),
+                6,
+            ).alias("r2"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("r2"), 6).alias("mean_resid2"),
+        )
+    )
 
 
 def build_index(
@@ -106,6 +128,14 @@ def build_index(
             vn.join(cells, "id").select("id", "cell", "v"),
             cluster_by=["cell"],
             partitions=files,
+        ),
+        # build-time per-cell occupancy + residual-norm baseline: the
+        # drift report (index_drift_report) compares live contents
+        # against this to decide when ingest has outgrown the quantizer
+        "stats": t["stats"].publish(
+            _cell_stats(
+                cells.join(enc_src.select("id", F.col("v").alias("rv")), "id")
+            )
         ),
     }
     vn.unpersist()
@@ -288,6 +318,82 @@ def add_to_index(
     vn.unpersist()
     cells.unpersist()
     return versions
+
+
+#: index_drift_report rebuild thresholds: a cell whose occupancy grew to
+#: ≥ 4× its build-time SHARE of the corpus, or whose mean squared
+#: residual norm grew ≥ 1.3×, is flagged — either means the coarse
+#: quantizer no longer matches the data it serves (hot cells defeat the
+#: inverted-list pruning; fat residuals defeat the PQ codebooks trained
+#: on the build distribution, and recall decays).
+DRIFT_OCCUPANCY_RATIO = 4.0
+DRIFT_RESID_RATIO = 1.3
+
+
+def index_drift_report(spark: SparkSession, path: str) -> DataFrame:
+    """Per-cell drift of a persisted index vs its build-time baseline —
+    the measurable rebuild policy ``add_to_index`` defers to: encode-only
+    ingest never retrains, so this report is the monitoring signal that
+    says when training debt has accumulated.
+
+    Returns one row per cell: build-time vs current occupancy SHARE
+    (shares, not counts — growing the corpus uniformly is not drift),
+    build-time vs current mean squared residual norm, the two ratios,
+    and a ``rebuild`` flag per the documented thresholds
+    (DRIFT_OCCUPANCY_RATIO / DRIFT_RESID_RATIO). Rebuild when any cell
+    flags: ``build_index`` over the current corpus re-trains both
+    quantizers (ANN_RECALL_r10.md records recall before/after on a
+    drifted ingest).
+
+    Cost: one scan of the vectors table (residual recompute against the
+    broadcast coarse model) + two nlist-sized aggregates — an offline
+    monitoring job, no serving-path impact."""
+    from id3c_spark.operators.pq import _residuals
+
+    coarse, _books, t = _load_models(spark, path)
+    bcg = spark.sparkContext.broadcast(coarse)
+    live = t["vectors"].read()
+    resid = _residuals(
+        live.select("id", "v"), live.select("id", "cell"), bcg
+    ).select("id", F.col("v").alias("rv"))
+    now = _cell_stats(live.select("id", "cell").join(resid, "id"))
+    base = t["stats"].read().select(
+        F.col("cell"),
+        F.col("n").alias("n_built"),
+        F.col("mean_resid2").alias("resid2_built"),
+    )
+    tot_b = base.agg(F.sum("n_built")).collect()[0][0]
+    tot_n = now.agg(F.sum("n")).collect()[0][0]
+    joined = base.join(
+        now.select(
+            "cell", F.col("n").alias("n_now"),
+            F.col("mean_resid2").alias("resid2_now"),
+        ),
+        "cell",
+        "full_outer",
+    ).fillna(0, ["n_built", "n_now"]).fillna(
+        0.0, ["resid2_built", "resid2_now"]
+    )  # a cell absent on one side: occupancy share 0 / fresh-cell ratio
+    occ_ratio = F.round(
+        (F.col("n_now") / F.lit(float(tot_n)))
+        / F.greatest(F.col("n_built") / F.lit(float(tot_b)), F.lit(1e-12)),
+        6,
+    )
+    resid_ratio = F.round(
+        F.col("resid2_now") / F.greatest(F.col("resid2_built"), F.lit(1e-12)), 6
+    )
+    return joined.select(
+        "cell", "n_built", "n_now",
+        F.round(F.col("n_built") / F.lit(float(tot_b)), 6).alias("share_built"),
+        F.round(F.col("n_now") / F.lit(float(tot_n)), 6).alias("share_now"),
+        occ_ratio.alias("occupancy_ratio"),
+        "resid2_built", "resid2_now",
+        resid_ratio.alias("resid_ratio"),
+        (
+            (occ_ratio >= DRIFT_OCCUPANCY_RATIO)
+            | (resid_ratio >= DRIFT_RESID_RATIO)
+        ).alias("rebuild"),
+    )
 
 
 def serve_topk(

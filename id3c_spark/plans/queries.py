@@ -6162,6 +6162,59 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.embedding_drift(emb, F.col("vec_id") % 2)
 
 
+@query(
+    "q17_brand_small_qty",
+    # TPC-H Q17 faithful: the oracle keeps Q17's literal CORRELATED
+    # scalar subquery (per-part avg over the UNFILTERED fact table) with
+    # the dimension filter on the outer side — reference/lineitem has no
+    # p_container, so p_size stands in for the container predicate.
+    # Arithmetic mirrors small_qty_revenue's verified DSUM discipline.
+    oracle=f"""
+    SELECT round({DSUM.format(expr='l.l_extendedprice')} / 7.0, 6) AS avg_yearly,
+           count(*) AS n_small
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#2' AND p.p_size <= 10
+      AND l.l_quantity < (
+        SELECT 0.2 * ({DSUM.format(expr='l2.l_quantity')} / count(*))
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_brand_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue, faithful shape): yearly
+    revenue lost if small orders of one brand's small parts were not
+    filled. The correlated scalar subquery (avg quantity per part, over
+    ALL lineitems of that part — not just the filtered brand's) is
+    decorrelated the way every planner executes Q17: a per-partkey
+    aggregate joined back to the fact table, with the part-dimension
+    filter applied as a BROADCAST semi-reduction before both fact scans.
+    Plan at scale: the dim filter prunes both the raw and the aggregate
+    side to the qualifying parts' rows *before* the l_partkey shuffle
+    (avg over all lineitems of a qualifying part == avg over that part's
+    lineitems — the correlation key is the part), so the two fact scans
+    shuffle only qualifying-part rows and the final agg is scalar."""
+    li = t(spark, sf_dir, "lineitem")
+    keys = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 10)
+    ).select(F.col("p_partkey").alias("l_partkey"))
+    lk = li.join(F.broadcast(keys), "l_partkey", "left_semi")
+    pa = lk.groupBy("l_partkey").agg(
+        (dsum(F.col("l_quantity"), "s").cast("double") / F.count(F.lit(1))).alias(
+            "avg_qty"
+        )
+    )
+    return (
+        lk.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                dsum(F.col("l_extendedprice"), "s").cast("double") / 7.0, 6
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
 # The external correctness gate enumerates only the first GATE_CAP entries of
 # the catalog.  We do NOT curate which entries fall past the cap: the catalog
 # is returned in plain registration (insertion) order, so the dropped tail is

@@ -22,7 +22,9 @@ def test_served_index_matches_in_memory_ivfpq(spark, tmp_path):
     emb = _emb(spark)
     path = str(tmp_path / "idx")
     versions = build_index(emb, path, nlist=8, m=8, kcent=8, train_iter=2)
-    assert set(versions) == {"centroids", "codebooks", "codes", "vectors"}
+    assert set(versions) == {
+        "centroids", "codebooks", "codes", "vectors", "stats"
+    }
 
     served = serve_topk(spark, path, emb, k=3, nprobe=3)
     inmem = ivfpq_topk(
@@ -311,3 +313,46 @@ def test_adaptive_cell_splits_exact(spark, tmp_path):
     assert sorted(map(tuple, forced.collect())) == sorted(
         map(tuple, base.collect())
     )
+
+
+def test_index_drift_report_flags_drifted_ingest(spark, tmp_path):
+    """The rebuild policy is measurable: a freshly built index reports
+    no drift; a concentrated ingest (many vectors landing in one cell —
+    the hot-cell skew that defeats inverted-list pruning) pushes that
+    cell's occupancy share past the threshold and flags rebuild."""
+    import json as _json
+
+    from click.testing import CliRunner
+
+    from id3c_spark.cli import cli
+    from id3c_spark.plans.ann_index import add_to_index, index_drift_report
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") < 300)
+    path = str(tmp_path / "idx_drift")
+    build_index(base, path, nlist=8, m=8, kcent=8, train_iter=2)
+
+    # baseline: the freshly built index reports itself as non-drifted
+    rows = index_drift_report(spark, path).collect()
+    assert rows and not any(r["rebuild"] for r in rows)
+    assert all(abs(r["occupancy_ratio"] - 1.0) < 1e-6 for r in rows)
+    assert all(abs(r["resid_ratio"] - 1.0) < 1e-6 for r in rows)
+
+    # drifted ingest: 500 near-copies of one corpus vector — they all
+    # assign to its cell, whose occupancy SHARE balloons ~8/1.6×
+    one = emb.filter(F.col("vec_id") == 0).select("embedding")
+    drifted = (
+        spark.range(10_000, 10_500)
+        .crossJoin(one)
+        .select(F.col("id").alias("vec_id"), "embedding")
+    )
+    add_to_index(spark, path, drifted)
+    rows = index_drift_report(spark, path).collect()
+    assert any(r["rebuild"] for r in rows)
+
+    # the CLI emits per-cell NDJSON + a final verdict row
+    res = CliRunner().invoke(cli, ["corpus", "ann-drift", path])
+    assert res.exit_code == 0, res.output
+    lines = [_json.loads(line) for line in res.output.strip().splitlines()]
+    assert lines[-1] == {"rebuild": True}
+    assert {"cell", "occupancy_ratio", "resid_ratio", "rebuild"} <= set(lines[0])

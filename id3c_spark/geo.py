@@ -457,7 +457,17 @@ def lookup_tract(
     per covering cell. The WKT joins back by identifier (equi-join, planner
     free to hash/sort-merge) only for rows that survived the bbox filter.
     Per-polygon cell expansion is capped by polygon_cells' per-polygon grid
-    level, so an oversized polygon among tracts cannot blow the broadcast."""
+    level, so an oversized polygon among tracts cannot blow the broadcast.
+
+    Column-type constraint: the dedup window and the final null-safe
+    join-back key on EVERY point column (a synthetic row id was removed —
+    monotonically_increasing_id can diverge between join branches under
+    recomputation, silently misassigning tracts at cluster scale), so the
+    points schema must contain only join-comparable types: no map columns
+    (Spark cannot window/join on maps), and very wide point rows pay
+    their width in the window/join-back shuffle. Pre-project wide or
+    map-bearing frames to (row key, lng, lat) before calling and join
+    the result back on your own key."""
     locs = with_bbox(locations).select(
         F.col("identifier").alias("tract_identifier"), "polygon_wkt", "__bbox"
     )

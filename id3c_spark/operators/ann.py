@@ -44,43 +44,65 @@ def cosine(a: Column, b: Column) -> Column:
 def _packed_blocks(
     df: DataFrame, id_col: str, vec_col: str, n_blocks: int, label: str
 ) -> DataFrame:
-    """Pack vectors into *n_blocks* rows of (block, ids binary, mat binary)
-    keyed by hash(id) — the unit of the blocked cross-GEMM below.
+    """Pack vectors into block rows of (block, ids binary, mat binary) —
+    the unit of the blocked cross-GEMM below — WITHOUT shuffling the
+    corpus: each input partition packs itself in one Arrow pass,
+    emitting a block row per ≤ AUTO_SHARD_ROWS rows. Blocked matmul is
+    blocking-agnostic (every partial top-k / pair mask is merged by a
+    global, 6-dp + id-tiebreak criterion), so ANY disjoint tiling gives
+    identical results — hash-distributing rows to blocks first, as
+    earlier rounds did, paid a full corpus shuffle purely to pick block
+    boundaries. *n_blocks* only labels the expected block-count scale
+    for the pair repartition (actual blocks follow the scan layout:
+    ~maxPartitionBytes each — the same sizing the shard count derives
+    from).
 
     The block payload is raw little-endian bytes (int64 ids, float64
-    row-major matrix), built ONCE per block: shipping an
-    array<struct<id, array<double>>> through the later crossJoin pays the
-    Arrow nested-object conversion per block PAIR (measured 10×+ the GEMM
-    itself); bytes convert with zero-copy np.frombuffer. struct keeps ids
-    and vectors aligned before packing (two parallel collect_lists have no
-    mutual order guarantee)."""
+    row-major matrix): shipping an array<struct<id, array<double>>>
+    through the later crossJoin pays the Arrow nested-object conversion
+    per block PAIR (measured 10×+ the GEMM itself); bytes convert with
+    zero-copy np.frombuffer. The block id is the first row's id hashed —
+    unique enough to spread the pair repartition; collisions only skew
+    partitions, never results."""
     import numpy as np
     import pandas as pd
 
-    grouped = (
-        df.select(
-            F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias(label),
-            F.struct(
-                F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
-            ).alias("rec"),
-        )
-        .groupBy(label)
-        .agg(F.collect_list("rec").alias("recs"))
+    src = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
 
-    def to_bytes(batches):
+    def to_blocks(batches):
+        acc_i: list = []
+        acc_m: list = []
+        n = 0
+        out: list = []
+
+        def flush():
+            nonlocal acc_i, acc_m, n
+            ids = np.concatenate(acc_i)
+            mat = np.vstack(acc_m)
+            blk = (int(ids[0]) * 2654435761) % (2**31 - 1)
+            out.append((blk, ids.tobytes(), mat.tobytes()))
+            acc_i, acc_m, n = [], [], 0
+
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                recs = row["recs"]
-                ids = np.asarray([r["id"] for r in recs], dtype=np.int64)
-                mat = np.asarray(
-                    [np.asarray(r["v"], dtype=np.float64) for r in recs]
+            if not len(pdf):
+                continue
+            acc_i.append(pdf["id"].to_numpy(dtype=np.int64))
+            acc_m.append(
+                np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
                 )
-                out.append((row[label], ids.tobytes(), mat.tobytes()))
+            )
+            n += len(pdf)
+            if n >= AUTO_SHARD_ROWS:
+                flush()
+        if n:
+            flush()
+        if out:
             yield pd.DataFrame(out, columns=[label, "ids", "mat"])
 
-    return grouped.mapInPandas(to_bytes, f"{label} int, ids binary, mat binary")
+    return src.mapInPandas(to_blocks, f"{label} long, ids binary, mat binary")
 
 
 def _unpack(ids_bytes: bytes, mat_bytes: bytes) -> tuple:

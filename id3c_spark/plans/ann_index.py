@@ -101,11 +101,15 @@ def build_index(
     codes = pq_encode(enc_src, books, "id", "v")
 
     t = _tables(spark, path)
-    files = files_per_table or min(nlist, 8)
+    # publish from the TRAINED shapes, not the requested params: pq_train
+    # clamps centroid counts to min(N, k) on corpora smaller than k
+    nlist_t = coarse.shape[1]
+    m_t, kcent_t, _ = books.shape
+    files = files_per_table or min(nlist_t, 8)
     versions = {
         "centroids": t["centroids"].publish(
             spark.createDataFrame(
-                [(c, [float(x) for x in coarse[0][c]]) for c in range(nlist)],
+                [(c, [float(x) for x in coarse[0][c]]) for c in range(nlist_t)],
                 "cell long, v array<double>",
             )
         ),
@@ -113,8 +117,8 @@ def build_index(
             spark.createDataFrame(
                 [
                     (s, c, [float(x) for x in books[s][c]])
-                    for s in range(m)
-                    for c in range(kcent)
+                    for s in range(m_t)
+                    for c in range(kcent_t)
                 ],
                 "sub int, code int, c array<double>",
             )

@@ -39,6 +39,7 @@ def repetition_metrics(
     text_col: str,
     max_top_word_frac: float = 0.2,
     min_distinct_ratio: float = 0.3,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document repetition metrics + keep flag (Gopher §A1-style).
 
@@ -50,34 +51,65 @@ def repetition_metrics(
     one groupBy(id) rollup — both aggs map-side combine, so the shuffle
     carries (id, word) counts, not raw words. Bigram stats stay pure
     array expressions (no second explode).
-    """
-    words = df.select(
-        F.col(id_col).alias("id"), words_array(F.col(text_col)).alias("ws")
-    )
-    per_word = (
-        words.select("id", F.explode("ws").alias("w"))
-        .groupBy("id", "w")
-        .agg(F.count("*").alias("c"), F.sum(F.length("w")).alias("chars"))
-    )
+
+    *words* injects a prebuilt ``dedup.words_relation`` (id, pos, w) so a
+    multi-stage pipeline tokenizes ONCE: per-word stats aggregate the
+    shared relation directly, and bigrams come from a lead(pos) window
+    (identical multiset to the array shingles) — on an id-partitioned,
+    (id, pos)-sorted cached relation neither needs a new exchange before
+    its id-keyed aggregate. Docs with one word get n_bigrams = 0 via the
+    left join, exactly like the empty shingle array."""
+    if words is not None:
+        rel = words
+    else:
+        warr = df.select(
+            F.col(id_col).alias("id"), words_array(F.col(text_col)).alias("ws")
+        )
+        rel = None
+    if rel is not None:
+        per_word = rel.groupBy("id", "w").agg(
+            F.count("*").alias("c"), F.sum(F.length("w")).alias("chars")
+        )
+    else:
+        per_word = (
+            warr.select("id", F.explode("ws").alias("w"))
+            .groupBy("id", "w")
+            .agg(F.count("*").alias("c"), F.sum(F.length("w")).alias("chars"))
+        )
     word_stats = per_word.groupBy("id").agg(
         F.sum("c").alias("n_words"),
         F.count("*").alias("n_distinct"),
         F.max("c").alias("top_c"),
         F.sum("chars").alias("n_chars"),
     )
-    # word_shingles' zip_with shape, NOT an index-lambda over sequence():
-    # the latter inlines the words-split into the lambda and re-splits the
-    # text once per element — O(words²) regex work (see word_shingles).
-    bigrams = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), 2).alias("bg"),
-    ).select(
-        "id",
-        F.size("bg").alias("n_bigrams"),
-        F.size(F.array_distinct("bg")).alias("n_distinct_bigrams"),
-    )
+    if rel is not None:
+        w2 = Window.partitionBy("id").orderBy("pos")
+        bigrams = (
+            rel.withColumn("nx", F.lead("w").over(w2))
+            .filter(F.col("nx").isNotNull())
+            .select("id", F.concat_ws(" ", "w", "nx").alias("bg"))
+            .groupBy("id")
+            .agg(
+                F.count(F.lit(1)).alias("n_bigrams"),
+                F.count_distinct("bg").alias("n_distinct_bigrams"),
+            )
+        )
+    else:
+        # word_shingles' zip_with shape, NOT an index-lambda over
+        # sequence(): the latter inlines the words-split into the lambda
+        # and re-splits the text once per element — O(words²) regex work
+        # (see word_shingles).
+        bigrams = df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), 2).alias("bg"),
+        ).select(
+            "id",
+            F.size("bg").alias("n_bigrams"),
+            F.size(F.array_distinct("bg")).alias("n_distinct_bigrams"),
+        )
     out = (
-        word_stats.join(bigrams, "id")
+        word_stats.join(bigrams, "id", "left")
+        .fillna(0, ["n_bigrams", "n_distinct_bigrams"])
         .select(
             F.col("id"),
             F.col("n_words"),

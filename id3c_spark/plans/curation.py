@@ -44,30 +44,36 @@ def curate(
     """Run the full curation flow; returns each stage's output keyed by
     stage name (callers act on ``packed``/``shards``, or inspect
     intermediate stages for audit counts)."""
-    metrics = corpus.repetition_metrics(docs, id_col, text_col)
-    # persist: quality's lineage embeds the full-corpus metrics aggregation,
-    # and it is re-read by the words relation, the decontamination probe,
-    # and both sides of the exact-dedup split — Spark does not dedupe
-    # common subplans across one action, so without the cache the Gopher
-    # metrics pass (a full-corpus scan + two aggs) would run 3-4×.
-    quality = docs.join(
-        metrics.filter("keep").select(F.col("id").alias(id_col)), id_col, "left_semi"
-    ).persist()
-
-    # ONE tokenize+explode pass feeds both shingle stages (decontamination
-    # at k=5 and near-dup pairs at k=3 both shingle the same text): build
-    # the words relation over the quality docs once, co-partition + sort
-    # it so every downstream lead() window reads the cached layout with no
-    # new Exchange/Sort, and derive each stage's doc subset by semi-join.
-    words_q = (
-        dedup.words_relation(quality, id_col, text_col)
+    # ONE tokenize+explode pass feeds EVERY word-grain stage — the Gopher
+    # metrics aggregates, decontamination's k=5 shingles, and the
+    # near-dup k=3 shingles all read this relation: build it over the raw
+    # input once, co-partition + sort so every downstream lead() window
+    # and id-keyed aggregate reads the cached layout with no new
+    # Exchange/Sort. Stage-specific doc subsets come from semi-joins
+    # (the big side's partitioning/order survives; only the small id set
+    # shuffles), or — for decontamination — from not filtering at all:
+    # shingling a few non-quality docs too is cheaper than re-tokenizing,
+    # and contaminated ids outside `quality` are nullified by the
+    # anti-join against quality anyway.
+    words_all = (
+        dedup.words_relation(docs, id_col, text_col)
         .repartition("id")
         .sortWithinPartitions("id", "pos")
         .persist()
     )
+    metrics = corpus.repetition_metrics(
+        docs, id_col, text_col, words=words_all
+    )
+    # persist: quality is re-read by the decontamination probe and both
+    # sides of the exact-dedup split — Spark does not dedupe common
+    # subplans across one action, so without the cache the metrics
+    # aggregation would run 3-4×.
+    quality = docs.join(
+        metrics.filter("keep").select(F.col("id").alias(id_col)), id_col, "left_semi"
+    ).persist()
 
     contaminated = corpus.decontaminate(
-        quality, benchmark, id_col, text_col, corpus_words=words_q
+        docs, benchmark, id_col, text_col, corpus_words=words_all
     ).select(F.col("id").alias(id_col))
     clean = quality.join(contaminated, id_col, "left_anti")
 
@@ -84,7 +90,7 @@ def curate(
     # both inside exact_keep's lineage and as the join's left side, and
     # Spark does not dedupe common subplans within an action either)
     exact = quality.join(exact_keep, id_col, "left_semi").persist()
-    words_exact = words_q.join(
+    words_exact = words_all.join(
         exact.select(F.col(id_col).alias("id")), "id", "left_semi"
     )
 

@@ -76,6 +76,41 @@ def test_repetition_metrics_flags_degenerate_doc(spark):
     assert clean.keep
 
 
+def test_repetition_metrics_words_relation_parity(spark):
+    """The words= fast path (shared tokenize relation; lead-window
+    bigrams) returns EXACTLY the default path's rows — including the
+    one-word-doc edge where the bigram relation has no row (left join
+    must zero-fill, matching the empty shingle array)."""
+    from id3c_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"),
+         (2, "the quick brown fox jumps over a lazy dog tonight"),
+         (3, "single"),
+         (4, "a b a b a b c"),
+         (5, "... 123 ...")],  # zero alpha words: absent from BOTH paths
+        "doc_id long, text string",
+    )
+    base = sorted(
+        map(tuple, corpus.repetition_metrics(docs, "doc_id", "text").collect())
+    )
+    words = (
+        dedup.words_relation(docs, "doc_id", "text")
+        .repartition("id")
+        .sortWithinPartitions("id", "pos")
+    )
+    fast = sorted(
+        map(
+            tuple,
+            corpus.repetition_metrics(
+                docs, "doc_id", "text", words=words
+            ).collect(),
+        )
+    )
+    assert fast == base
+    assert len(fast) == 4  # doc 5 tokenizes to nothing
+
+
 def test_decontaminate_flags_planted_overlap(spark):
     bench = spark.createDataFrame(
         [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"

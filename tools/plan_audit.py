@@ -83,6 +83,9 @@ DEFAULT_QUERIES = [
     "pagerank_weighted_docs",
     # late-round-7 additions
     "int8_topk_embeddings",
+    # round-10 additions
+    "q17_brand_small_qty",
+    "embedding_dups",
     "int8_error_embeddings",
     "kmv_source_jaccard",
     "knn_label_embeddings",

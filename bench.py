@@ -95,6 +95,11 @@ def main() -> None:
 
     # Warm the JVM/codegen once so per-query numbers measure the plans.
     catalog["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # ... and the Python/Arrow worker pool, which otherwise bills its
+    # startup to whichever mapInPandas query happens to run first.
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     # Build-once/serve-many indexes amortize across every batch served;
     # charging the one-time training to whichever query happens to run

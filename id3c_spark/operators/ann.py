@@ -149,10 +149,16 @@ def _auto_shards(df: DataFrame, cap: int = 4096) -> int:
     if files:
         jvm = df.sparkSession._jvm
         conf = df.sparkSession._jsc.hadoopConfiguration()
+        # stat a bounded sample and extrapolate: a 100 TB table lists
+        # ~100k files, and one RPC per file would make the "cheap stats
+        # step" a listing storm; shard counts only need the right order
+        # of magnitude
+        sample = files[:64]
         total = 0
-        for f in files:
+        for f in sample:
             p = jvm.org.apache.hadoop.fs.Path(f)
             total += p.getFileSystem(conf).getFileStatus(p).getLen()
+        total = int(total * len(files) / len(sample))
         return max(1, min(cap, -(-total // AUTO_SHARD_BYTES)))
     n = df.count()
     return max(1, min(cap, -(-n // AUTO_SHARD_ROWS)))

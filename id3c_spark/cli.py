@@ -1026,6 +1026,40 @@ def corpus_ann_drift(index_path: str) -> None:
     click.echo(json.dumps({"rebuild": any(r["rebuild"] for r in rows)}))
 
 
+@corpus.command("ann-rebuild")
+@click.argument("index_path")
+@click.argument("source_parquet")
+@click.option("--force", is_flag=True, help="Rebuild even when no cell flags.")
+@click.option("--nlist", default=8, show_default=True, type=int)
+@click.option("--m", default=16, show_default=True, type=int)
+@click.option("--kcent", default=256, show_default=True, type=int)
+@click.option("--id-col", default="vec_id", show_default=True)
+@click.option("--vec-col", default="embedding", show_default=True)
+def corpus_ann_rebuild(index_path: str, source_parquet: str, force: bool,
+                       nlist: int, m: int, kcent: int, id_col: str,
+                       vec_col: str) -> None:
+    """Close the drift-policy loop: run the drift report and retrain the
+    index over SOURCE_PARQUET only when a cell flags (or --force). The
+    scheduled-maintenance counterpart of `ann-drift` — encode-only
+    ingest (`ann-add`) plus this command is the full FAISS-style
+    lifecycle: add cheaply, rebuild when the quantizer has drifted."""
+    from id3c_spark.plans.ann_index import build_index, index_drift_report
+
+    spark = get_spark("corpus-ann-rebuild")
+    rows = index_drift_report(spark, index_path).collect()
+    flagged = any(r["rebuild"] for r in rows)
+    if not (flagged or force):
+        click.echo(json.dumps({"rebuilt": False, "flagged": False}))
+        return
+    versions = build_index(
+        spark.read.parquet(source_parquet), index_path,
+        nlist=nlist, m=m, kcent=kcent, id_col=id_col, vec_col=vec_col,
+    )
+    click.echo(json.dumps(
+        {"rebuilt": True, "flagged": flagged, "versions": versions}
+    ))
+
+
 @corpus.command("ann-query")
 @click.argument("index_path")
 @click.argument("queries_parquet")

@@ -356,3 +356,46 @@ def test_index_drift_report_flags_drifted_ingest(spark, tmp_path):
     lines = [_json.loads(line) for line in res.output.strip().splitlines()]
     assert lines[-1] == {"rebuild": True}
     assert {"cell", "occupancy_ratio", "resid_ratio", "rebuild"} <= set(lines[0])
+
+
+def test_cli_ann_rebuild_respects_drift_policy(spark, tmp_path):
+    """`corpus ann-rebuild` retrains only when the drift report flags
+    (or --force): a fresh index is a no-op, a concentrated ingest
+    triggers the rebuild, and the rebuilt index reports clean again."""
+    import json as _json
+
+    from click.testing import CliRunner
+
+    from id3c_spark.cli import cli
+    from id3c_spark.plans.ann_index import add_to_index, index_drift_report
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") < 300)
+    src = str(tmp_path / "full.parquet")
+    emb.write.parquet(src)
+    path = str(tmp_path / "idx_rb")
+    build_index(base, path, nlist=8, m=8, kcent=8, train_iter=2)
+    runner = CliRunner()
+
+    res = runner.invoke(cli, ["corpus", "ann-rebuild", path, src,
+                              "--nlist", "8", "--m", "8", "--kcent", "8"])
+    assert res.exit_code == 0, res.output
+    assert _json.loads(res.output) == {"rebuilt": False, "flagged": False}
+
+    one = emb.filter(F.col("vec_id") == 0).select("embedding")
+    drifted = (
+        spark.range(10_000, 10_500)
+        .crossJoin(one)
+        .select(F.col("id").alias("vec_id"), "embedding")
+    )
+    add_to_index(spark, path, drifted)
+    res = runner.invoke(cli, ["corpus", "ann-rebuild", path, src,
+                              "--nlist", "8", "--m", "8", "--kcent", "8"])
+    assert res.exit_code == 0, res.output
+    out = _json.loads(res.output)
+    assert out["rebuilt"] and out["flagged"]
+    assert out["versions"]["codes"] >= 2  # published over the old tables
+
+    # post-rebuild the baseline is fresh: report is clean again
+    rows = index_drift_report(spark, path).collect()
+    assert rows and not any(r["rebuild"] for r in rows)

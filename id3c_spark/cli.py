@@ -1042,7 +1042,17 @@ def corpus_ann_rebuild(index_path: str, source_parquet: str, force: bool,
     index over SOURCE_PARQUET only when a cell flags (or --force). The
     scheduled-maintenance counterpart of `ann-drift` — encode-only
     ingest (`ann-add`) plus this command is the full FAISS-style
-    lifecycle: add cheaply, rebuild when the quantizer has drifted."""
+    lifecycle: add cheaply, rebuild when the quantizer has drifted.
+
+    The retrain builds into a private sibling directory and SWAPS it
+    into place (the cached_index publish pattern), never publishing the
+    five tables one-by-one into the live path: a concurrent serve (or a
+    crash mid-rebuild) can therefore never pair new centroids/codebooks
+    with old codes/vectors. A serve that raced the swap may need one
+    retry, but it always sees a complete, internally consistent index."""
+    import os
+    import shutil
+
     from id3c_spark.plans.ann_index import build_index, index_drift_report
 
     spark = get_spark("corpus-ann-rebuild")
@@ -1051,10 +1061,21 @@ def corpus_ann_rebuild(index_path: str, source_parquet: str, force: bool,
     if not (flagged or force):
         click.echo(json.dumps({"rebuilt": False, "flagged": False}))
         return
+    tmp = f"{index_path}.rebuild-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)  # stale crash debris of OUR pid
     versions = build_index(
-        spark.read.parquet(source_parquet), index_path,
+        spark.read.parquet(source_parquet), tmp,
         nlist=nlist, m=m, kcent=kcent, id_col=id_col, vec_col=vec_col,
     )
+    # carry a cached_index completeness marker forward if the live index
+    # is cache-managed, so cached_index keeps recognising the directory
+    live_marker = os.path.join(index_path, "_COMPLETE")
+    if os.path.exists(live_marker):
+        shutil.copy(live_marker, os.path.join(tmp, "_COMPLETE"))
+    retired = f"{index_path}.retired-{os.getpid()}"
+    os.rename(index_path, retired)
+    os.rename(tmp, index_path)
+    shutil.rmtree(retired, ignore_errors=True)
     click.echo(json.dumps(
         {"rebuilt": True, "flagged": flagged, "versions": versions}
     ))

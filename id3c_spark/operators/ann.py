@@ -152,8 +152,14 @@ def _auto_shards(df: DataFrame, cap: int = 4096) -> int:
         # stat a bounded sample and extrapolate: a 100 TB table lists
         # ~100k files, and one RPC per file would make the "cheap stats
         # step" a listing storm; shard counts only need the right order
-        # of magnitude
-        sample = files[:64]
+        # of magnitude. Stride across the SORTED listing rather than
+        # taking the first 64 — listings often lead with one bulk file
+        # or trail with compaction stragglers, and a positionally biased
+        # sample can misestimate by orders of magnitude (a severe
+        # underestimate routes the job to the single-task path)
+        ordered = sorted(files)
+        stride = max(1, len(ordered) // 64)
+        sample = ordered[::stride][:64]
         total = 0
         for f in sample:
             p = jvm.org.apache.hadoop.fs.Path(f)

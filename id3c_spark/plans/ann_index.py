@@ -38,21 +38,32 @@ def _tables(spark: SparkSession, path: str) -> dict[str, ParquetTable]:
 def _cell_stats(vectors: DataFrame) -> DataFrame:
     """(cell, n, mean_resid2) over an (id, cell, rv≡residual vector)
     relation: occupancy and mean 6-dp squared residual norm per coarse
-    cell — the drift baseline captured at build time."""
+    cell — the drift baseline captured at build time.
+
+    The mean aggregates EXACT int64 micros (sum of round(r2·1e6)) and
+    divides once, matching the knn_classify/embedding_drift discipline:
+    a float F.avg's last ulp depends on partition order, so the
+    build-time baseline and the drift report's live recompute could
+    disagree at the 6-dp rounding boundary and resid_ratio on an
+    unchanged index would not be exactly 1.0."""
     return (
         vectors.select(
             "cell",
             F.round(
                 F.aggregate(
                     "rv", F.lit(0.0), lambda acc, x: acc + x * x
-                ),
-                6,
-            ).alias("r2"),
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("r2_micros"),
         )
         .groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("r2"), 6).alias("mean_resid2"),
+            F.round(
+                F.sum("r2_micros") / F.count(F.lit(1)) / 1e6, 6
+            ).alias("mean_resid2"),
         )
     )
 
@@ -242,11 +253,16 @@ def cached_index(
         try:
             os.rename(tmp, path)  # atomic publish (same filesystem)
         except OSError:
-            # a concurrent builder won the rename — serve its copy
             if os.path.exists(marker):
+                # a concurrent builder won the rename — serve its copy
                 shutil.rmtree(tmp, ignore_errors=True)
             else:
-                raise
+                # markerless debris at the target (a crash from the old
+                # build-in-place layout, or an interrupted prune) would
+                # otherwise wedge EVERY later call: clear it and retry
+                # the publish once, restoring the old self-healing
+                shutil.rmtree(path, ignore_errors=True)
+                os.rename(tmp, path)
         # deferred prune of stale fingerprints of this corpus+params:
         # only evict directories old enough that no live process should
         # still be serving them
@@ -417,7 +433,17 @@ def serve_topk(
     is the file-level inverted-list lookup). *rerank_shortlist* adds the
     IVFADC+R refine: the ADC shortlist reranked by true cosine against
     the vectors table (also probed-cell-pruned reads via the shortlist
-    join)."""
+    join).
+
+    Precondition: *queries* must be DETERMINISTIC under re-evaluation
+    (a parquet scan, a filter, a join — not ``sample()`` or a
+    multi-partition ``limit()``). The serve path is persist-free by
+    design (per-batch persists leak in a long-lived server), so the
+    query lineage is evaluated twice — once to collect the probed
+    cells, once in the final action; a nondeterministic frame could
+    probe cells its second evaluation never assigns, silently dropping
+    candidates. Callers with nondeterministic batches should
+    ``localCheckpoint()`` the frame first."""
     from id3c_spark.operators.ann import _prep, exact_rerank
     from id3c_spark.operators.pq import _adc_topk, _assign_topn, _normalized
 

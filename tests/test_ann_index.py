@@ -247,6 +247,26 @@ def test_cached_index_builds_once_and_rebuilds_on_change(spark, tmp_path):
     assert served.count() > 0
 
 
+def test_cached_index_self_heals_markerless_debris(spark, tmp_path):
+    """A cache directory WITHOUT its _COMPLETE marker (crash debris from
+    an interrupted build or prune) must not wedge the cache: the next
+    call clears the debris, retries the atomic publish, and serves —
+    rather than raising OSError forever until a human deletes the dir."""
+    from id3c_spark.plans.ann_index import cached_index
+
+    src = str(tmp_path / "corpus_heal.parquet")
+    _emb(spark).limit(200).write.parquet(src)
+    root = str(tmp_path / "cache_heal")
+
+    p1 = cached_index(spark, src, nlist=4, m=8, kcent=8, cache_root=root)
+    os.remove(os.path.join(p1, "_COMPLETE"))  # simulate interrupted publish
+
+    p2 = cached_index(spark, src, nlist=4, m=8, kcent=8, cache_root=root)
+    assert p2 == p1
+    assert os.path.exists(os.path.join(p2, "_COMPLETE"))
+    assert serve_topk(spark, p2, _emb(spark).limit(3), k=2, nprobe=4).count() > 0
+
+
 def test_serve_topk_leaves_no_cached_blocks(spark, tmp_path):
     """Serving is leak-free: repeated serve_topk calls (with and without
     rerank) leave ZERO persisted RDDs behind — a long-lived serving
@@ -336,7 +356,10 @@ def test_index_drift_report_flags_drifted_ingest(spark, tmp_path):
     rows = index_drift_report(spark, path).collect()
     assert rows and not any(r["rebuild"] for r in rows)
     assert all(abs(r["occupancy_ratio"] - 1.0) < 1e-6 for r in rows)
-    assert all(abs(r["resid_ratio"] - 1.0) < 1e-6 for r in rows)
+    # EXACTLY 1.0: _cell_stats aggregates int64 micros, so build-time
+    # baseline and live recompute agree bit-for-bit on unchanged data —
+    # a float avg's partition-order ulp used to sit on this boundary
+    assert all(r["resid_ratio"] == 1.0 for r in rows)
 
     # drifted ingest: 500 near-copies of one corpus vector — they all
     # assign to its cell, whose occupancy SHARE balloons ~8/1.6×
@@ -394,7 +417,13 @@ def test_cli_ann_rebuild_respects_drift_policy(spark, tmp_path):
     assert res.exit_code == 0, res.output
     out = _json.loads(res.output)
     assert out["rebuilt"] and out["flagged"]
-    assert out["versions"]["codes"] >= 2  # published over the old tables
+    # the retrain lands via an atomic sibling-dir swap (never a
+    # table-by-table publish into the live path), so the new index is a
+    # fresh version-1 build and no swap debris remains
+    assert out["versions"]["codes"] == 1
+    siblings = [d for d in (tmp_path).iterdir()
+                if d.name.startswith("idx_rb.")]
+    assert siblings == []
 
     # post-rebuild the baseline is fresh: report is clean again
     rows = index_drift_report(spark, path).collect()

@@ -6216,36 +6216,78 @@ def q17_brand_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The external correctness gate enumerates only the first GATE_CAP entries of
-# the catalog.  We do NOT curate which entries fall past the cap: the catalog
-# is returned in plain registration (insertion) order, so the dropped tail is
-# whatever was registered last, not a hand-picked set.  Entries past the cap
-# are surfaced loudly (stderr + the committed VERIFY_LOCAL_r*.json artifact
-# produced by tools/verify_local.py each round) so the gap in external
-# verification is visible, not silent.
+# the catalog.  We do NOT curate which entries fall inside the cap: the
+# catalog is returned in registration (insertion) order ROTATED by a
+# deterministic, round-keyed offset — `(GATE_CAP * round) % len(catalog)`,
+# where `round` is inferred from the committed per-round artifacts
+# (1 + the newest CORRECTNESS_r{N}.json at the repo root).  The rotation is
+# mechanical, not a hand-picked set: with a 145-entry catalog the 50-entry
+# window advances 50 entries per round, so EVERY catalog entry is
+# driver-gate-verified at least once every ~3 rounds instead of the same
+# static prefix forever.  Entries outside this round's window are surfaced
+# loudly (stderr + the committed VERIFY_LOCAL_r*.json artifact produced by
+# tools/verify_local.py, which always runs the FULL catalog) so the gap in
+# external verification is visible, not silent.
 GATE_CAP = 50
 
 
+def _gate_round() -> int:
+    """The current driver round, inferred from committed artifacts: 1 + the
+    newest CORRECTNESS_r{N}.json at the repo root (a fresh checkout with no
+    artifacts sees round 1 → offset GATE_CAP). Pure repo-state function —
+    deterministic for a given checkout, no clock or env dependence."""
+    import re
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    newest = 0
+    try:
+        for f in os.listdir(root):
+            m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f)
+            if m:
+                newest = max(newest, int(m.group(1)))
+    except OSError:
+        pass
+    return newest + 1
+
+
+def gate_rotation_offset() -> int:
+    """This round's rotation of the registration order: (GATE_CAP * round)
+    mod catalog size."""
+    return (GATE_CAP * _gate_round()) % max(len(QUERIES), 1)
+
+
+def _rotated_names() -> list[str]:
+    names = list(QUERIES)
+    off = gate_rotation_offset()
+    return names[off:] + names[:off]
+
+
 def gate_dropped_queries() -> list[str]:
-    """Names of catalog entries past the external gate's entry cap, in order."""
-    return list(QUERIES)[GATE_CAP:]
+    """Names of catalog entries past the external gate's entry cap this
+    round (i.e. outside the rotated 50-entry window), in rotated order."""
+    return _rotated_names()[GATE_CAP:]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Catalog in registration (insertion) order — no reordering.
+    """Catalog in round-rotated registration order (see GATE_CAP note).
 
-    If the catalog exceeds the external gate's entry cap, the dropped tail is
-    announced on stderr; tools/verify_local.py runs the full catalog (including
-    the tail) against the same DuckDB oracles and its per-round output is
-    committed so every entry retains externally-checkable evidence."""
+    If the catalog exceeds the external gate's entry cap, the entries outside
+    this round's window are announced on stderr; tools/verify_local.py runs
+    the full catalog (including them) against the same DuckDB oracles and its
+    per-round output is committed so every entry retains externally-checkable
+    evidence every round, with driver-side evidence cycling in every ~3."""
     dropped = gate_dropped_queries()
     if dropped:
         print(
             f"[id3c_spark] NOTE: catalog has {len(QUERIES)} entries; the external "
-            f"correctness gate checks the first {GATE_CAP}. Not gate-verified this "
+            f"correctness gate checks the first {GATE_CAP} (rotation offset "
+            f"{gate_rotation_offset()} this round). Not gate-verified this "
             f"run (run tools/verify_local.py for these): {', '.join(dropped)}",
             file=sys.stderr,
         )
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _rotated_names()}
 
 
 def all_oracles() -> dict[str, str]:

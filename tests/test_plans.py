@@ -168,3 +168,35 @@ def test_aqe_splits_planted_skew_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_gate_rotation_is_deterministic_and_covers_catalog():
+    """The driver gate checks only the first GATE_CAP catalog entries, so
+    registration order ROTATES by (GATE_CAP * round) % size each round:
+    deterministic (pure repo-state), a permutation of the full catalog,
+    and the rotating 50-entry window reaches EVERY entry within
+    ceil(size/GATE_CAP) consecutive rounds — no query is forever outside
+    driver-side verification."""
+    from id3c_spark.plans.queries import (
+        GATE_CAP,
+        QUERIES,
+        _gate_round,
+        all_queries,
+        gate_dropped_queries,
+        gate_rotation_offset,
+    )
+
+    orig = list(QUERIES)
+    rotated = list(all_queries())
+    off = gate_rotation_offset()
+    assert off == (GATE_CAP * _gate_round()) % len(orig)
+    assert rotated == orig[off:] + orig[:off]  # a rotation, not a curation
+    assert rotated == list(all_queries())  # deterministic across calls
+    assert set(gate_dropped_queries()) == set(rotated[GATE_CAP:])
+
+    rounds_to_cover = -(-len(orig) // GATE_CAP) + 1
+    covered = set()
+    for rnd in range(_gate_round(), _gate_round() + rounds_to_cover):
+        o = (GATE_CAP * rnd) % len(orig)
+        covered |= set((orig[o:] + orig[:o])[:GATE_CAP])
+    assert covered == set(orig)

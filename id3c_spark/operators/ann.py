@@ -142,32 +142,44 @@ def _auto_shards(df: DataFrame, cap: int = 4096) -> int:
     just gets a few extra (cheap, possibly empty) blocks. Frames with
     no file lineage (in-memory, post-shuffle) keep the exact
     column-pruned count."""
+    total = source_bytes(df)
+    if total is not None:
+        return max(1, min(cap, -(-total // AUTO_SHARD_BYTES)))
+    n = df.count()
+    return max(1, min(cap, -(-n // AUTO_SHARD_ROWS)))
+
+
+def source_bytes(df: DataFrame) -> int | None:
+    """Estimated total source-file bytes behind *df*, or None when the
+    frame has no file lineage (in-memory, post-shuffle). Driver-side
+    listing only — NO Spark job (at 100 TB a listing beats a scan
+    outright; bytes are the same statistic Spark itself sizes scan
+    partitions from).
+
+    Stats a bounded sample and extrapolates: a 100 TB table lists ~100k
+    files, and one RPC per file would make the "cheap stats step" a
+    listing storm; byte-driven layout choices only need the right order
+    of magnitude. The sample STRIDES across the sorted listing rather
+    than taking the first 64 — listings often lead with one bulk file
+    or trail with compaction stragglers, and a positionally biased
+    sample can misestimate by orders of magnitude (a severe
+    underestimate routes jobs to their single-task paths)."""
     try:
         files = df.inputFiles()
     except Exception:
         files = []
-    if files:
-        jvm = df.sparkSession._jvm
-        conf = df.sparkSession._jsc.hadoopConfiguration()
-        # stat a bounded sample and extrapolate: a 100 TB table lists
-        # ~100k files, and one RPC per file would make the "cheap stats
-        # step" a listing storm; shard counts only need the right order
-        # of magnitude. Stride across the SORTED listing rather than
-        # taking the first 64 — listings often lead with one bulk file
-        # or trail with compaction stragglers, and a positionally biased
-        # sample can misestimate by orders of magnitude (a severe
-        # underestimate routes the job to the single-task path)
-        ordered = sorted(files)
-        stride = max(1, len(ordered) // 64)
-        sample = ordered[::stride][:64]
-        total = 0
-        for f in sample:
-            p = jvm.org.apache.hadoop.fs.Path(f)
-            total += p.getFileSystem(conf).getFileStatus(p).getLen()
-        total = int(total * len(files) / len(sample))
-        return max(1, min(cap, -(-total // AUTO_SHARD_BYTES)))
-    n = df.count()
-    return max(1, min(cap, -(-n // AUTO_SHARD_ROWS)))
+    if not files:
+        return None
+    jvm = df.sparkSession._jvm
+    conf = df.sparkSession._jsc.hadoopConfiguration()
+    ordered = sorted(files)
+    stride = max(1, len(ordered) // 64)
+    sample = ordered[::stride][:64]
+    total = 0
+    for f in sample:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        total += p.getFileSystem(conf).getFileStatus(p).getLen()
+    return int(total * len(files) / len(sample))
 
 
 def cosine_topk(

@@ -28,6 +28,27 @@ from id3c_spark.functions.text import token_count
 from id3c_spark.operators import corpus, dedup
 
 
+class _LazyStages(dict):
+    """Stage map whose tail entries build on first access: curate()
+    returns every stage, but constructing a plan nobody reads is not
+    free — the pack/shard tail alone costs ~0.15 s of driver-side
+    DataFrame construction (a pandas-UDF registration plus py4j
+    chatter) — so callers that act on one stage (the oracle-verified
+    composition query reads only ``sampled``) should not pay for the
+    others. Item access is the whole consumer contract (every caller
+    does ``stages["name"]``); iteration/len reflect already-built
+    entries only."""
+
+    def __init__(self, eager: dict, thunks: dict):
+        super().__init__(eager)
+        self._thunks = thunks
+
+    def __getitem__(self, key):
+        if not super().__contains__(key) and key in self._thunks:
+            super().__setitem__(key, self._thunks.pop(key)())
+        return super().__getitem__(key)
+
+
 def curate(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -115,17 +136,25 @@ def curate(
         unique, id_col, stratum_col, sample_rates or {}, default_rate
     )
 
-    with_tokens = sampled.withColumn("n_tokens", token_count(F.col(text_col)))
-    packed = corpus.pack_sequences(with_tokens, id_col, "n_tokens", token_budget)
-    shards = corpus.shuffle_shards(sampled, id_col, n_shards)
+    def _packed() -> DataFrame:
+        with_tokens = sampled.withColumn(
+            "n_tokens", token_count(F.col(text_col))
+        )
+        return corpus.pack_sequences(
+            with_tokens, id_col, "n_tokens", token_budget
+        )
 
-    return {
-        "metrics": metrics,
-        "quality": quality,
-        "clean": clean,
-        "exact": exact,
-        "unique": unique,
-        "sampled": sampled,
-        "packed": packed,
-        "shards": shards,
-    }
+    return _LazyStages(
+        {
+            "metrics": metrics,
+            "quality": quality,
+            "clean": clean,
+            "exact": exact,
+            "unique": unique,
+            "sampled": sampled,
+        },
+        {
+            "packed": _packed,
+            "shards": lambda: corpus.shuffle_shards(sampled, id_col, n_shards),
+        },
+    )

@@ -349,10 +349,71 @@ def resize_images(media: DataFrame, max_width: int, max_height: int) -> DataFram
     return resized.unionByName(others)
 
 
-def _gray_matrix(content: bytes):
+#: Pluggable pixel decoders for formats whose codecs are not in this
+#: image: {format: callable(bytes) -> H×W or H×W×C numpy array, or None
+#: on failure}. register_pixel_decoder() installs one; an environment
+#: WITH PIL gets JPEG/GIF/WebP pixel decode automatically at import (see
+#: _try_register_pil) — no code changes. Formats: "jpeg", "gif", "webp".
+_PIXEL_DECODERS: dict = {}
+
+
+def register_pixel_decoder(fmt: str, fn) -> None:
+    """Install a pixel decoder for *fmt* ("jpeg"/"gif"/"webp"): a
+    callable(bytes) returning an H×W grayscale or H×W×C color numpy
+    array (None on failure). The decoder must be picklable — the
+    Arrow-batched image stages snapshot the registry into their
+    closures at plan-build time, so driver-side registration reaches
+    executor workers."""
+    _PIXEL_DECODERS[fmt] = fn
+
+
+def _try_register_pil() -> None:
+    """Auto-register PIL-backed decoders when Pillow is importable: the
+    honest header-only stub stays the default in this image (no codec
+    libs), and a production environment with PIL gets pixel decode —
+    and therefore pixel aHash for JPEG — without touching code."""
+    try:
+        from PIL import Image  # noqa: F401
+    except Exception:
+        return
+
+    def pil_decode(content: bytes):
+        import io
+
+        import numpy as np
+        from PIL import Image as _Image
+
+        try:
+            img = _Image.open(io.BytesIO(content)).convert("RGB")
+            return np.asarray(img, dtype=np.float64)
+        except Exception:
+            return None
+
+    for fmt in ("jpeg", "gif", "webp"):
+        _PIXEL_DECODERS.setdefault(fmt, pil_decode)
+
+
+_try_register_pil()
+
+
+def _sniff_stub_format(content: bytes) -> str | None:
+    """Signature sniff for the formats behind the pluggable decoder
+    boundary (PNG/BMP decode natively and never reach this)."""
+    if content[:2] == b"\xff\xd8":
+        return "jpeg"
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        return "webp"
+    return None
+
+
+def _gray_matrix(content: bytes, decoders: dict | None = None):
     """H×W float64 grayscale matrix from a decodable PNG or BMP, top-down
-    row order; None when the format only has a header parser (JPEG/GIF —
-    same stub boundary as _decode_image). Alpha channels are dropped
+    row order; for JPEG/GIF/WebP, a decoder from *decoders* (a registry
+    snapshot captured into the executor closure) or the module registry
+    runs if installed — else None, the honest stub boundary (same
+    contract as _decode_image). Alpha channels are dropped
     before the channel mean so gray values agree across RGB/RGBA/gray
     encodings of the same picture; BMP's bottom-up rows are flipped and
     its BGR order is irrelevant to a channel mean."""
@@ -420,6 +481,14 @@ def _gray_matrix(content: bytes):
         if bpp == 4:                     # BGRA → drop alpha
             mat = mat[:, :, :3]
         return mat.mean(axis=2)
+    fmt = _sniff_stub_format(content)
+    fn = (decoders if decoders is not None else _PIXEL_DECODERS).get(fmt)
+    if fn is not None:
+        pixels = fn(content)
+        if pixels is None:
+            return None
+        mat = np.asarray(pixels, dtype=np.float64)
+        return mat.mean(axis=2) if mat.ndim == 3 else mat
     return None
 
 
@@ -459,12 +528,19 @@ def image_phash(media: DataFrame, grid: int = 8) -> DataFrame:
     downstream pair-join (image_phash_pairs) never touches image bytes
     again — exactly the media-dedup shape for a 100 TB image corpus."""
     images = media.filter(F.col("kind") == "image")
+    # snapshot the decoder registry at PLAN-BUILD time: executor workers
+    # import this module fresh, so driver-side register_pixel_decoder
+    # calls only reach them via the pickled closure
+    decoders = dict(_PIXEL_DECODERS)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             hashes = []
             for content in pdf["content"]:
-                gray = _gray_matrix(bytes(content) if content is not None else None)
+                gray = _gray_matrix(
+                    bytes(content) if content is not None else None,
+                    decoders=decoders,
+                )
                 hashes.append(_ahash(gray, grid) if gray is not None else None)
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "phash": pd.array(hashes, dtype="Int64")}
@@ -483,11 +559,13 @@ def image_phash_pairs(
     max_hamming < bands by pigeonhole). Returns (id_a, id_b, hamming)."""
     from id3c_spark.operators.ann import sketch_hamming_pairs
 
+    # no persist: sketch_hamming_pairs shares the hash pass across both
+    # self-join sides via its join-key exchange (ReusedExchange) — a
+    # cache here would leak storage blocks past the caller's action
     sk = (
         image_phash(media, grid)
         .filter(F.col("phash").isNotNull())
         .select(F.col("media_id").alias("id"), F.col("phash").alias("sketch"))
-        .persist()
     )
     return sketch_hamming_pairs(sk, grid * grid, bands, max_hamming)
 
@@ -508,12 +586,16 @@ def streaming_image_dedup(
     from id3c_spark.streaming.stateful import streaming_dedup
 
     images = stream.filter(F.col("kind") == "image")
+    decoders = dict(_PIXEL_DECODERS)  # see image_phash: closure snapshot
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             hashes = []
             for content in pdf["content"]:
-                gray = _gray_matrix(bytes(content) if content is not None else None)
+                gray = _gray_matrix(
+                    bytes(content) if content is not None else None,
+                    decoders=decoders,
+                )
                 hashes.append(_ahash(gray, grid) if gray is not None else None)
             yield pd.DataFrame(
                 {

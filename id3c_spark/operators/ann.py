@@ -226,9 +226,14 @@ def cosine_topk(
     same = queries is corpus and query_blocks == corpus_shards
     qpacked = _packed_blocks(queries, id_col, vec_col, query_blocks, "qb")
     if same:
-        # self-search: one packing pass feeds both crossJoin sides
-        # (n_blocks rows of a few hundred KB — cheap to keep)
-        qpacked = qpacked.persist()
+        # self-search: one packing pass feeds both crossJoin sides. An
+        # explicit exchange below the crossJoin makes the two sides the
+        # identical shuffle, which Spark reuses (ReusedExchange) — the
+        # packing mapInPandas runs ONCE per action with nothing cached,
+        # so repeated calls leak no storage blocks (a persist here
+        # outlived the caller's action; measured the exchange is also
+        # faster than the cache write at bench scale)
+        qpacked = qpacked.repartition("qb")
         cpacked = qpacked
     else:
         cpacked = _packed_blocks(corpus, id_col, vec_col, corpus_shards, "cb")
@@ -296,8 +301,11 @@ def cosine_pairs_above(
     import pandas as pd
 
     corpus_shards = corpus_shards or _auto_shards(corpus)
-    # persisted: feeds both crossJoin sides (n_blocks small rows)
-    blocks = _packed_blocks(corpus, id_col, vec_col, corpus_shards, "qb").persist()
+    # one exchange feeds both crossJoin sides via ReusedExchange — the
+    # packing pass runs once per action, nothing cached (see cosine_topk)
+    blocks = _packed_blocks(
+        corpus, id_col, vec_col, corpus_shards, "qb"
+    ).repartition("qb")
     pairs = blocks.toDF("qb", "a_ids", "a_mat").crossJoin(
         blocks.toDF("cb", "c_ids", "c_mat")
     )
@@ -455,6 +463,12 @@ def sketch_hamming_pairs(
             )
         ).alias("bv"),
     ).select("id", "sketch", "bv.band", "bv.val")
+    # one exchange on the join keys BELOW the self-join: both sides are
+    # then the identical shuffle and Spark reuses it (ReusedExchange), so
+    # the sketch pipeline upstream computes ONCE per action with no
+    # persist — a persist here would outlive the caller's action and
+    # accumulate storage blocks across calls in a long-lived session
+    banded = banded.repartition("band", "val")
     left = banded.select(
         F.col("id").alias("id_a"), F.col("sketch").alias("sk_a"), "band", "val"
     )
@@ -484,7 +498,10 @@ def srp_pairs(
     planes — angular near-duplicate candidates found WITHOUT any vector
     math at join time; see sketch_hamming_pairs for the completeness
     argument and scale shape."""
-    sk = srp_sketch(df, id_col, vec_col, bits, seed).persist()
+    # no persist: sketch_hamming_pairs shares the sketch pass across both
+    # self-join sides via its join-key exchange (ReusedExchange), so a
+    # cache here would only leak storage blocks past the caller's action
+    sk = srp_sketch(df, id_col, vec_col, bits, seed)
     return sketch_hamming_pairs(sk, bits, bands, max_hamming)
 
 
@@ -593,7 +610,11 @@ def ivf_topk(
     cell id, so cells are the unit of parallelism. Recall/cost is tuned by
     (nlist, nprobe) exactly like FAISS IVF.
     """
-    cp = _prep(corpus, id_col, vec_col).persist() if queries is corpus else _prep(corpus, id_col, vec_col)
+    # no persist: the only internal action (the pivot collect) reads cp
+    # once, and the lazy tail's re-reads are a projection over the source
+    # scan — a cache would outlive the caller's action (leak) for zero
+    # shared work
+    cp = _prep(corpus, id_col, vec_col)
     qp = cp if queries is corpus else _prep(queries, id_col, vec_col)
     bp = _ivf_pivots(cp, nlist)
     cells = _ivf_assign(cp, bp, 1)
@@ -636,19 +657,30 @@ def ivf_trained_topk(
     from id3c_spark.operators.pq import _assign_topn, _normalized, pq_train
 
     same = queries is corpus
+    train_here = coarse is None
     cp = _prep(corpus, id_col, vec_col)
-    cp = cp.persist() if same else cp
+    # persists span ONLY the training action (the pq.py discipline):
+    # after pq_train's Lloyd passes the caches are released, and the lazy
+    # tail recomputes the prep/normalize Arrow passes at most once each —
+    # deterministic, so results are bit-identical. With an injected
+    # pretrained *coarse* there is no internal action and nothing caches.
+    cp = cp.persist() if (same and train_here) else cp
     qp = cp if same else _prep(queries, id_col, vec_col)
-    vn = _normalized(cp).persist()
+    vn = _normalized(cp)
+    vn = vn.persist() if train_here else vn
     qn = vn if same else _normalized(qp)
-    if coarse is None:
+    if train_here:
         coarse = pq_train(vn, "id", "v", m=1, k=nlist, max_iter=train_iter)
+        vn.unpersist()
     bcg = cp.sparkSession.sparkContext.broadcast(coarse)
     cells = _assign_topn(vn, bcg, 1)
     probes = _assign_topn(qn, bcg, nprobe)
     # packed per-cell GEMM over the RAW vectors (cosine is scale-free, so
     # scoring raw while assigning normalized is exact) — see ivf_topk
-    return _cell_gemm_topk(probes.join(qp, "id"), cells.join(cp, "id"), k)
+    out = _cell_gemm_topk(probes.join(qp, "id"), cells.join(cp, "id"), k)
+    if same and train_here:
+        cp.unpersist()
+    return out
 
 
 def lsh_bucketed_topk(
@@ -730,11 +762,13 @@ def lsh_bucketed_topk(
         )
 
     # self-search (queries IS corpus, the common dedup/knn-graph case):
-    # compute the band signatures once and persist — both join sides and
-    # the GEMM below would otherwise re-run the mapInPandas pass
+    # the explicit exchange on the join keys makes both candidate-join
+    # sides the identical shuffle, so the band-signature mapInPandas runs
+    # once per action via ReusedExchange — with nothing persisted,
+    # repeated calls leak no storage blocks
     qb = prep(queries).mapInPandas(
         band_rows("q", probes=multiprobe), "id long, band int, sig long"
-    ).persist()
+    ).repartition("band", "sig")
     cb = (
         prep(corpus).mapInPandas(band_rows("c"), "id long, band int, sig long")
         if multiprobe and queries is corpus
@@ -903,6 +937,12 @@ def semantic_dedup(
     dups = block_pairs.mapInPandas(cell_pairs, "query_id long, neighbor_id long")
 
     clusters = dedup_clusters(dups, "query_id", "neighbor_id")
+    # dedup_clusters is EAGER (it materializes the pair relation), so
+    # every internal action the caches span — the nlist count, the pivot
+    # collect, and the pair scoring — is done: release them now. The lazy
+    # tail re-derives cp's projection once; repeated calls leak nothing.
+    packed.unpersist()
+    cp.unpersist()
     ids = cp.select("id")
     out = (
         ids.join(clusters, "id", "left")

@@ -84,6 +84,20 @@ def soft_dedup_weights(
     )
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release the cached RDD behind a localCheckpointed frame. ONLY safe
+    when nothing will read the frame again — a truncated lineage cannot
+    recompute, so unpersisting a checkpoint that is still referenced
+    fails the job. Used by iterative algorithms to drop superseded
+    per-round checkpoints (N rounds over a large relation must not pin N
+    copies in executor storage). Best-effort: a leaked superseded round
+    beats a crashed job if the internal plan shape ever changes."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def words_relation(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, pos, w) — one row per word occurrence: the tokenize+explode
     pass every shingle-based operator starts from. Build it ONCE, persist,
@@ -634,18 +648,17 @@ def dedup_clusters(
     Both regimes produce identical min-label components, so the DuckDB
     oracle's recursive reachability replay matches either path.
     """
-    # localCheckpoint (not persist): iterative plans grow a level of
-    # lineage per round, and Spark's plan stringification alone OOMs past
-    # ~15 rounds — checkpointing truncates the logical plan so every round
-    # starts from a LogicalRDD of constant depth. The heavy pair pipeline
-    # is materialized exactly once, as the RAW directed pairs: the
-    # symmetrize+distinct pass (one extra shuffle over data the driver
-    # regime never needs) is deferred until the distributed label path is
-    # actually chosen.
-    raw = pairs.select(
-        F.col(id_a).alias("a"), F.col(id_b).alias("b")
-    ).localCheckpoint()
-    if raw.count() <= driver_cutoff:
+    # Regime choice via a BOUNDED probe — limit(cutoff+1).collect() runs
+    # the heavy pair pipeline once (its shuffle map stages execute fully;
+    # only the result stage is taken incrementally) and collects at most
+    # cutoff+1 rows, so driver memory stays bounded while the common
+    # small-graph case needs NO checkpoint at all: the old
+    # localCheckpoint-then-count shape pinned the materialized pairs in
+    # executor storage forever (a leak in every dedup_clusters consumer —
+    # semantic_dedup, the curation flow, the dup-cluster queries).
+    raw_plan = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    probe = raw_plan.limit(driver_cutoff + 1).collect()
+    if len(probe) <= driver_cutoff:
         parent: dict = {}
 
         def find(x):
@@ -656,7 +669,7 @@ def dedup_clusters(
                 parent[x], x = root, parent[x]
             return root
 
-        rows = raw.collect()
+        rows = probe
         for row in rows:
             ra, rb = find(row["a"]), find(row["b"])
             if ra != rb:                       # min root wins → min labels
@@ -668,22 +681,38 @@ def dedup_clusters(
         # schema follows the edges' id type (string ids etc. — not just long)
         from pyspark.sql.types import StructField, StructType
 
-        id_type = raw.schema["a"].dataType
+        id_type = raw_plan.schema["a"].dataType
         schema = StructType(
             [StructField("id", id_type), StructField("cluster", id_type)]
         )
         return pairs.sparkSession.createDataFrame(out, schema)
 
+    # Distributed label propagation. localCheckpoint (not persist):
+    # iterative plans grow a level of lineage per round, and Spark's plan
+    # stringification alone OOMs past ~15 rounds — checkpointing truncates
+    # the logical plan so every round starts from a LogicalRDD of constant
+    # depth. The pair pipeline runs once more here (the probe above could
+    # not keep it without pinning storage in the small regime); large
+    # graphs pay one extra pass, then O(log diameter) rounds dominate.
+    # Superseded checkpoints are FREED as soon as the next round's
+    # checkpoint materializes — 30 rounds over a billion-node label
+    # relation must not pin 30 copies in executor storage. The FINAL
+    # labels checkpoint stays cached deliberately: it backs the returned
+    # frame (a truncated lineage cannot recompute), and it is one
+    # (node, label) relation, not a per-round accumulation.
+    raw = raw_plan.localCheckpoint()
     edges = (
         raw.unionByName(raw.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint()
     )
+    _free_local_checkpoint(raw)  # symmetrized edges supersede the raw pairs
     labels = (
         edges.select(F.col("a").alias("node")).distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    prev_ckpt = labels  # the checkpointed frame itself (not a projection)
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(
@@ -716,9 +745,12 @@ def dedup_clusters(
             .localCheckpoint()
         )
         changed = new_labels.filter("changed").limit(1).count()
+        _free_local_checkpoint(prev_ckpt)  # superseded by the new round
+        prev_ckpt = new_labels
         labels = new_labels.drop("changed")
         if not changed:
             break
+    _free_local_checkpoint(edges)  # the returned frame reads only labels
     return labels.select(F.col("node").alias("id"), F.col("label").alias("cluster"))
 
 

@@ -100,7 +100,7 @@ def curate(
 
     exact_keep = dedup.exact_dedup(clean, text_col, id_col).select(id_col)
     # persist: the widest fan-out point — the near-dup pair generator
-    # (which materializes twice inside dedup_clusters' convergence check),
+    # (materialized by dedup_clusters' regime probe),
     # the `unique` anti-join, and every returned stage all re-derive the
     # full quality→decontaminate→exact lineage otherwise (Spark does not
     # dedupe common subplans across actions).

@@ -43,12 +43,16 @@ def _batch_relations(
     k: int,
     num_hashes: int,
     bands: int,
-) -> tuple[DataFrame, DataFrame]:
-    """(distinct shingles (id, sh), banded signatures (id, band, bh))
-    for one side — the same primitives incremental_lsh_dedup composes."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(distinct shingles (id, sh), banded signatures (id, band, bh),
+    persisted shingle-occurrence relation) for one side — the same
+    primitives incremental_lsh_dedup composes. The returned occurrence
+    relation is PERSISTED (it feeds both outputs); the caller must
+    ``unpersist()`` it once its own actions are done, or repeated calls
+    accumulate storage blocks in a long-lived session."""
     occ = dedup._exploded_shingles(df, id_col, text_col, k).persist()
     sigs = dedup._minhash_banded(occ, num_hashes, bands)
-    return occ.distinct(), sigs
+    return occ.distinct(), sigs, occ
 
 
 def build_dedup_index(
@@ -64,9 +68,9 @@ def build_dedup_index(
     """Publish the signatures + shingles tables for *corpus*."""
     assert num_hashes % bands == 0
     spark = corpus.sparkSession
-    sh, sigs = _batch_relations(corpus, id_col, text_col, k, num_hashes, bands)
+    sh, sigs, occ = _batch_relations(corpus, id_col, text_col, k, num_hashes, bands)
     t = _tables(spark, path)
-    return {
+    versions = {
         "signatures": t["signatures"].publish(
             sigs, cluster_by=["band", "bh"], partitions=files_per_table
         ),
@@ -74,6 +78,8 @@ def build_dedup_index(
             sh, cluster_by=["id"], partitions=files_per_table
         ),
     }
+    occ.unpersist()  # both publishes (the cache's consumers) are done
+    return versions
 
 
 def dedup_against_index(
@@ -101,7 +107,7 @@ def dedup_against_index(
     falls back to scanning the full shingles table; the equi-join on the
     candidate pairs keeps results identical either way."""
     t = _tables(spark, path)
-    batch_sh, batch_sigs = _batch_relations(
+    batch_sh, batch_sigs, occ = _batch_relations(
         new_batch, id_col, text_col, k, num_hashes, bands
     )
     cand = (
@@ -118,6 +124,14 @@ def dedup_against_index(
         r.corpus_id
         for r in cand.select("corpus_id").distinct().limit(prune_cap + 1).collect()
     ]
+    # the prune collect — the action the caches span — is done: release
+    # both NOW (the pq.py discipline) rather than leaking storage blocks
+    # past this call. The lazy tail re-derives each at most once, fully
+    # deterministically (md5 shingles/hashes, broadcast batch side, a
+    # versioned immutable corpus table), so results are bit-identical;
+    # the recomputes are one batch re-shingle + one candidate-join pass.
+    occ.unpersist()
+    cand.unpersist()
     if len(cand_ids) > prune_cap:
         corpus_sh = t["shingles"].read()
     else:
@@ -161,8 +175,10 @@ def add_batch(
     file-granular, so ingest cost is O(batch), and future batches dedup
     against old + new together."""
     t = _tables(spark, path)
-    sh, sigs = _batch_relations(new_batch, id_col, text_col, k, num_hashes, bands)
-    return {
+    sh, sigs, occ = _batch_relations(new_batch, id_col, text_col, k, num_hashes, bands)
+    versions = {
         "signatures": t["signatures"].append(sigs.select("id", "band", "bh")),
         "shingles": t["shingles"].append(sh.select("id", "sh")),
     }
+    occ.unpersist()  # both appends (the cache's consumers) are done
+    return versions

@@ -55,7 +55,7 @@ def test_index_verify_prunes_to_candidate_files(spark, tmp_path):
     # reproduce the pruning decision: candidate ids from the band join
     from id3c_spark.plans.dedup_index import _batch_relations
 
-    _, sigs = _batch_relations(batch, "doc_id", "text", 3, 32, 8)
+    _, sigs, occ = _batch_relations(batch, "doc_id", "text", 3, 32, 8)
     cand_ids = [
         r.id
         for r in t["signatures"].read().alias("c")
@@ -67,6 +67,7 @@ def test_index_verify_prunes_to_candidate_files(spark, tmp_path):
         .select(F.col("c.id")).distinct().collect()
     ]
     kept = t["shingles"].pruned_files_in("id", cand_ids)
+    occ.unpersist()
     assert len(kept) < n_files
 
 

@@ -1,0 +1,142 @@
+"""Persist hygiene across the in-memory ANN / dedup operator family:
+repeated calls leave ZERO storage blocks behind (a long-lived session
+must not accumulate caches per call), and the leak-free plans return
+bit-identical results call after call — the serve_topk discipline
+(test_ann_index.py) extended to every operator VERDICT r10 flagged:
+cosine_topk, cosine_pairs_above, srp_pairs, lsh_bucketed_topk,
+ivf_topk, ivf_trained_topk, semantic_dedup, and the persisted dedup
+index's build/query/add paths."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from id3c_spark.operators import ann
+
+
+def _emb(spark, n=200):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(F.col("vec_id") < n)
+    )
+
+
+def _docs(spark, n=120):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < n)
+        .select("doc_id", "text")
+    )
+
+
+def _n_cached(spark, deadline=5.0):
+    """Number of cached RDDs, polling briefly: unpersist is async."""
+    n = None
+    t0 = time.time()
+    while time.time() - t0 < deadline:
+        n = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+        if n == 0:
+            return 0
+        time.sleep(0.1)
+    return n
+
+
+def _assert_leak_free_and_stable(spark, build, rounds=3):
+    """Call *build* repeatedly: every call collects identical rows and
+    leaves no cached blocks."""
+    spark.catalog.clearCache()
+    assert _n_cached(spark) == 0
+    first = None
+    for _ in range(rounds):
+        got = sorted(map(tuple, build().collect()))
+        if first is None:
+            first = got
+            assert first  # a leak test over an empty result proves nothing
+        assert got == first
+        assert _n_cached(spark) == 0
+
+
+def test_cosine_topk_self_search_leak_free(spark):
+    emb = _emb(spark)
+    _assert_leak_free_and_stable(
+        spark, lambda: ann.cosine_topk(emb, emb, k=3)
+    )
+
+
+def test_cosine_pairs_above_leak_free(spark):
+    emb = _emb(spark)
+    _assert_leak_free_and_stable(
+        spark, lambda: ann.cosine_pairs_above(emb, threshold=0.35)
+    )
+
+
+def test_srp_pairs_leak_free(spark):
+    emb = _emb(spark)
+    _assert_leak_free_and_stable(
+        spark,
+        lambda: ann.srp_pairs(emb, "vec_id", "embedding",
+                              bits=48, bands=12, max_hamming=11),
+    )
+
+
+def test_lsh_bucketed_topk_leak_free(spark):
+    emb = _emb(spark)
+    _assert_leak_free_and_stable(
+        spark,
+        lambda: ann.lsh_bucketed_topk(emb, emb, dim=64, k=3,
+                                      planes=16, bands=4),
+    )
+
+
+def test_ivf_topk_self_search_leak_free(spark):
+    emb = _emb(spark)
+    _assert_leak_free_and_stable(
+        spark, lambda: ann.ivf_topk(emb, emb, k=3, nlist=8, nprobe=2)
+    )
+
+
+def test_ivf_trained_topk_leak_free(spark):
+    emb = _emb(spark)
+    _assert_leak_free_and_stable(
+        spark,
+        lambda: ann.ivf_trained_topk(emb, emb, k=3, nlist=4, nprobe=2,
+                                     train_iter=1),
+    )
+
+
+def test_semantic_dedup_leak_free(spark):
+    emb = _emb(spark)
+    _assert_leak_free_and_stable(
+        spark, lambda: ann.semantic_dedup(emb, threshold=0.9, nlist=4)
+    )
+
+
+def test_dedup_index_paths_leak_free(spark, tmp_path):
+    """build → repeated query → add on the persisted near-dup index: no
+    path leaves cached blocks, and repeated queries return identical
+    matches."""
+    from id3c_spark.plans.dedup_index import (
+        add_batch,
+        build_dedup_index,
+        dedup_against_index,
+    )
+
+    docs = _docs(spark, 120)
+    batch = _docs(spark, 240).filter(F.col("doc_id") >= 120)
+    path = str(tmp_path / "dedup_idx")
+
+    spark.catalog.clearCache()
+    assert _n_cached(spark) == 0
+    build_dedup_index(docs, path)
+    assert _n_cached(spark) == 0
+
+    _assert_leak_free_and_stable(
+        spark,
+        lambda: dedup_against_index(spark, path, batch, threshold=0.2),
+    )
+
+    add_batch(spark, path, batch)
+    assert _n_cached(spark) == 0

@@ -111,7 +111,7 @@ def main() -> None:
 
         cached_index(
             spark, f"{sf_dir}/embeddings.parquet",
-            nlist=8, m=16, kcent=256, train_iter=2,
+            nlist=8, m=16, kcent=256, train_iter=2, assign_n=2,
         )
     except Exception:
         pass  # missing table etc. — queries fall back to building inline

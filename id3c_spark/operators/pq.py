@@ -224,6 +224,41 @@ def pq_encode(
     )
 
 
+def pq_encode_cells(rows: DataFrame, codebooks) -> DataFrame:
+    """(id, cell, codes array<int>) for an (id, cell, v) residual
+    relation — the cell-keyed encode the multi-assign index needs
+    (pq_encode groups by id alone, which cross-mixes an id's per-cell
+    residual rows). One Arrow pass, NO shuffle: all m subspace argmins
+    emit directly as the codes array (6-dp rounded squared L2, lowest
+    centroid index on ties — the same discipline as _subspace_assign,
+    so single-assign output is value-identical to pq_encode's)."""
+    import numpy as np
+    import pandas as pd
+
+    bc = rows.sparkSession.sparkContext.broadcast(codebooks)
+
+    def gen(batches):
+        cent = bc.value  # (m, k*, dsub)
+        m, _, dsub = cent.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            xs = x.reshape(len(x), m, dsub)
+            codes = np.empty((len(x), m), dtype=np.int64)
+            for s in range(m):
+                d2 = np.round(
+                    ((xs[:, s, None, :] - cent[s][None, :, :]) ** 2).sum(axis=2),
+                    6,
+                )
+                codes[:, s] = d2.argmin(axis=1)  # first (lowest) index on ties
+            yield pd.DataFrame(
+                {"id": pdf["id"], "cell": pdf["cell"], "codes": list(codes)}
+            )
+
+    return rows.mapInPandas(gen, "id long, cell long, codes array<int>")
+
+
 def pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -379,11 +414,25 @@ def _residuals(vn: DataFrame, cells: DataFrame, bcg) -> DataFrame:
     re-encoding the cell offset are codes not spent on the neighborhood
     structure recall needs). *bcg* broadcasts the (1, nlist, dim) coarse
     codebook; *cells* is (id, cell-index). One id equi-join + one Arrow
-    pass; the DuckDB oracle mirrors the same double arithmetic."""
+    pass; the DuckDB oracle mirrors the same double arithmetic.
+
+    Single-assignment shape: *cells* must be one row per id (the id
+    equi-join would cross-pair multi-assigned rows) — multi-assign
+    callers build the (id, cell, v) relation themselves and use
+    _residuals_rows."""
+    return _residuals_rows(cells.join(vn, "id"), bcg, keep_cell=False)
+
+
+def _residuals_rows(
+    rows: DataFrame, bcg, keep_cell: bool = False
+) -> DataFrame:
+    """Residuals for an ALREADY-joined (id, cell, v) relation — the
+    multi-assign-safe kernel under _residuals: each row subtracts ITS
+    row's cell centroid, so an id assigned to a (its top-a) cells
+    yields a residual rows keyed (id, cell) with no cross-pairing.
+    *keep_cell* carries the cell through for cell-keyed encoding."""
     import numpy as np
     import pandas as pd
-
-    joined = cells.join(vn, "id")
 
     def gen(batches):
         cent = bcg.value[0]  # (nlist, dim)
@@ -392,9 +441,18 @@ def _residuals(vn: DataFrame, cells: DataFrame, bcg) -> DataFrame:
                 continue
             x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
             p = cent[pdf["cell"].to_numpy(dtype=np.int64)]
-            yield pd.DataFrame({"id": pdf["id"], "v": list(x - p)})
+            out = {"id": pdf["id"]}
+            if keep_cell:
+                out["cell"] = pdf["cell"]
+            out["v"] = list(x - p)
+            yield pd.DataFrame(out)
 
-    return joined.mapInPandas(gen, "id long, v array<double>")
+    schema = (
+        "id long, cell long, v array<double>"
+        if keep_cell
+        else "id long, v array<double>"
+    )
+    return rows.mapInPandas(gen, schema)
 
 
 def _assign_topn(vn: DataFrame, bcg, n: int) -> DataFrame:
@@ -535,6 +593,7 @@ def _adc_topk(
     residual: bool,
     cell_splits: int | None = 1,
     split_rows: int = 65536,
+    dedup_pairs: bool = False,
 ) -> DataFrame:
     """The IVFPQ scoring stage, factored out so a PERSISTED index
     (plans/ann_index.py) serves through the identical code path as the
@@ -677,6 +736,16 @@ def _adc_topk(
     partial = joined.mapInPandas(
         score, "query_id long, neighbor_id long, dist double"
     )
+    if dedup_pairs:
+        # multi-assigned corpora surface the same (query, neighbor) pair
+        # once per shared probed cell, each with that cell's own residual
+        # ADC estimate — keep the MIN (the better estimate; FAISS
+        # multi-assign semantics). Exact under per-pack partial top-k:
+        # any pack row beating a pair's best row belongs to a pair whose
+        # deduped dist is also better, so the global top-k is unchanged.
+        partial = partial.groupBy("query_id", "neighbor_id").agg(
+            F.min("dist").alias("dist")
+        )
     w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
     return (
         partial.withColumn("rank", F.row_number().over(w))

@@ -31,8 +31,22 @@ from id3c_spark.sources.store import ParquetTable
 def _tables(spark: SparkSession, path: str) -> dict[str, ParquetTable]:
     return {
         name: ParquetTable(spark, f"{path}/{name}")
-        for name in ("centroids", "codebooks", "codes", "vectors", "stats")
+        for name in (
+            "centroids", "codebooks", "codes", "vectors", "stats", "meta"
+        )
     }
+
+
+def _read_assign_n(spark: SparkSession, t: dict[str, ParquetTable]) -> int:
+    """The index's corpus-side assignment fan-out, from its meta table
+    (pre-meta indexes — none in the wild, but cheap to honor — read as
+    single-assign)."""
+    try:
+        rows = t["meta"].read().collect()
+    except Exception:
+        return 1
+    vals = {r.key: r.value for r in rows}
+    return int(vals.get("assign_n", 1))
 
 
 def _cell_stats(vectors: DataFrame) -> DataFrame:
@@ -78,8 +92,9 @@ def build_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     files_per_table: int | None = None,
+    assign_n: int = 1,
 ) -> dict[str, int]:
-    """Train the residual-IVFPQ models and publish the four index tables
+    """Train the residual-IVFPQ models and publish the index tables
     (same training discipline as ivfpq_topk's default path: normalized
     vectors, trained coarse, SALTED residual codebooks). codes and
     vectors cluster by cell so each file's footer covers a narrow cell
@@ -90,13 +105,24 @@ def build_index(
     m=32/k*=16 shape at the same code bytes (ANN_RECALL_r10.md) — with
     k*=256 the ADC shortlist loses essentially nothing, so end recall
     equals the coarse probe ceiling. Size nlist to the corpus (~√N,
-    FAISS guidance) — the small default matches the test corpora."""
+    FAISS guidance) — the small default matches the test corpora.
+
+    *assign_n* > 1 is corpus-side MULTI-ASSIGN (the r11 coarse-recall
+    lever): each vector encodes into its top-*assign_n* cells — codes
+    and vectors carry one row per (id, cell), so a neighbor whose
+    primary cell a query misses is still found through its secondary —
+    trading assign_n× codes/vectors storage for probe recall (measured
+    0.918 → ≥0.95 reranked recall@5 at nprobe ≤ 6; ANN_RECALL_r11.md).
+    Quantizer training is UNCHANGED (coarse + codebooks train on
+    primary-cell residuals only), so assign_n=1 tables are bit-identical
+    to the pre-multi-assign layout; serving dedups pairs by min ADC
+    dist (pq._adc_topk dedup_pairs)."""
     from id3c_spark.operators.ann import _prep
     from id3c_spark.operators.pq import (
         _assign_topn,
         _normalized,
-        _residuals,
-        pq_encode,
+        _residuals_rows,
+        pq_encode_cells,
         pq_train,
     )
 
@@ -104,12 +130,23 @@ def build_index(
     vn = _normalized(_prep(corpus, id_col, vec_col)).persist()
     coarse = pq_train(vn, "id", "v", m=1, k=nlist, max_iter=train_iter)
     bcg = spark.sparkContext.broadcast(coarse)
-    cells = _assign_topn(vn, bcg, 1).persist()
-    enc_src = _residuals(vn, cells, bcg).persist()
+    # cells_all: the encoding fan-out (assign_n rows per id); training
+    # and the drift baseline stay on the PRIMARY assignment via enc rows
+    cells_all = _assign_topn(vn, bcg, min(assign_n, coarse.shape[1])).persist()
+    enc_all = _residuals_rows(cells_all.join(vn, "id"), bcg, keep_cell=True).persist()
+    if assign_n == 1:
+        enc_train = enc_all.select("id", "v")
+    else:
+        cells1 = _assign_topn(vn, bcg, 1)
+        enc_train = (
+            enc_all.join(cells1.withColumnsRenamed({"cell": "__c1"}), "id")
+            .filter(F.col("cell") == F.col("__c1"))
+            .select("id", "v")
+        )
     books = pq_train(
-        enc_src, "id", "v", m=m, k=kcent, max_iter=train_iter, seed_salt=":pq"
+        enc_train, "id", "v", m=m, k=kcent, max_iter=train_iter, seed_salt=":pq"
     )
-    codes = pq_encode(enc_src, books, "id", "v")
+    codes = pq_encode_cells(enc_all, books)
 
     t = _tables(spark, path)
     # publish from the TRAINED shapes, not the requested params: pq_train
@@ -135,27 +172,32 @@ def build_index(
             )
         ),
         "codes": t["codes"].publish(
-            codes.join(cells, "id").select("id", "cell", "codes"),
+            codes.select("id", "cell", "codes"),
             cluster_by=["cell"],
             partitions=files,
         ),
         "vectors": t["vectors"].publish(
-            vn.join(cells, "id").select("id", "cell", "v"),
+            vn.join(cells_all, "id").select("id", "cell", "v"),
             cluster_by=["cell"],
             partitions=files,
         ),
-        # build-time per-cell occupancy + residual-norm baseline: the
-        # drift report (index_drift_report) compares live contents
-        # against this to decide when ingest has outgrown the quantizer
+        # build-time per-cell occupancy + residual-norm baseline over the
+        # FULL (multi-assigned) rows — the drift report recomputes the
+        # same relation from the live tables, so the comparison is
+        # like-for-like at any assign_n
         "stats": t["stats"].publish(
-            _cell_stats(
-                cells.join(enc_src.select("id", F.col("v").alias("rv")), "id")
+            _cell_stats(enc_all.select("id", "cell", F.col("v").alias("rv")))
+        ),
+        "meta": t["meta"].publish(
+            spark.createDataFrame(
+                [("assign_n", str(min(assign_n, nlist_t)))],
+                "key string, value string",
             )
         ),
     }
     vn.unpersist()
-    cells.unpersist()
-    enc_src.unpersist()
+    cells_all.unpersist()
+    enc_all.unpersist()
     return versions
 
 
@@ -200,6 +242,7 @@ def cached_index(
     vec_col: str = "embedding",
     cache_root: str | None = None,
     prune_age_sec: float = 6 * 3600,
+    assign_n: int = 1,
 ) -> str:
     """Return the directory of a persisted IVFADC index over the parquet
     corpus at *source_path*, building it at most once per (corpus
@@ -228,7 +271,10 @@ def cached_index(
         "spark-warehouse",
         "ann_cache",
     )
-    params = f"nlist={nlist},m={m},kcent={kcent},iters={train_iter},{id_col},{vec_col}"
+    params = (
+        f"nlist={nlist},m={m},kcent={kcent},iters={train_iter},"
+        f"assign={assign_n},{id_col},{vec_col}"
+    )
     pkey = hashlib.sha1(params.encode()).hexdigest()[:8]
     key = _source_fingerprint(spark, source_path, params)
     # the prune scope keys on the FULL source path (hashed), not just the
@@ -247,6 +293,7 @@ def cached_index(
         build_index(
             corpus, tmp, nlist=nlist, m=m, kcent=kcent,
             train_iter=train_iter, id_col=id_col, vec_col=vec_col,
+            assign_n=assign_n,
         )
         with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
             f.write(params + "\n")
@@ -318,19 +365,22 @@ def add_to_index(
     from id3c_spark.operators.pq import (
         _assign_topn,
         _normalized,
-        _residuals,
-        pq_encode,
+        _residuals_rows,
+        pq_encode_cells,
     )
 
     coarse, books, t = _load_models(spark, path)
+    assign_n = _read_assign_n(spark, t)
     bcg = spark.sparkContext.broadcast(coarse)
     vn = _normalized(_prep(new_vectors, id_col, vec_col)).persist()
-    cells = _assign_topn(vn, bcg, 1).persist()
-    codes = pq_encode(_residuals(vn, cells, bcg), books, "id", "v")
+    # honor the INDEX's assignment fan-out (meta table): a multi-assign
+    # index must keep receiving one (codes, vectors) row per (id, cell)
+    # or its secondary-cell recall silently decays for new ingest
+    cells = _assign_topn(vn, bcg, min(assign_n, coarse.shape[1])).persist()
+    enc = _residuals_rows(cells.join(vn, "id"), bcg, keep_cell=True)
+    codes = pq_encode_cells(enc, books)
     versions = {
-        "codes": t["codes"].append(
-            codes.join(cells, "id").select("id", "cell", "codes")
-        ),
+        "codes": t["codes"].append(codes.select("id", "cell", "codes")),
         "vectors": t["vectors"].append(
             vn.join(cells, "id").select("id", "cell", "v")
         ),
@@ -368,15 +418,19 @@ def index_drift_report(spark: SparkSession, path: str) -> DataFrame:
     Cost: one scan of the vectors table (residual recompute against the
     broadcast coarse model) + two nlist-sized aggregates — an offline
     monitoring job, no serving-path impact."""
-    from id3c_spark.operators.pq import _residuals
+    from id3c_spark.operators.pq import _residuals_rows
 
     coarse, _books, t = _load_models(spark, path)
     bcg = spark.sparkContext.broadcast(coarse)
     live = t["vectors"].read()
-    resid = _residuals(
-        live.select("id", "v"), live.select("id", "cell"), bcg
-    ).select("id", F.col("v").alias("rv"))
-    now = _cell_stats(live.select("id", "cell").join(resid, "id"))
+    # per-ROW residuals (multi-assign safe: an id's rows each subtract
+    # their OWN cell's centroid — an id equi-join here would cross-pair
+    # a multi-assigned id's cells)
+    now = _cell_stats(
+        _residuals_rows(live, bcg, keep_cell=True).select(
+            "id", "cell", F.col("v").alias("rv")
+        )
+    )
     base = t["stats"].read().select(
         F.col("cell"),
         F.col("n").alias("n_built"),
@@ -448,6 +502,7 @@ def serve_topk(
     from id3c_spark.operators.pq import _adc_topk, _assign_topn, _normalized
 
     coarse, books, t = _load_models(spark, path)
+    assign_n = _read_assign_n(spark, t)
     bcg = spark.sparkContext.broadcast(coarse)
     # deliberately NO persist on the query-batch relations: a serving
     # session calls this per batch, and leaked storage blocks accumulate
@@ -470,6 +525,10 @@ def serve_topk(
     short = _adc_topk(
         probe_vecs, codes_cells, books, bcg, k=rerank_shortlist or k,
         residual=True, cell_splits=None,
+        # a multi-assigned corpus surfaces a pair once per shared probed
+        # cell — dedup by min ADC dist; single-assign keeps its exact
+        # pre-multi-assign plan (no extra aggregate)
+        dedup_pairs=assign_n > 1,
     )
     if rerank_shortlist is None:
         return short
@@ -481,6 +540,11 @@ def serve_topk(
     corpus_vecs = t["vectors"].read_pruned_in("cell", probed).select(
         F.col("id").alias(id_col), F.col("v").alias(vec_col)
     )
+    if assign_n > 1:
+        # a multi-assigned id can appear under several probed cells with
+        # the SAME normalized vector — collapse exact duplicates so the
+        # rerank window ranks each neighbor once
+        corpus_vecs = corpus_vecs.distinct()
     return exact_rerank(
         qn.select(F.col("id").alias(id_col), F.col("v").alias(vec_col)),
         corpus_vecs,

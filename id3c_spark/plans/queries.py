@@ -2328,6 +2328,7 @@ def _ivfpq_chain(
     dim: int = 64,
     nlist: int = 16,
     nprobe: int = 2,
+    assign_n: int = 1,
 ) -> str:
     """SQL mirror of residual pq.ivfpq_topk (IVFADC on the unit sphere):
     unit-normalized vectors, a TRAINED coarse quantizer (the m=1 instance
@@ -2336,13 +2337,26 @@ def _ivfpq_chain(
     trained on and codes encoding the per-cell residual v̂ − centroid
     (salted seed order, disjoint from the coarse seeds), and a
     per-(query, probed-cell) residual LUT scoring only the pairs the
-    probes admit."""
+    probes admit.
+
+    *assign_n* > 1 mirrors the persisted index's corpus-side
+    multi-assign (plans/ann_index.build_index): training stays on the
+    PRIMARY cell's residuals (identical quantizers), each corpus vector
+    additionally encodes into its top-assign_n cells (cellsx/res_all/
+    codesx), candidates pair per shared probed cell, and the final
+    distance is the MIN ADC estimate over a pair's shared cells — the
+    pq._adc_topk dedup_pairs semantics."""
     dsub = dim // m
     g_d2 = (
         "round(list_sum(list_transform(range(1, {n}), "
         "j -> (v.e[j] - ct.cv[j]) * (v.e[j] - ct.cv[j]))), 6)"
     ).format(n=dim + 1)
-    return (
+    sub_d2 = (
+        "round(list_sum(list_transform(range(1, {n}), "
+        "j -> (v.e[ct.sub * {ds} + j] - ct.cv[j]) * "
+        "(v.e[ct.sub * {ds} + j] - ct.cv[j]))), 6)"
+    ).format(n=dsub + 1, ds=dsub)
+    sql = (
         f"""
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
@@ -2385,7 +2399,10 @@ def _ivfpq_chain(
       FROM probes pr
       JOIN vn vv ON vv.vec_id = pr.vec_id
       JOIN gcentf g ON g.cl = pr.cell
-      CROSS JOIN centf ct),
+      CROSS JOIN centf ct)"""
+    )
+    if assign_n == 1:
+        return sql + """,
     cand AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.cell
       FROM probes q JOIN cells c ON q.cell = c.cell AND q.vec_id != c.vec_id),
@@ -2397,7 +2414,37 @@ def _ivfpq_chain(
       JOIN lutr l ON l.qid = cd.query_id AND l.cell = cd.cell
                  AND l.sub = c.sub AND l.cl = c.cl
       GROUP BY cd.query_id, cd.neighbor_id)"""
-    )
+    return sql + f""",
+    cellsx AS (SELECT vec_id, cell FROM grank WHERE pr <= {assign_n}),
+    res_all AS MATERIALIZED (
+      -- per-ASSIGNED-cell residual (multi-assign: one row per (id, cell))
+      SELECT c.vec_id, c.cell,
+             list_transform(range(1, {dim + 1}), i -> vv.e[i] - g.cv[i]) AS e
+      FROM cellsx c
+      JOIN vn vv ON vv.vec_id = c.vec_id
+      JOIN gcentf g ON g.cl = c.cell),
+    codesx AS (
+      -- cell-keyed encode with the PRIMARY-trained codebooks
+      SELECT vec_id, cell, sub, cl FROM (
+        SELECT v.vec_id, v.cell, ct.sub, ct.cl,
+               row_number() OVER (PARTITION BY v.vec_id, v.cell, ct.sub
+                                  ORDER BY {sub_d2}, ct.cl) AS rn
+        FROM res_all v CROSS JOIN centf ct) WHERE rn = 1),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.cell
+      FROM probes q JOIN cellsx c ON q.cell = c.cell AND q.vec_id != c.vec_id),
+    adc AS (
+      SELECT cd.query_id, cd.neighbor_id, cd.cell,
+             CAST(sum(CAST(l.pd AS DECIMAL(18,6))) AS DOUBLE) AS dist
+      FROM cand cd
+      JOIN codesx c ON c.vec_id = cd.neighbor_id AND c.cell = cd.cell
+      JOIN lutr l ON l.qid = cd.query_id AND l.cell = cd.cell
+                 AND l.sub = c.sub AND l.cl = c.cl
+      GROUP BY cd.query_id, cd.neighbor_id, cd.cell),
+    ad AS (
+      -- min ADC estimate over a pair's shared probed cells (dedup_pairs)
+      SELECT query_id, neighbor_id, min(dist) AS dist
+      FROM adc GROUP BY query_id, neighbor_id)"""
 
 
 def _ivfpq_oracle(
@@ -2408,11 +2455,12 @@ def _ivfpq_oracle(
     nlist: int = 16,
     nprobe: int = 2,
     topk: int = 5,
+    assign_n: int = 1,
 ) -> str:
     """Residual IVFPQ chain + ADC top-k tail."""
-    return _ivfpq_chain(m, kcent, iters, dim, nlist, nprobe) + _PQ_TAIL.format(
-        topk=topk
-    )
+    return _ivfpq_chain(
+        m, kcent, iters, dim, nlist, nprobe, assign_n
+    ) + _PQ_TAIL.format(topk=topk)
 
 
 def _ivfpq_rerank_oracle(
@@ -2424,12 +2472,13 @@ def _ivfpq_rerank_oracle(
     nprobe: int = 6,
     shortlist: int = 20,
     topk: int = 5,
+    assign_n: int = 1,
 ) -> str:
     """SQL mirror of exact_rerank(ivfpq_topk(k=shortlist)) — the IVFADC+R
     composition: the compressed index admits an ADC-ranked shortlist, and
     only those pairs touch raw vectors for the exact-cosine final order."""
     return (
-        _ivfpq_chain(m, kcent, iters, dim, nlist, nprobe)
+        _ivfpq_chain(m, kcent, iters, dim, nlist, nprobe, assign_n)
         + f""",
     short AS (
       SELECT query_id, neighbor_id FROM (
@@ -2473,7 +2522,9 @@ def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ivfpq_topk_embeddings",
-    oracle=_ivfpq_oracle(m=16, kcent=256, iters=2, nlist=8, nprobe=6, topk=5),
+    oracle=_ivfpq_oracle(
+        m=16, kcent=256, iters=2, nlist=8, nprobe=6, topk=5, assign_n=2
+    ),
 )
 def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual IVF+PQ (FAISS IVFADC) served from the PERSISTED index
@@ -2482,17 +2533,20 @@ def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     after that only broadcasts the stored models and opens the probed
     cells' code files — the build-once/serve-many layout a billion-vector
     corpus requires, instead of re-paying two k-means trainings per
-    lookup. serve_topk is pinned bit-equal to the in-memory ivfpq_topk
-    (test_ann_index.py), which the oracle mirrors end to end. Residual
-    (vs raw-vector r6) encoding is what lifts near-dup recall, and the
-    r10 8-bit codebooks (m=16, k*=256 — the FAISS norm, same code bytes
-    as the old m=32/k*=16) make the ADC shortlist essentially lossless:
-    reranked recall@5 0.918 vs 0.697 (ANN_RECALL_r10.md)."""
+    lookup. The oracle mirrors the served path end to end (single-assign
+    serving stays pinned bit-equal to the in-memory ivfpq_topk,
+    test_ann_index.py). Residual (vs raw-vector r6) encoding is what
+    lifts near-dup recall; the r10 8-bit codebooks (m=16, k*=256 — the
+    FAISS norm) make the ADC shortlist essentially lossless; and the r11
+    corpus-side MULTI-ASSIGN (assign_n=2: each vector encoded into its
+    top-2 cells, pairs deduped by min ADC dist) lifts the coarse probe
+    ceiling itself: reranked recall@5 0.918 → ≥0.95 at nprobe=6 for 2×
+    codes storage (ANN_RECALL_r11.md)."""
     from id3c_spark.plans.ann_index import cached_index, serve_topk
 
     idx = cached_index(
         spark, f"{sf_dir}/embeddings.parquet",
-        nlist=8, m=16, kcent=256, train_iter=2,
+        nlist=8, m=16, kcent=256, train_iter=2, assign_n=2,
     )
     return serve_topk(
         spark, idx, t(spark, sf_dir, "embeddings"), k=5, nprobe=6
@@ -5736,7 +5790,8 @@ def excess_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ivfpq_rerank_topk_embeddings",
     oracle=_ivfpq_rerank_oracle(
-        m=16, kcent=256, iters=2, nlist=8, nprobe=6, shortlist=20, topk=5
+        m=16, kcent=256, iters=2, nlist=8, nprobe=6, shortlist=20, topk=5,
+        assign_n=2,
     ),
 )
 def ivfpq_rerank_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5746,15 +5801,16 @@ def ivfpq_rerank_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     restores true-cosine order over only those pairs (raw vectors are
     touched for 20 rows per query, never the corpus). With the r10 8-bit
     codebooks the shortlist is essentially lossless, so end recall sits
-    at the coarse probe ceiling: reranked recall@5 0.918 / near-dup
-    0.935 at nprobe=6 (ANN_RECALL_r10.md, vs 0.697/0.811 for r7-r9's
-    4-bit codebooks). Fully oracle-mirrored end to end."""
+    at the coarse probe ceiling — which the r11 corpus-side multi-assign
+    (assign_n=2, min-dist pair dedup) itself lifts: reranked recall@5
+    0.918 → ≥0.95 at nprobe=6 for 2× codes storage (ANN_RECALL_r11.md).
+    Fully oracle-mirrored end to end."""
     from id3c_spark.plans.ann_index import cached_index, serve_topk
 
     emb = t(spark, sf_dir, "embeddings")
     idx = cached_index(
         spark, f"{sf_dir}/embeddings.parquet",
-        nlist=8, m=16, kcent=256, train_iter=2,
+        nlist=8, m=16, kcent=256, train_iter=2, assign_n=2,
     )
     shortlist = serve_topk(spark, idx, emb, k=20, nprobe=6)
     return ann.exact_rerank(emb, emb, shortlist, k=5)

@@ -133,3 +133,118 @@ def test_corpus_ingest_quarantines_malformed_lines(spark, tmp_path):
         spark, str(src), str(tmp_path / "ckpt"), table, quarantine=quarantine
     )
     assert quarantine.read().count() == 3
+
+
+
+def test_streaming_vector_ingest_drift_rebuild_lifecycle(spark, tmp_path):
+    """r10-VERDICT #8 — the FULL persisted-ANN-index lifecycle under
+    Structured Streaming, composed end to end: vector batches stream in
+    through foreachBatch → add_to_index (encode-only, no retraining);
+    the policy-gated `corpus ann-rebuild` CLI is a NO-OP while the
+    report is clean; the drift report flips rebuild=True at the
+    documented occupancy threshold after a concentrated ingest; the
+    rebuild then retrains; and the post-rebuild index serves the
+    CURRENT corpus with a clean report, served recall healthy on both
+    sides of the rebuild, and the ingested duplicates resolving to each
+    other at ~zero distance (the recall-vs-drift measurements live in
+    ANN_RECALL_r11.md's drifted-ingest section)."""
+    import json as _json
+
+    from click.testing import CliRunner
+
+    from id3c_spark.cli import cli
+    from id3c_spark.operators.ann import cosine_topk, exact_rerank
+    from id3c_spark.plans.ann_index import (
+        add_to_index,
+        build_index,
+        index_drift_report,
+        serve_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 300).select("vec_id", "embedding")
+    path = str(tmp_path / "vec_idx")
+    build_index(base, path, nlist=8, m=16, kcent=64, train_iter=2)
+    rows = index_drift_report(spark, path).collect()
+    assert not any(r["rebuild"] for r in rows)  # fresh baseline is clean
+
+    # clean report → the policy gate refuses to retrain
+    full_src = str(tmp_path / "full.parquet")
+    base.write.parquet(full_src)
+    runner = CliRunner()
+    res = runner.invoke(cli, ["corpus", "ann-rebuild", path, full_src,
+                              "--nlist", "8", "--m", "16", "--kcent", "64"])
+    assert res.exit_code == 0, res.output
+    assert _json.loads(res.output) == {"rebuilt": False, "flagged": False}
+
+    # stream two NDJSON vector batches in: a concentrated ingest (many
+    # copies of one corpus vector) — the documented drift trigger (one
+    # cell's occupancy SHARE balloons past DRIFT_OCCUPANCY_RATIO)
+    one = [float(x) for x in base.filter(F.col("vec_id") == 0)
+           .collect()[0]["embedding"]]
+    src = tmp_path / "vec_in"
+    src.mkdir()
+    for b, (lo, hi) in enumerate([(10_000, 10_250), (10_250, 10_500)]):
+        with open(src / f"batch{b}.ndjson", "w") as f:
+            for vid in range(lo, hi):
+                f.write(_json.dumps({"vec_id": vid, "embedding": one}) + "\n")
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, epoch: add_to_index(spark, path, df) if df.count() else None
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_vec"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = index_drift_report(spark, path).collect()
+    assert any(r["rebuild"] for r in rows)  # the ingest flipped the policy
+
+    def reranked_recall(corpus_now):
+        """Served reranked recall vs exact, both over the CURRENT corpus."""
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in cosine_topk(corpus_now, corpus_now, k=3).collect()
+        }
+        short = serve_topk(spark, path, corpus_now, k=12, nprobe=6)
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in exact_rerank(corpus_now, corpus_now, short, k=3).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    drifted = spark.range(10_000, 10_500).select(
+        F.col("id").alias("vec_id"),
+        F.lit(one).cast("array<float>").alias("embedding"),
+    )
+    corpus_now = base.unionByName(drifted)
+    stale = reranked_recall(corpus_now)
+
+    # the flagged rebuild retrains over the current corpus
+    corpus_now.write.mode("overwrite").parquet(full_src)
+    res = runner.invoke(cli, ["corpus", "ann-rebuild", path, full_src,
+                              "--nlist", "8", "--m", "16", "--kcent", "64"])
+    assert res.exit_code == 0, res.output
+    out = _json.loads(res.output)
+    assert out["rebuilt"] and out["flagged"]
+
+    rows = index_drift_report(spark, path).collect()
+    assert not any(r["rebuild"] for r in rows)  # baseline refreshed
+    rebuilt = reranked_recall(corpus_now)
+    # A concentrated-DUPLICATE ingest trips the occupancy policy but is
+    # benign for serving (the copies share one cell and rerank is
+    # exact), so the rebuilt quantizer — retrained on a corpus where the
+    # blob dominates — may sit a few points either side of the stale
+    # one. The lifecycle guarantee pinned here is that serving stays
+    # HEALTHY through every phase; the recall-RECOVERY measurement for a
+    # genuine distribution shift (where stale encoding does hurt) is the
+    # e[0]-split drifted-ingest section of ANN_RECALL_r11.md.
+    assert stale >= 0.85 and rebuilt >= 0.85, (stale, rebuilt)
+    served = serve_topk(spark, path, drifted.limit(5), k=1, nprobe=2).collect()
+    assert served and all(r.dist <= 1e-4 for r in served)

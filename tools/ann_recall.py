@@ -126,6 +126,36 @@ def main() -> int:
         add_to_index, build_index, index_drift_report, serve_topk,
     )
 
+    # ------------------------------------------------------------------
+    # r11 multi-assign serving configs (persisted index): corpus-side
+    # top-2 assignment lifts the coarse probe ceiling itself — measured
+    # against single-assign at the same nprobe, and at the reduced
+    # nprobe=4 that matches the old nprobe=6 recall for less scan.
+    # Build time is excluded (build-once/serve-many); timings are the
+    # SERVE+rerank path, directly comparable to the catalog queries.
+    # ------------------------------------------------------------------
+    ma_dir = tempfile.mkdtemp(prefix="ann_recall_ma_")
+    try:
+        p_a1 = f"{ma_dir}/a1"
+        p_a2 = f"{ma_dir}/a2"
+        build_index(emb, p_a1, nlist=8, m=16, kcent=256, train_iter=2,
+                    assign_n=1)
+        build_index(emb, p_a2, nlist=8, m=16, kcent=256, train_iter=2,
+                    assign_n=2)
+        for label, path_i, nprobe in (
+            ("served assign_n=1 + rerank (nprobe=6) [r10 catalog]", p_a1, 6),
+            ("served assign_n=2 + rerank (nprobe=4)", p_a2, 4),
+            ("served assign_n=2 + rerank (nprobe=6) [r11 catalog]", p_a2, 6),
+        ):
+            results.append(run(
+                label,
+                lambda p=path_i, np_=nprobe: serve_topk(
+                    spark, p, emb, k=k, nprobe=np_, rerank_shortlist=4 * k
+                ),
+            ))
+    finally:
+        shutil.rmtree(ma_dir, ignore_errors=True)
+
     # split on the first embedding component (a genuine distribution
     # shift for the quantizer, unlike an iid id split)
     e0 = emb.withColumn("__e0", F.expr("embedding[0]"))

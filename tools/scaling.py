@@ -35,7 +35,16 @@ def main() -> int:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING.md"
     small = run_bench("/root/testdata/sf0.001")["queries"]
     mid = run_bench("/root/testdata/sf0.01")["queries"]
-    big = json.load(open("/root/repo/BENCH_LOCAL_r6.json"))["median_queries"]
+    # sf0.1 column: the NEWEST committed 3-run-median artifact (a stale
+    # hardcoded round here once mixed r6 medians into an r11 report)
+    import glob
+    import re
+
+    latest = max(
+        glob.glob("/root/repo/BENCH_LOCAL_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+    )
+    big = json.load(open(latest))["median_queries"]
 
     rows = []
     for q in mid:

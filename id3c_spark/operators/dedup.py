@@ -183,10 +183,15 @@ def ngram_jaccard_pairs(
     blocking the driver per call (the probe was a measurable share of
     the curation pipeline's latency).
     """
-    # persist: the shingle relation feeds both self-join sides AND the size
-    # aggregate — without it the explode+md5+distinct pipeline runs 3×
-    # (Spark does not dedupe common subplans within one action)
-    sh = _distinct_shingles(df, id_col, text_col, k, words=words).persist()
+    # NO persist anywhere: the shingle pipeline is shared across the
+    # self-join sides by an explicit exchange on the join key (both
+    # sides become the identical shuffle → ReusedExchange, one compute
+    # per action), and the stop-set aggregate's second derivation reads
+    # the caller-cached words relation, one codegen mapper pass. The
+    # former sh/shn persists cost two cache WRITES per call and leaked
+    # storage blocks past the caller's action (the operator returns a
+    # lazy plan, so it can never unpersist them itself).
+    sh = _distinct_shingles(df, id_col, text_col, k, words=words)
     if max_df is not None:
         # The STOP set (df > max_df) is small by construction — broadcast
         # it and anti-join; broadcasting the KEEP set would ship nearly
@@ -197,7 +202,7 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(F.broadcast(stop.select("sh")), "sh", "left_anti")
     # Per-doc set size rides ON the shingle rows (one id-keyed window
-    # into the persisted relation, no separate sizes aggregate), so the
+    # into the shingle relation, no separate sizes aggregate), so the
     # PPJoin length filter applies INSIDE the self-join and the final
     # jaccard needs no size joins at all: J(A,B) ≤ min(n_a,n_b) /
     # max(n_a,n_b), so any pair at jaccard ≥ t has sizes within ratio t
@@ -206,7 +211,7 @@ def ngram_jaccard_pairs(
     # bound is exact, so results are unchanged.
     shn = sh.withColumn(
         "n", F.count(F.lit(1)).over(Window.partitionBy("id"))
-    ).persist()
+    ).repartition("sh")
     # one self-join: the grouped intersection counts ARE the candidate set
     # (any pair with jaccard > 0 shares a shingle and lands here once)
     inter = (

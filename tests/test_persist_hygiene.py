@@ -140,3 +140,15 @@ def test_dedup_index_paths_leak_free(spark, tmp_path):
 
     add_batch(spark, path, batch)
     assert _n_cached(spark) == 0
+
+
+def test_ngram_jaccard_pairs_leak_free(spark):
+    from id3c_spark.operators import dedup
+
+    docs = _docs(spark, 150)
+    _assert_leak_free_and_stable(
+        spark,
+        lambda: dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.3, max_df=100
+        ),
+    )

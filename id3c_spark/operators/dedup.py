@@ -483,9 +483,14 @@ def minhash_lsh_pairs(
     # Jaccard verify below (they needed separate explode+window passes
     # otherwise — the single most expensive subtree here).
     sh_occ = _exploded_shingles(df, id_col, text_col, k).persist()
-    # banded feeds both sides of the candidate self-join; persisting stops
-    # the whole signature pipeline (explode + 32 min-aggs) running twice
-    banded = _minhash_banded(sh_occ, num_hashes, bands).persist()
+    # banded feeds both sides of the candidate self-join: an explicit
+    # exchange on the join keys makes the sides the identical shuffle
+    # (ReusedExchange) so the signature pipeline (explode + 32 min-aggs)
+    # runs once per action with nothing cached — the former persist
+    # leaked past the caller's action and cost a cache write
+    banded = _minhash_banded(sh_occ, num_hashes, bands).repartition(
+        "band", "bh"
+    )
     cand = (
         banded.alias("a")
         .join(

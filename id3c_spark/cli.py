@@ -866,16 +866,16 @@ def corpus_curate(input_parquet: str, out_dir: str, benchmark: str,
     spark = get_spark("corpus-curate")
     docs = spark.read.parquet(input_parquet)
     bench = spark.read.parquet(benchmark)
-    stages = curate(
+    with curate(
         docs, bench, jaccard_threshold=threshold,
         token_budget=token_budget, n_shards=shards,
-    )
-    stages["packed"].write.mode("overwrite").parquet(f"{out_dir}/packed")
-    stages["shards"].write.mode("overwrite").parquet(f"{out_dir}/shards")
-    click.echo(json.dumps({
-        name: stages[name].count()
-        for name in ("quality", "clean", "exact", "unique", "sampled")
-    }))
+    ) as stages:
+        stages["packed"].write.mode("overwrite").parquet(f"{out_dir}/packed")
+        stages["shards"].write.mode("overwrite").parquet(f"{out_dir}/shards")
+        click.echo(json.dumps({
+            name: stages[name].count()
+            for name in ("quality", "clean", "exact", "unique", "sampled")
+        }))
 
 
 @corpus.command("snapshot")
@@ -1063,6 +1063,7 @@ def corpus_ann_rebuild(index_path: str, source_parquet: str, force: bool,
     import shutil
 
     from id3c_spark.plans.ann_index import (
+        _params_string,
         _read_assign_n,
         _tables,
         build_index,
@@ -1077,22 +1078,59 @@ def corpus_ann_rebuild(index_path: str, source_parquet: str, force: bool,
         return
     if assign_n is None:  # keep the live index's multi-assign fan-out
         assign_n = _read_assign_n(spark, _tables(spark, index_path))
-    tmp = f"{index_path}.rebuild-{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)  # stale crash debris of OUR pid
-    versions = build_index(
-        spark.read.parquet(source_parquet), tmp,
-        nlist=nlist, m=m, kcent=kcent, id_col=id_col, vec_col=vec_col,
-        assign_n=assign_n,
-    )
-    # carry a cached_index completeness marker forward if the live index
-    # is cache-managed, so cached_index keeps recognising the directory
-    live_marker = os.path.join(index_path, "_COMPLETE")
-    if os.path.exists(live_marker):
-        shutil.copy(live_marker, os.path.join(tmp, "_COMPLETE"))
-    retired = f"{index_path}.retired-{os.getpid()}"
-    os.rename(index_path, retired)
-    os.rename(tmp, index_path)
-    shutil.rmtree(retired, ignore_errors=True)
+    # single-writer guard: two concurrent rebuilds racing the swap can
+    # strand the live path (the loser's first rename finds no source).
+    # O_EXCL makes the second rebuild fail fast instead.
+    lock = f"{index_path}.rebuild-lock"
+    try:
+        lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise click.ClickException(
+            f"another rebuild holds {lock} — wait for it, or remove the "
+            "lock file if its process is dead"
+        )
+    os.write(lock_fd, f"{os.getpid()}\n".encode())
+    os.close(lock_fd)
+    try:
+        tmp = f"{index_path}.rebuild-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)  # stale crash debris of OUR pid
+        versions = build_index(
+            spark.read.parquet(source_parquet), tmp,
+            nlist=nlist, m=m, kcent=kcent, id_col=id_col, vec_col=vec_col,
+            assign_n=assign_n,
+        )
+        # Keep the index recognisable to cached_index ONLY when this
+        # rebuild's params match the live marker's: the cache directory
+        # name encodes the OLD params hash, so carrying a marker across
+        # a params change would make cached_index callers requesting the
+        # original params silently serve a mismatched index. On a params
+        # change we write no marker — cached_index treats the directory
+        # as incomplete debris and rebuilds at its own key.
+        live_marker = os.path.join(index_path, "_COMPLETE")
+        if os.path.exists(live_marker):
+            new_params = _params_string(
+                nlist, m, kcent, 2, assign_n, id_col, vec_col
+            )
+            with open(live_marker) as f:
+                live_params = f.read().strip()
+            if live_params == new_params:
+                with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+                    f.write(new_params + "\n")
+        retired = f"{index_path}.retired-{os.getpid()}"
+        os.rename(index_path, retired)
+        try:
+            os.rename(tmp, index_path)
+        except OSError:
+            # a crash path must never leave NO index at the live path:
+            # put the retired copy back before surfacing the error
+            os.rename(retired, index_path)
+            raise
+        shutil.rmtree(retired, ignore_errors=True)
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
     click.echo(json.dumps(
         {"rebuilt": True, "flagged": flagged, "versions": versions}
     ))

@@ -384,13 +384,16 @@ def prefix_filter_jaccard_pairs(
     Scale shape: frequency agg + one per-doc window over (freq, shingle)
     — the same explode/window cost as the shingle relation itself — then
     a prefix-keyed equi-join and the candidate-restricted intersection
-    count. Everything combines map-side; the full shingle relation is
-    persisted once and feeds ranking, verification, and sizes."""
+    count. Everything combines map-side; the full shingle relation feeds
+    ranking, verification, and sizes through ONE shared exchange — every
+    consumer embeds the identical distinct subtree, so its
+    Exchange(id, sh) is a single ReusedExchange per action (no cache:
+    the returned plan is lazy, a persist here could never be released)."""
     from fractions import Fraction
 
     frac = Fraction(threshold).limit_denominator(10**6)
     num, den = frac.numerator, frac.denominator
-    sh = _distinct_shingles(df, id_col, text_col, k).persist()
+    sh = _distinct_shingles(df, id_col, text_col, k)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
     w = Window.partitionBy("id").orderBy("f", "sh")
@@ -479,15 +482,20 @@ def minhash_lsh_pairs(
     is 1-(1-s^r)^b).
     """
     assert num_hashes % bands == 0
-    # One shingle pass feeds BOTH the signature aggregate and the exact
-    # Jaccard verify below (they needed separate explode+window passes
-    # otherwise — the single most expensive subtree here).
-    sh_occ = _exploded_shingles(df, id_col, text_col, k).persist()
+    # NO persist anywhere (the operator returns a lazy plan, so it could
+    # never unpersist them itself — every cache here leaked past the
+    # caller's action). Work sharing is structural instead: the shingle
+    # relation's own window Exchange(id) is the bottom of BOTH the
+    # signature aggregate and the verify's distinct, so the tokenize+
+    # explode pass — the single most expensive subtree — is one
+    # ReusedExchange per action; the banded and distinct relations
+    # likewise each dedupe across their consumers via identical
+    # exchanges (see _jaccard_verify).
+    sh_occ = _exploded_shingles(df, id_col, text_col, k)
     # banded feeds both sides of the candidate self-join: an explicit
     # exchange on the join keys makes the sides the identical shuffle
     # (ReusedExchange) so the signature pipeline (explode + 32 min-aggs)
-    # runs once per action with nothing cached — the former persist
-    # leaked past the caller's action and cost a cache write
+    # runs once per action with nothing cached
     banded = _minhash_banded(sh_occ, num_hashes, bands).repartition(
         "band", "bh"
     )
@@ -537,9 +545,13 @@ def _jaccard_verify(
 ) -> DataFrame:
     """Exact-Jaccard verification restricted to candidate (id_a, id_b)
     pairs — the whole point of LSH is to never touch the full
-    shared-shingle pair set. (persisted: the distinct relation feeds both
-    pair sides + the size aggregate)."""
-    sh = sh_occ.distinct().persist()
+    shared-shingle pair set. The distinct relation feeds both pair
+    sides + the size aggregate, but needs no cache: all three consumers
+    embed the identical distinct subtree, so its Exchange(id, sh) — and
+    everything expensive below it — is a single ReusedExchange per
+    action (renames/partial aggs sit ABOVE the exchange and don't break
+    canonical equality)."""
+    sh = sh_occ.distinct()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a_sh = sh.select(F.col("id").alias("id_a"), "sh")
     b_sh = sh.select(F.col("id").alias("id_b"), "sh")
@@ -609,8 +621,15 @@ def incremental_lsh_dedup(
         )
         .withColumn("__key", F.struct("__side", "__id"))
     )
-    sh_occ = _exploded_shingles(tagged, "__key", "__text", k).persist()
-    banded = _minhash_banded(sh_occ, num_hashes, bands).persist()
+    # No persists (lazy return — caches here can never be released; see
+    # minhash_lsh_pairs). The side filters below push through the banded
+    # aggregate down to the union, so each side's signature pipeline
+    # computes over ITS OWN docs only — the two branches partition the
+    # work the single cached pass used to do, same total rows; the
+    # verify's distinct subtree dedupes across its consumers via
+    # ReusedExchange as in _jaccard_verify.
+    sh_occ = _exploded_shingles(tagged, "__key", "__text", k)
+    banded = _minhash_banded(sh_occ, num_hashes, bands)
     cand = (
         banded.filter(F.col("id.__side") == 0).alias("a")
         .join(
@@ -836,7 +855,10 @@ def simhash_pairs(
     slices (dev/doc/01-barcode-slices.md), lifted to bit bands.
     """
     sh = simhash(df, id_col, text_col, bits)
-    # persisted: both sides of the band self-join share this subplan
+    # both sides of the band self-join share this subplan via an
+    # explicit exchange on the join keys (ReusedExchange: the simhash
+    # aggregate runs once per action, nothing cached — a persist here
+    # leaked past the caller's action, the operator being lazy)
     bands = sh.select(
         "id",
         "simhash",
@@ -854,7 +876,7 @@ def simhash_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("id", "simhash", "bb.band", "bb.bv").persist()
+    ).select("id", "simhash", "bb.band", "bb.bv").repartition("band", "bv")
     return (
         bands.alias("a")
         .join(
@@ -891,21 +913,36 @@ def ngram_containment_pairs(
     ngram_jaccard_pairs (any pair with containment > 0 shares a
     shingle), same max_df stop-shingle skew cap.
     """
+    # Same lazy, cache-free shape as ngram_jaccard_pairs: an empty stop
+    # set makes the anti-join a semantic no-op, so no eager emptiness
+    # probe; per-doc set size rides ON the shingle rows via an id-keyed
+    # window (no separate sizes aggregate or size joins); both self-join
+    # sides read ONE explicit Exchange(sh) (ReusedExchange — the shingle
+    # pipeline computes once per action, nothing persisted past the
+    # caller's action).
     sh = _distinct_shingles(df, id_col, text_col, k)
     if max_df is not None:
         stop = (
             sh.groupBy("sh").agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_df)
-            .persist()
         )
-        if stop.limit(1).count():
-            sh = sh.join(F.broadcast(stop.select("sh")), "sh", "left_anti").persist()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+        sh = sh.join(F.broadcast(stop.select("sh")), "sh", "left_anti")
+    shn = sh.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("id"))
+    ).repartition("sh")
     inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_inter"))
+        shn.alias("a")
+        .join(
+            shn.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     containment = F.round(
         F.col("n_inter").cast("double")
@@ -913,9 +950,6 @@ def ngram_containment_pairs(
         6,
     )
     return (
-        inter
-        .join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
-        .filter(containment >= threshold)
+        inter.filter(containment >= threshold)
         .select("id_a", "id_b", containment.alias("containment"))
     )

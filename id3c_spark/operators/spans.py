@@ -57,10 +57,15 @@ def shared_span_pairs(
     Returns (id_a, id_b, start_a, start_b, len_words) with
     len_words >= min_words; start positions are 1-based word offsets.
     """
-    # Persist the shingle relation: it feeds the df-cap aggregate AND both
-    # sides of the self-join — without this the k-word zip_with + md5
-    # expression (the dominant per-row cost) re-evaluates 3×.
-    sh = positional_shingles(docs, id_col, text_col, k).persist()
+    # The shingle relation feeds the df-cap aggregate AND both sides of
+    # the self-join — share it through ONE explicit Exchange(h) rather
+    # than a persist (the return is lazy, so a cache here could never be
+    # released): the hot-hash aggregate, the broadcast anti-join, and
+    # both join sides all sit ABOVE the identical exchange, so the
+    # explode+window+md5 pass (the dominant per-row cost) is a single
+    # ReusedExchange per action and the h-keyed equi-join needs no
+    # further shuffle.
+    sh = positional_shingles(docs, id_col, text_col, k).repartition("h")
     if max_df is not None:
         hot = sh.groupBy("h").agg(F.countDistinct("id").alias("df")).filter(
             F.col("df") > max_df

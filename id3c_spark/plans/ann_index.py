@@ -40,10 +40,16 @@ def _tables(spark: SparkSession, path: str) -> dict[str, ParquetTable]:
 def _read_assign_n(spark: SparkSession, t: dict[str, ParquetTable]) -> int:
     """The index's corpus-side assignment fan-out, from its meta table
     (pre-meta indexes — none in the wild, but cheap to honor — read as
-    single-assign)."""
+    single-assign).
+
+    Only a MISSING meta table reads as the legacy single-assign case:
+    any other read failure (corrupt footer, transient FS error) must
+    surface, because silently defaulting to 1 on a multi-assign index
+    disables serve-side pair dedup and makes add_to_index ingest
+    single-assign rows — a quiet recall decay with no error anywhere."""
     try:
         rows = t["meta"].read().collect()
-    except Exception:
+    except FileNotFoundError:
         return 1
     vals = {r.key: r.value for r in rows}
     return int(vals.get("assign_n", 1))
@@ -231,6 +237,20 @@ def _source_fingerprint(spark: SparkSession, source_path: str, params: str) -> s
     return h.hexdigest()[:16]
 
 
+def _params_string(
+    nlist: int, m: int, kcent: int, train_iter: int,
+    assign_n: int, id_col: str, vec_col: str,
+) -> str:
+    """Canonical build-params string: the cached_index cache key input
+    AND the `_COMPLETE` marker body. One definition so the CLI rebuild
+    can decide whether its params match a live cache-managed index's
+    (and therefore whether the marker may be carried forward)."""
+    return (
+        f"nlist={nlist},m={m},kcent={kcent},iters={train_iter},"
+        f"assign={assign_n},{id_col},{vec_col}"
+    )
+
+
 def cached_index(
     spark: SparkSession,
     source_path: str,
@@ -271,10 +291,7 @@ def cached_index(
         "spark-warehouse",
         "ann_cache",
     )
-    params = (
-        f"nlist={nlist},m={m},kcent={kcent},iters={train_iter},"
-        f"assign={assign_n},{id_col},{vec_col}"
-    )
+    params = _params_string(nlist, m, kcent, train_iter, assign_n, id_col, vec_col)
     pkey = hashlib.sha1(params.encode()).hexdigest()[:8]
     key = _source_fingerprint(spark, source_path, params)
     # the prune scope keys on the FULL source path (hashed), not just the
@@ -307,9 +324,28 @@ def cached_index(
                 # markerless debris at the target (a crash from the old
                 # build-in-place layout, or an interrupted prune) would
                 # otherwise wedge EVERY later call: clear it and retry
-                # the publish once, restoring the old self-healing
-                shutil.rmtree(path, ignore_errors=True)
-                os.rename(tmp, path)
+                # the publish once, restoring the old self-healing.
+                # Re-check the marker IMMEDIATELY before deleting: a
+                # concurrent builder may have renamed a COMPLETE index
+                # into place since the check above, and rmtree'ing a
+                # directory another process is already serving would
+                # violate the module's never-delete-while-reading
+                # invariant.
+                if os.path.exists(marker):
+                    shutil.rmtree(tmp, ignore_errors=True)
+                else:
+                    shutil.rmtree(path, ignore_errors=True)
+                    try:
+                        os.rename(tmp, path)
+                    except OSError:
+                        # the target reappeared between rmtree and the
+                        # retry — if it's a complete index a concurrent
+                        # builder won; serve theirs. Anything else is a
+                        # genuine wedge: surface it.
+                        if os.path.exists(marker):
+                            shutil.rmtree(tmp, ignore_errors=True)
+                        else:
+                            raise
         # deferred prune of stale fingerprints of this corpus+params:
         # only evict directories old enough that no live process should
         # still be serving them

@@ -21,6 +21,8 @@ their composition, tested in test_corpus_asof_multimodal.
 
 from __future__ import annotations
 
+from collections.abc import Mapping
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -28,25 +30,58 @@ from id3c_spark.functions.text import token_count
 from id3c_spark.operators import corpus, dedup
 
 
-class _LazyStages(dict):
+class CurationStages(Mapping):
     """Stage map whose tail entries build on first access: curate()
     returns every stage, but constructing a plan nobody reads is not
     free — the pack/shard tail alone costs ~0.15 s of driver-side
     DataFrame construction (a pandas-UDF registration plus py4j
     chatter) — so callers that act on one stage (the oracle-verified
     composition query reads only ``sampled``) should not pay for the
-    others. Item access is the whole consumer contract (every caller
-    does ``stages["name"]``); iteration/len reflect already-built
-    entries only."""
+    others.
 
-    def __init__(self, eager: dict, thunks: dict):
-        super().__init__(eager)
-        self._thunks = thunks
+    A ``Mapping`` (not a dict subclass) so EVERY standard mapping
+    operation — ``in``, iteration, ``len``, ``.get()``, ``.items()``,
+    ``dict(stages)`` — sees the lazy tail entries too (``items()`` /
+    ``values()`` / ``dict()`` force them, the honest cost of
+    enumerating; ``in`` / ``iter`` / ``len`` stay free).
+
+    Also the stage lifecycle handle: the flow persists three relations
+    (shared words, quality, exact) that would otherwise stay cached for
+    the session's lifetime. ``close()`` — or leaving a ``with`` block —
+    frees them (idempotent); the stage DataFrames remain valid
+    afterwards, they just recompute instead of reading cache."""
+
+    def __init__(self, eager: dict, thunks: dict, cached: list[DataFrame]):
+        self._built = dict(eager)
+        self._thunks = dict(thunks)
+        self._cached = list(cached)
 
     def __getitem__(self, key):
-        if not super().__contains__(key) and key in self._thunks:
-            super().__setitem__(key, self._thunks.pop(key)())
-        return super().__getitem__(key)
+        if key not in self._built:
+            if key not in self._thunks:
+                raise KeyError(key)
+            self._built[key] = self._thunks.pop(key)()
+        return self._built[key]
+
+    def __iter__(self):
+        yield from self._built
+        yield from self._thunks
+
+    def __len__(self):
+        return len(self._built) + len(self._thunks)
+
+    def close(self) -> None:
+        """Unpersist the flow's cached relations (idempotent)."""
+        cached, self._cached = self._cached, []
+        for df in cached:
+            df.unpersist()
+
+    def __enter__(self) -> "CurationStages":
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        self.close()
+        return False
 
 
 def curate(
@@ -61,10 +96,12 @@ def curate(
     token_budget: int = 2048,
     n_shards: int = 8,
     pair_fn=None,
-) -> dict[str, DataFrame]:
+) -> CurationStages:
     """Run the full curation flow; returns each stage's output keyed by
     stage name (callers act on ``packed``/``shards``, or inspect
-    intermediate stages for audit counts)."""
+    intermediate stages for audit counts). The returned handle owns the
+    flow's persisted relations — long-lived sessions should ``close()``
+    it (or use it as a context manager) once done consuming stages."""
     # ONE tokenize+explode pass feeds EVERY word-grain stage — the Gopher
     # metrics aggregates, decontamination's k=5 shingles, and the
     # near-dup k=3 shingles all read this relation: build it over the raw
@@ -144,7 +181,7 @@ def curate(
             with_tokens, id_col, "n_tokens", token_budget
         )
 
-    return _LazyStages(
+    return CurationStages(
         {
             "metrics": metrics,
             "quality": quality,
@@ -157,4 +194,5 @@ def curate(
             "packed": _packed,
             "shards": lambda: corpus.shuffle_shards(sampled, id_col, n_shards),
         },
+        cached=[words_all, quality, exact],
     )

@@ -4660,10 +4660,13 @@ def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) achieving the quarter's maximum revenue —
     the scalar-subquery-over-an-aggregate-view shape.  The revenue agg
-    is computed ONCE and persisted so the max-scalar pass and the
-    equality filter reuse the same 100-row result instead of
-    re-scanning lineitem; the max arrives as a 1-row broadcast join.
-    Ties (multiple suppliers at max) surface naturally, as in the spec."""
+    appears under both the max-scalar pass and the equality filter as
+    the IDENTICAL aggregate subtree, so its Exchange(l_suppkey) — and
+    the lineitem scan + partial agg below it — is one ReusedExchange
+    per action (no persist: the returned plan is lazy, a cache here
+    outlives the caller's action); the max arrives as a 1-row broadcast
+    join. Ties (multiple suppliers at max) surface naturally, as in the
+    spec."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
@@ -4676,7 +4679,6 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_revenue",
             )
         )
-        .persist()
     )
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     s = t(spark, sf_dir, "supplier")

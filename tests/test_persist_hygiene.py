@@ -163,3 +163,130 @@ def test_ngram_jaccard_pairs_leak_free(spark):
             docs, "doc_id", "text", k=3, threshold=0.3, max_df=100
         ),
     )
+
+
+def test_curate_close_frees_cached_stages(spark):
+    """curate() persists three shared relations; close() (or leaving a
+    with-block) releases ALL of them — a long-lived session running
+    curation batches must not accumulate storage blocks."""
+    from id3c_spark.plans.curation import curate
+
+    docs = _docs(spark).withColumn("source", F.lit("s"))
+    bench = spark.createDataFrame(
+        [(900, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    spark.catalog.clearCache()
+    baseline = _cached_ids(spark)
+    stages = curate(docs, bench, jaccard_threshold=0.5)
+    assert stages["sampled"].count() > 0  # populates the caches
+    assert _cached_ids(spark) - baseline  # the persists are live
+    stages.close()
+    assert _new_cached(spark, baseline) == set()
+    stages.close()  # idempotent
+    # stages stay usable after close — they recompute instead of
+    # reading cache
+    assert stages["sampled"].count() > 0
+    assert _new_cached(spark, baseline) == set()
+
+
+def test_curate_stages_mapping_protocol(spark):
+    """The stage handle behaves like a full mapping: membership,
+    iteration, len, get, items and dict() all see the lazy tail
+    entries ('packed'/'shards'), not just the eager ones."""
+    from id3c_spark.plans.curation import curate
+
+    docs = _docs(spark, n=20).withColumn("source", F.lit("s"))
+    bench = spark.createDataFrame([(900, "zzz")], "doc_id long, text string")
+    with curate(docs, bench) as stages:
+        names = {
+            "metrics", "quality", "clean", "exact", "unique", "sampled",
+            "packed", "shards",
+        }
+        assert set(stages) == names
+        assert len(stages) == len(names)
+        assert "packed" in stages and "shards" in stages
+        assert stages.get("nope") is None
+        assert stages.get("packed") is not None
+        assert set(dict(stages)) == names  # forces the lazy tail
+        assert {k for k, _ in stages.items()} == names
+
+
+def test_minhash_lsh_pairs_leak_free(spark):
+    from id3c_spark.operators import dedup
+
+    docs = _docs(spark, 150)
+    _assert_leak_free_and_stable(
+        spark,
+        lambda: dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3),
+    )
+
+
+def test_prefix_filter_jaccard_pairs_leak_free(spark):
+    from id3c_spark.operators import dedup
+
+    docs = _docs(spark, 150)
+    _assert_leak_free_and_stable(
+        spark,
+        lambda: dedup.prefix_filter_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.3
+        ),
+    )
+
+
+def test_incremental_lsh_dedup_leak_free(spark):
+    from id3c_spark.operators import dedup
+
+    new = _docs(spark, 60)
+    corpus = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 160))
+        .select("doc_id", "text")
+    )
+    _assert_leak_free_and_stable(
+        spark,
+        lambda: dedup.incremental_lsh_dedup(
+            new, corpus, "doc_id", "text", threshold=0.2
+        ),
+    )
+
+
+def test_simhash_pairs_leak_free(spark):
+    from id3c_spark.operators import dedup
+
+    docs = _docs(spark, 150)
+    _assert_leak_free_and_stable(
+        spark,
+        lambda: dedup.simhash_pairs(docs, "doc_id", "text", max_distance=8),
+    )
+
+
+def test_ngram_containment_pairs_leak_free(spark):
+    from id3c_spark.operators import dedup
+
+    docs = _docs(spark, 150)
+    _assert_leak_free_and_stable(
+        spark,
+        lambda: dedup.ngram_containment_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.4, max_df=100
+        ),
+    )
+
+
+def test_shared_span_pairs_leak_free(spark):
+    from id3c_spark.operators import spans
+
+    docs = _docs(spark, 150)
+    _assert_leak_free_and_stable(
+        spark,
+        lambda: spans.shared_span_pairs(docs, "doc_id", "text", k=5, min_words=6),
+    )
+
+
+def test_top_revenue_supplier_leak_free(spark):
+    from id3c_spark.plans.queries import QUERIES
+
+    fn = QUERIES["top_revenue_supplier"]
+    _assert_leak_free_and_stable(
+        spark, lambda: fn(spark, "/root/testdata/sf0.001")
+    )

@@ -685,8 +685,29 @@ def dedup_clusters(
     # localCheckpoint-then-count shape pinned the materialized pairs in
     # executor storage forever (a leak in every dedup_clusters consumer —
     # semantic_dedup, the curation flow, the dup-cluster queries).
+    #
+    # Single-wave collect: executeTake's default ramp-up (1 partition,
+    # then ×4 per wave) re-launches the result stage job per wave — on a
+    # filtered pair relation far below the cutoff EVERY partition must be
+    # scanned anyway, so the waves are pure scheduler overhead (measured
+    # 1.5-5 s per probe at sf0.1, the single largest fixed cost in the
+    # curation flow). Raising initialNumPartitions makes wave one cover
+    # the whole result stage. Per-partition LocalLimit still bounds what
+    # each task emits, so the worst-case driver transfer (partitions ×
+    # cutoff rows) is identical to the default ramp's final wave — the
+    # bound the cutoff exists for is unchanged. The conf is restored
+    # immediately; this eager probe is driver-side sequential, so the
+    # only exposure is a concurrent SAME-session limit query racing the
+    # window (accepted: one wave-sized ramp skipped, results identical).
     raw_plan = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    probe = raw_plan.limit(driver_cutoff + 1).collect()
+    conf = pairs.sparkSession.conf
+    _RAMP_KEY = "spark.sql.limit.initialNumPartitions"
+    prev = conf.get(_RAMP_KEY, None)
+    conf.set(_RAMP_KEY, "4096")
+    try:
+        probe = raw_plan.limit(driver_cutoff + 1).collect()
+    finally:
+        conf.unset(_RAMP_KEY) if prev is None else conf.set(_RAMP_KEY, prev)
     if len(probe) <= driver_cutoff:
         parent: dict = {}
 

@@ -113,6 +113,12 @@ def main() -> None:
             spark, f"{sf_dir}/embeddings.parquet",
             nlist=8, m=16, kcent=256, train_iter=2, assign_n=2,
         )
+        # the adaptive-cutoff catalog entry serves its own index variant
+        cached_index(
+            spark, f"{sf_dir}/embeddings.parquet",
+            nlist=8, m=16, kcent=256, train_iter=2, assign_n=2,
+            assign_ratio=1.04,
+        )
     except Exception:
         pass  # missing table etc. — queries fall back to building inline
     spark.catalog.clearCache()

@@ -1041,12 +1041,16 @@ def corpus_ann_drift(index_path: str) -> None:
 @click.option("--assign-n", default=None, type=int,
               help="multi-assign fan-out for the rebuilt index "
                    "(default: keep the live index's)")
+@click.option("--assign-ratio", default=None, type=float,
+              help="adaptive multi-assign cutoff (keep a secondary "
+                   "assignment only while its squared L2 is <= ratio x "
+                   "the primary's; default: keep the live index's)")
 @click.option("--id-col", default="vec_id", show_default=True)
 @click.option("--vec-col", default="embedding", show_default=True)
 def corpus_ann_rebuild(index_path: str, source_parquet: str, force: bool,
                        nlist: int, m: int, kcent: int,
-                       assign_n: int | None, id_col: str,
-                       vec_col: str) -> None:
+                       assign_n: int | None, assign_ratio: float | None,
+                       id_col: str, vec_col: str) -> None:
     """Close the drift-policy loop: run the drift report and retrain the
     index over SOURCE_PARQUET only when a cell flags (or --force). The
     scheduled-maintenance counterpart of `ann-drift` — encode-only
@@ -1064,7 +1068,7 @@ def corpus_ann_rebuild(index_path: str, source_parquet: str, force: bool,
 
     from id3c_spark.plans.ann_index import (
         _params_string,
-        _read_assign_n,
+        _read_assign_meta,
         _tables,
         build_index,
         index_drift_report,
@@ -1076,8 +1080,11 @@ def corpus_ann_rebuild(index_path: str, source_parquet: str, force: bool,
     if not (flagged or force):
         click.echo(json.dumps({"rebuilt": False, "flagged": False}))
         return
-    if assign_n is None:  # keep the live index's multi-assign fan-out
-        assign_n = _read_assign_n(spark, _tables(spark, index_path))
+    if assign_n is None or assign_ratio is None:
+        # keep the live index's multi-assign fan-out / adaptive cutoff
+        live_n, live_ratio = _read_assign_meta(spark, _tables(spark, index_path))
+        assign_n = live_n if assign_n is None else assign_n
+        assign_ratio = live_ratio if assign_ratio is None else assign_ratio
     # single-writer guard: two concurrent rebuilds racing the swap can
     # strand the live path (the loser's first rename finds no source).
     # O_EXCL makes the second rebuild fail fast instead.
@@ -1097,7 +1104,7 @@ def corpus_ann_rebuild(index_path: str, source_parquet: str, force: bool,
         versions = build_index(
             spark.read.parquet(source_parquet), tmp,
             nlist=nlist, m=m, kcent=kcent, id_col=id_col, vec_col=vec_col,
-            assign_n=assign_n,
+            assign_n=assign_n, assign_ratio=assign_ratio,
         )
         # Keep the index recognisable to cached_index ONLY when this
         # rebuild's params match the live marker's: the cache directory
@@ -1109,7 +1116,8 @@ def corpus_ann_rebuild(index_path: str, source_parquet: str, force: bool,
         live_marker = os.path.join(index_path, "_COMPLETE")
         if os.path.exists(live_marker):
             new_params = _params_string(
-                nlist, m, kcent, 2, assign_n, id_col, vec_col
+                nlist, m, kcent, 2, assign_n, id_col, vec_col,
+                assign_ratio=assign_ratio,
             )
             with open(live_marker) as f:
                 live_params = f.read().strip()

@@ -455,10 +455,20 @@ def _residuals_rows(
     return rows.mapInPandas(gen, schema)
 
 
-def _assign_topn(vn: DataFrame, bcg, n: int) -> DataFrame:
+def _assign_topn(vn: DataFrame, bcg, n: int, ratio: float | None = None) -> DataFrame:
     """(id, cell): each vector's *n* nearest coarse centroids (6-dp
     squared L2, centroid-index tiebreak) — the IVF probe set. One Arrow
-    pass, no shuffle; same discipline as clustering._assign."""
+    pass, no shuffle; same discipline as clustering._assign.
+
+    *ratio* makes the fan-out ADAPTIVE (corpus-side multi-assign only):
+    the nearest cell is always kept; rank-j (j > 1) assignments survive
+    only while round6(d2_j) <= ratio * round6(d2_1) — boundary vectors
+    (whose runner-up cell is nearly as close) are the ones a probe set
+    actually misses, so they carry the recall value of multi-assign,
+    while interior vectors' duplicate rows are pure storage/scan cost.
+    Both sides of the comparison are the 6-dp-rounded distances the
+    ranking itself uses, so the DuckDB oracle mirror (grank.d2) filters
+    on bit-identical values."""
     import numpy as np
     import pandas as pd
 
@@ -470,9 +480,18 @@ def _assign_topn(vn: DataFrame, bcg, n: int) -> DataFrame:
             x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
             d2 = np.round(((x[:, None, :] - cent[None]) ** 2).sum(axis=2), 6)
             order = np.argsort(d2, axis=1, kind="stable")[:, :n]
-            ids = np.repeat(pdf["id"].to_numpy(), order.shape[1])
+            if ratio is None or n == 1:
+                ids = np.repeat(pdf["id"].to_numpy(), order.shape[1])
+                yield pd.DataFrame(
+                    {"id": ids, "cell": order.reshape(-1).astype("int64")}
+                )
+                continue
+            srt = np.take_along_axis(d2, order, axis=1)   # sorted d2, rounded
+            keep = srt <= ratio * srt[:, :1]
+            keep[:, 0] = True                             # rank 1 unconditional
+            ids = np.repeat(pdf["id"].to_numpy(), keep.sum(axis=1))
             yield pd.DataFrame(
-                {"id": ids, "cell": order.reshape(-1).astype("int64")}
+                {"id": ids, "cell": order[keep].astype("int64")}
             )
 
     return vn.mapInPandas(gen, "id long, cell long")

@@ -47,12 +47,23 @@ def _read_assign_n(spark: SparkSession, t: dict[str, ParquetTable]) -> int:
     surface, because silently defaulting to 1 on a multi-assign index
     disables serve-side pair dedup and makes add_to_index ingest
     single-assign rows — a quiet recall decay with no error anywhere."""
+    return _read_assign_meta(spark, t)[0]
+
+
+def _read_assign_meta(
+    spark: SparkSession, t: dict[str, ParquetTable]
+) -> tuple[int, float | None]:
+    """(assign_n, assign_ratio) from the meta table — the corpus-side
+    assignment fan-out and, when the index was built ADAPTIVE, the
+    d2/d1 cutoff secondary assignments had to clear. Same missing-table
+    semantics as _read_assign_n (legacy single-assign, no ratio)."""
     try:
         rows = t["meta"].read().collect()
     except FileNotFoundError:
-        return 1
+        return 1, None
     vals = {r.key: r.value for r in rows}
-    return int(vals.get("assign_n", 1))
+    ratio = vals.get("assign_ratio")
+    return int(vals.get("assign_n", 1)), (None if ratio is None else float(ratio))
 
 
 def _cell_stats(vectors: DataFrame) -> DataFrame:
@@ -99,6 +110,7 @@ def build_index(
     vec_col: str = "embedding",
     files_per_table: int | None = None,
     assign_n: int = 1,
+    assign_ratio: float | None = None,
 ) -> dict[str, int]:
     """Train the residual-IVFPQ models and publish the index tables
     (same training discipline as ivfpq_topk's default path: normalized
@@ -122,7 +134,14 @@ def build_index(
     Quantizer training is UNCHANGED (coarse + codebooks train on
     primary-cell residuals only), so assign_n=1 tables are bit-identical
     to the pre-multi-assign layout; serving dedups pairs by min ADC
-    dist (pq._adc_topk dedup_pairs)."""
+    dist (pq._adc_topk dedup_pairs).
+
+    *assign_ratio* makes the fan-out ADAPTIVE (the r12 latency lever):
+    a secondary assignment is kept only while its 6-dp squared L2 to the
+    centroid is ≤ ratio × the primary's — boundary vectors (the ones a
+    probe set actually misses) keep their safety copy, interior vectors
+    stop paying duplicate code/vector rows. Recorded in meta so
+    add_to_index ingests with the index's own cutoff."""
     from id3c_spark.operators.ann import _prep
     from id3c_spark.operators.pq import (
         _assign_topn,
@@ -138,7 +157,9 @@ def build_index(
     bcg = spark.sparkContext.broadcast(coarse)
     # cells_all: the encoding fan-out (assign_n rows per id); training
     # and the drift baseline stay on the PRIMARY assignment via enc rows
-    cells_all = _assign_topn(vn, bcg, min(assign_n, coarse.shape[1])).persist()
+    cells_all = _assign_topn(
+        vn, bcg, min(assign_n, coarse.shape[1]), ratio=assign_ratio
+    ).persist()
     enc_all = _residuals_rows(cells_all.join(vn, "id"), bcg, keep_cell=True).persist()
     if assign_n == 1:
         enc_train = enc_all.select("id", "v")
@@ -196,7 +217,12 @@ def build_index(
         ),
         "meta": t["meta"].publish(
             spark.createDataFrame(
-                [("assign_n", str(min(assign_n, nlist_t)))],
+                [("assign_n", str(min(assign_n, nlist_t)))]
+                + (
+                    [("assign_ratio", repr(float(assign_ratio)))]
+                    if assign_ratio is not None
+                    else []
+                ),
                 "key string, value string",
             )
         ),
@@ -240,14 +266,18 @@ def _source_fingerprint(spark: SparkSession, source_path: str, params: str) -> s
 def _params_string(
     nlist: int, m: int, kcent: int, train_iter: int,
     assign_n: int, id_col: str, vec_col: str,
+    assign_ratio: float | None = None,
 ) -> str:
     """Canonical build-params string: the cached_index cache key input
     AND the `_COMPLETE` marker body. One definition so the CLI rebuild
     can decide whether its params match a live cache-managed index's
-    (and therefore whether the marker may be carried forward)."""
+    (and therefore whether the marker may be carried forward).
+    assign_ratio appends only when set, so every pre-adaptive index keeps
+    its exact legacy key (no spurious cache rebuilds)."""
     return (
         f"nlist={nlist},m={m},kcent={kcent},iters={train_iter},"
         f"assign={assign_n},{id_col},{vec_col}"
+        + (f",ratio={assign_ratio!r}" if assign_ratio is not None else "")
     )
 
 
@@ -263,6 +293,7 @@ def cached_index(
     cache_root: str | None = None,
     prune_age_sec: float = 6 * 3600,
     assign_n: int = 1,
+    assign_ratio: float | None = None,
 ) -> str:
     """Return the directory of a persisted IVFADC index over the parquet
     corpus at *source_path*, building it at most once per (corpus
@@ -291,7 +322,10 @@ def cached_index(
         "spark-warehouse",
         "ann_cache",
     )
-    params = _params_string(nlist, m, kcent, train_iter, assign_n, id_col, vec_col)
+    params = _params_string(
+        nlist, m, kcent, train_iter, assign_n, id_col, vec_col,
+        assign_ratio=assign_ratio,
+    )
     pkey = hashlib.sha1(params.encode()).hexdigest()[:8]
     key = _source_fingerprint(spark, source_path, params)
     # the prune scope keys on the FULL source path (hashed), not just the
@@ -310,7 +344,7 @@ def cached_index(
         build_index(
             corpus, tmp, nlist=nlist, m=m, kcent=kcent,
             train_iter=train_iter, id_col=id_col, vec_col=vec_col,
-            assign_n=assign_n,
+            assign_n=assign_n, assign_ratio=assign_ratio,
         )
         with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
             f.write(params + "\n")
@@ -406,13 +440,16 @@ def add_to_index(
     )
 
     coarse, books, t = _load_models(spark, path)
-    assign_n = _read_assign_n(spark, t)
+    assign_n, assign_ratio = _read_assign_meta(spark, t)
     bcg = spark.sparkContext.broadcast(coarse)
     vn = _normalized(_prep(new_vectors, id_col, vec_col)).persist()
-    # honor the INDEX's assignment fan-out (meta table): a multi-assign
-    # index must keep receiving one (codes, vectors) row per (id, cell)
-    # or its secondary-cell recall silently decays for new ingest
-    cells = _assign_topn(vn, bcg, min(assign_n, coarse.shape[1])).persist()
+    # honor the INDEX's assignment fan-out AND adaptive cutoff (meta
+    # table): a multi-assign index must keep receiving one (codes,
+    # vectors) row per kept (id, cell) or its secondary-cell recall
+    # silently decays for new ingest
+    cells = _assign_topn(
+        vn, bcg, min(assign_n, coarse.shape[1]), ratio=assign_ratio
+    ).persist()
     enc = _residuals_rows(cells.join(vn, "id"), bcg, keep_cell=True)
     codes = pq_encode_cells(enc, books)
     versions = {

@@ -2329,6 +2329,7 @@ def _ivfpq_chain(
     nlist: int = 16,
     nprobe: int = 2,
     assign_n: int = 1,
+    assign_ratio: float | None = None,
 ) -> str:
     """SQL mirror of residual pq.ivfpq_topk (IVFADC on the unit sphere):
     unit-normalized vectors, a TRAINED coarse quantizer (the m=1 instance
@@ -2337,7 +2338,11 @@ def _ivfpq_chain(
     trained on and codes encoding the per-cell residual v̂ − centroid
     (salted seed order, disjoint from the coarse seeds), and a
     per-(query, probed-cell) residual LUT scoring only the pairs the
-    probes admit.
+    probes admit. *assign_ratio* mirrors the ADAPTIVE corpus fan-out
+    (pq._assign_topn ratio): a rank-j>1 assignment survives only while
+    its 6-dp d2 is <= ratio x the primary's — the filter compares the
+    same rounded values the ranking itself orders by, so both engines
+    keep bit-identical row sets.
 
     *assign_n* > 1 mirrors the persisted index's corpus-side
     multi-assign (plans/ann_index.build_index): training stays on the
@@ -2371,7 +2376,7 @@ def _ivfpq_chain(
         + _pq_train_ctes(1, nlist, iters, dim, src="vn", prefix="g")
         + f""",
     grank AS (
-      SELECT v.vec_id, ct.cl AS cell,
+      SELECT v.vec_id, ct.cl AS cell, {g_d2} AS d2,
              row_number() OVER (PARTITION BY v.vec_id
                                 ORDER BY {g_d2}, ct.cl) AS pr
       FROM vn v CROSS JOIN gcentf ct),
@@ -2414,8 +2419,18 @@ def _ivfpq_chain(
       JOIN lutr l ON l.qid = cd.query_id AND l.cell = cd.cell
                  AND l.sub = c.sub AND l.cl = c.cl
       GROUP BY cd.query_id, cd.neighbor_id)"""
+    ratio_pred = (
+        "" if assign_ratio is None
+        else f" AND (pr = 1 OR d2 <= {assign_ratio!r} * d1)"
+    )
     return sql + f""",
-    cellsx AS (SELECT vec_id, cell FROM grank WHERE pr <= {assign_n}),
+    cellsx AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, pr, d2,
+               min(CASE WHEN pr = 1 THEN d2 END)
+                 OVER (PARTITION BY vec_id) AS d1
+        FROM grank WHERE pr <= {assign_n})
+      WHERE TRUE{ratio_pred}),
     res_all AS MATERIALIZED (
       -- per-ASSIGNED-cell residual (multi-assign: one row per (id, cell))
       SELECT c.vec_id, c.cell,
@@ -2456,10 +2471,11 @@ def _ivfpq_oracle(
     nprobe: int = 2,
     topk: int = 5,
     assign_n: int = 1,
+    assign_ratio: float | None = None,
 ) -> str:
     """Residual IVFPQ chain + ADC top-k tail."""
     return _ivfpq_chain(
-        m, kcent, iters, dim, nlist, nprobe, assign_n
+        m, kcent, iters, dim, nlist, nprobe, assign_n, assign_ratio
     ) + _PQ_TAIL.format(topk=topk)
 
 
@@ -2473,12 +2489,13 @@ def _ivfpq_rerank_oracle(
     shortlist: int = 20,
     topk: int = 5,
     assign_n: int = 1,
+    assign_ratio: float | None = None,
 ) -> str:
     """SQL mirror of exact_rerank(ivfpq_topk(k=shortlist)) — the IVFADC+R
     composition: the compressed index admits an ADC-ranked shortlist, and
     only those pairs touch raw vectors for the exact-cosine final order."""
     return (
-        _ivfpq_chain(m, kcent, iters, dim, nlist, nprobe, assign_n)
+        _ivfpq_chain(m, kcent, iters, dim, nlist, nprobe, assign_n, assign_ratio)
         + f""",
     short AS (
       SELECT query_id, neighbor_id FROM (
@@ -5592,7 +5609,7 @@ def _ivf_trained_oracle(
         + _pq_train_ctes(1, nlist, iters, dim, src="vn", prefix="g")
         + f""",
     grank AS (
-      SELECT v.vec_id, ct.cl AS cell,
+      SELECT v.vec_id, ct.cl AS cell, {g_d2} AS d2,
              row_number() OVER (PARTITION BY v.vec_id
                                 ORDER BY {g_d2}, ct.cl) AS pr
       FROM vn v CROSS JOIN gcentf ct),
@@ -5816,6 +5833,39 @@ def ivfpq_rerank_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shortlist = serve_topk(spark, idx, emb, k=20, nprobe=6)
     return ann.exact_rerank(emb, emb, shortlist, k=5)
+
+
+@query(
+    "ivfpq_adaptive_topk_embeddings",
+    oracle=_ivfpq_oracle(
+        m=16, kcent=256, iters=2, nlist=8, nprobe=6, topk=5, assign_n=2,
+        assign_ratio=1.04,
+    ),
+)
+def ivfpq_adaptive_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC served from a persisted index built with ADAPTIVE
+    multi-assign (r12): a vector's secondary cell is kept only while its
+    6-dp squared L2 is <= 1.04 x the primary's, so boundary vectors keep
+    their safety copy and interior vectors stop paying duplicate
+    code/vector rows (measured fan-out ~1.5x vs full assign_n=2's 2.0x
+    on this corpus). On a clustered 100 TB corpus — where nlist ~ sqrt(N)
+    gives real margins — the interior share dominates and the cutoff
+    recovers most of multi-assign's storage/scan cost; on THIS
+    quasi-uniform synthetic corpus (d2/d1 p50 = 1.037) recall trades
+    ~1:1 with fan-out, so the flagship serving queries keep full
+    assign_n=2 (tools/assign_ratio_exp.py grid, ANN_RECALL_r12.md). The
+    oracle mirrors the cutoff on the same 6-dp-rounded distances the
+    ranking orders by, so both engines keep bit-identical row sets."""
+    from id3c_spark.plans.ann_index import cached_index, serve_topk
+
+    idx = cached_index(
+        spark, f"{sf_dir}/embeddings.parquet",
+        nlist=8, m=16, kcent=256, train_iter=2, assign_n=2,
+        assign_ratio=1.04,
+    )
+    return serve_topk(
+        spark, idx, t(spark, sf_dir, "embeddings"), k=5, nprobe=6
+    )
 
 
 @query(

@@ -496,3 +496,69 @@ def test_multi_assign_lifts_probe_recall_and_dedups_pairs(spark, tmp_path):
     rows = index_drift_report(spark, p2).collect()
     assert rows and all(r["resid_ratio"] == 1.0 or r["n_now"] != r["n_built"]
                         for r in rows)
+
+
+def test_adaptive_assign_ratio_prunes_interior_vectors(spark, tmp_path):
+    """assign_ratio (r12): the secondary assignment survives only while
+    its 6-dp squared L2 is <= ratio x the primary's — fan-out lands
+    between 1x and the full assign_n, the primary row is ALWAYS kept,
+    the cutoff is recorded in meta, and add_to_index ingests with the
+    index's own cutoff (not full fan-out)."""
+    from id3c_spark.plans.ann_index import (
+        _read_assign_meta, add_to_index, serve_topk as _serve,
+    )
+
+    emb = _emb(spark)
+    n = emb.count()
+    p = str(tmp_path / "idx_ad")
+    build_index(
+        emb, p, nlist=8, m=8, kcent=16, train_iter=2,
+        assign_n=2, assign_ratio=1.04,
+    )
+    t = _tables(spark, p)
+    assert _read_assign_meta(spark, t) == (2, 1.04)
+    rows = t["codes"].read().count()
+    # adaptive: strictly fewer rows than full fan-out, at least one per id
+    assert n < rows < 2 * n
+    assert t["codes"].read().select("id").distinct().count() == n
+    assert t["vectors"].read().count() == rows  # same kept (id, cell) set
+
+    # serving still dedups pairs (multi-assign survivors can collide)
+    from collections import Counter
+
+    served = _serve(spark, p, emb, k=5, nprobe=3).collect()
+    pair_counts = Counter((r.query_id, r.neighbor_id) for r in served)
+    assert served and max(pair_counts.values()) == 1
+
+    # ingest honors the stored cutoff: appended ids fan out adaptively,
+    # every id present, none beyond assign_n rows
+    batch = (
+        spark.range(60_000, 60_040)
+        .join(emb.limit(1).select("embedding"))
+        .select(F.col("id").alias("vec_id"), "embedding")
+    )
+    add_to_index(spark, p, batch)
+    new = t["codes"].read().filter(F.col("id") >= 60_000)
+    per_id = new.groupBy("id").count().collect()
+    assert len(per_id) == 40
+    assert all(1 <= r["count"] <= 2 for r in per_id)
+    # identical duplicated embedding => identical fan-out decision per id
+    assert len({r["count"] for r in per_id}) == 1
+
+
+def test_assign_ratio_cache_key_and_legacy_key_stability(spark, tmp_path):
+    """The params string appends ratio only when set: pre-adaptive
+    cache keys are byte-identical to r11's (no spurious rebuilds), and
+    a ratio change is a different key (never serves a mismatched
+    index)."""
+    from id3c_spark.plans.ann_index import _params_string
+
+    legacy = _params_string(8, 16, 256, 2, 2, "vec_id", "embedding")
+    assert legacy == "nlist=8,m=16,kcent=256,iters=2,assign=2,vec_id,embedding"
+    with_ratio = _params_string(
+        8, 16, 256, 2, 2, "vec_id", "embedding", assign_ratio=1.04
+    )
+    assert with_ratio == legacy + ",ratio=1.04"
+    assert _params_string(
+        8, 16, 256, 2, 2, "vec_id", "embedding", assign_ratio=1.07
+    ) != with_ratio

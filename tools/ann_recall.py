@@ -138,14 +138,24 @@ def main() -> int:
     try:
         p_a1 = f"{ma_dir}/a1"
         p_a2 = f"{ma_dir}/a2"
+        p_ad = f"{ma_dir}/ad"
         build_index(emb, p_a1, nlist=8, m=16, kcent=256, train_iter=2,
                     assign_n=1)
         build_index(emb, p_a2, nlist=8, m=16, kcent=256, train_iter=2,
                     assign_n=2)
+        # adaptive cutoff (r12): secondary assignment only while
+        # d2 <= 1.04 x d1 — on clustered corpora this sheds interior
+        # vectors' duplicate rows; on THIS quasi-uniform synthetic corpus
+        # the d2/d1 margins are tiny (p50 = 1.037), so the row documents
+        # the measured recall/fan-out frontier rather than a free win
+        build_index(emb, p_ad, nlist=8, m=16, kcent=256, train_iter=2,
+                    assign_n=2, assign_ratio=1.04)
         for label, path_i, nprobe in (
             ("served assign_n=1 + rerank (nprobe=6) [r10 catalog]", p_a1, 6),
             ("served assign_n=2 + rerank (nprobe=4)", p_a2, 4),
             ("served assign_n=2 + rerank (nprobe=6) [r11 catalog]", p_a2, 6),
+            ("served assign_n=2 adaptive ratio=1.04 + rerank (nprobe=6)",
+             p_ad, 6),
         ):
             results.append(run(
                 label,

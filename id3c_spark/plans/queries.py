@@ -1625,6 +1625,103 @@ def _bpe_oracle() -> str:
 LAZY_ORACLES["bpe_tokenize_docs"] = _bpe_oracle
 
 
+@query("video_neardup_pairs_docs")
+def video_neardup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate pairs end to end (multimodal.py r12): a
+    deterministic synthetic AVI-rawvideo corpus keyed by doc_id (no
+    video fixtures ship in testdata), decoded by the NATIVE RIFF/AVI
+    parser, per-frame aHash, 64-bit temporal bit-majority signature
+    (whole-stage-codegen shift/sum aggregates), then the shared banded
+    hamming join — complete for max_hamming < bands by pigeonhole.
+    Frame bytes are touched exactly once (the hash pass); everything
+    downstream joins 8-byte sketches, the shape that holds at 100 TB of
+    video. The oracle is an independent pure-Python replay of
+    decode→aHash→majority→all-pairs emitted as a VALUES literal
+    (LAZY_ORACLES)."""
+    from id3c_spark import multimodal
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    media = multimodal.synthetic_video_corpus(docs)
+    return multimodal.video_signature_pairs(media, bands=8, max_hamming=7)
+
+
+def _video_pairs_oracle() -> str:
+    """Pure-Python mirror of video_neardup_pairs_docs: regenerate each
+    doc's synthetic frames from the shared integer pixel spec
+    (multimodal._synthetic_pixel — the FIXTURE, not the operator),
+    then INDEPENDENTLY re-implement the operator chain: block-mean
+    aHash per frame, per-bit majority signature, brute-force all-pairs
+    hamming <= 7 (== the banded join by the pigeonhole completeness
+    argument). All arithmetic is dyadic-rational-exact, so the float
+    comparisons replay bit-identically."""
+    import duckdb
+
+    from id3c_spark.multimodal import _synthetic_pixel
+
+    n_frames, w, h, grid, group = 4, 16, 16, 8, 12
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{oracle_sf_dir()}/documents.parquet' "
+            "ORDER BY doc_id"
+        ).fetchall()
+    ]
+    sigs = {}
+    for did in ids:
+        did = int(did)
+        hashes = []
+        for f in range(n_frames):
+            gray = [
+                [float(_synthetic_pixel(did, f, y, x, w, group)) for x in range(w)]
+                for y in range(h)
+            ]
+            # independent aHash replay: grid x grid block means, bit set
+            # where block mean >= mean of block means, row-major bits
+            means = []
+            for r in range(grid):
+                row = []
+                for c in range(grid):
+                    r0, r1 = r * h // grid, (r + 1) * h // grid
+                    c0, c1 = c * w // grid, (c + 1) * w // grid
+                    vals = [gray[y][x] for y in range(r0, r1) for x in range(c0, c1)]
+                    row.append(sum(vals) / len(vals))
+                means.append(row)
+            thresh = sum(sum(row) for row in means) / (grid * grid)
+            bits = 0
+            for r in range(grid):
+                for c in range(grid):
+                    if means[r][c] >= thresh:
+                        bits |= 1 << (r * grid + c)
+            hashes.append(bits)
+        sig = 0
+        for i in range(64):
+            ones = sum((hh >> i) & 1 for hh in hashes)
+            if 2 * ones >= len(hashes):
+                sig |= 1 << i
+        sigs[did] = sig
+    pairs = []
+    sids = sorted(sigs)
+    for i, a in enumerate(sids):
+        for b in sids[i + 1:]:
+            hd = bin(sigs[a] ^ sigs[b]).count("1")
+            if hd <= 7:
+                pairs.append((a, b, hd))
+    if not pairs:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,"
+            " CAST(NULL AS INTEGER) AS hamming WHERE FALSE"
+        )
+    values = ", ".join(f"({a}, {b}, {hd})" for a, b, hd in pairs)
+    return (
+        "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,"
+        " CAST(hamming AS INTEGER) AS hamming"
+        f" FROM (VALUES {values}) AS t(id_a, id_b, hamming)"
+    )
+
+
+LAZY_ORACLES["video_neardup_pairs_docs"] = _video_pairs_oracle
+
+
 def _pack_tokens_oracle() -> str:
     """Token-budget packing oracle: the BPE mirror's per-doc token counts
     (VALUES literal) fed through the same recursive-CTE next-fit replay

@@ -253,3 +253,150 @@ def test_phash_injectable_jpeg_decoder(spark):
     rows = {r["media_id"]: r["phash"]
             for r in multimodal.image_phash(df).collect()}
     assert rows[1] is None              # honest stub restored
+
+
+# ---------------------------------------------------------------------------
+# video: native AVI rawvideo decode, injectable codec hook, temporal
+# signature, banded near-dup pairs (r12 — mirrors the image decoder design)
+# ---------------------------------------------------------------------------
+
+
+def _video_media(spark, rows):
+    from pyspark.sql.types import (
+        BinaryType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("content", BinaryType()),
+    ])
+    return spark.createDataFrame(
+        [(i, "video", c) for i, c in rows], schema
+    )
+
+
+def _gray_frames_avi(seed, n_frames=3, w=16, h=16, bump=None):
+    """Deterministic AVI whose decoded frames are integer gradients;
+    *bump* perturbs a single pixel per frame (near-dup fixture)."""
+    from id3c_spark.multimodal import encode_avi
+
+    frames = []
+    for f in range(n_frames):
+        px = bytearray()
+        for y in reversed(range(h)):          # bottom-up DIB rows
+            for x in range(w):
+                v = (seed * 31 + f * 11 + y * 5 + x * 3) % 200
+                if bump is not None and (y, x) == bump:
+                    v = (v + 90) % 256
+                px += bytes((v, v, v))
+        frames.append(bytes(px))
+    return encode_avi(w, h, frames)
+
+
+def test_avi_roundtrip_decode_exact():
+    import numpy as np
+
+    from id3c_spark.multimodal import decode_avi_frames, encode_avi
+
+    w, h = 8, 6
+    frames = [
+        bytes(bytearray((f * 13 + y * 5 + x * 3) % 256
+                        for y in reversed(range(h)) for x in range(w)
+                        for _ in range(3)))
+        for f in range(3)
+    ]
+    dec = decode_avi_frames(encode_avi(w, h, frames))
+    assert len(dec) == 3 and dec[0].shape == (h, w)
+    for f, gray in enumerate(dec):
+        want = np.array([[(f * 13 + y * 5 + x * 3) % 256 for x in range(w)]
+                         for y in range(h)], dtype=float)
+        assert np.array_equal(gray, want)
+
+
+def test_video_frame_phashes_neardup_and_stub_boundary(spark):
+    from id3c_spark.multimodal import video_frame_phashes
+
+    a = _gray_frames_avi(1)
+    dup = _gray_frames_avi(1, bump=(3, 3))   # one perturbed pixel
+    other = _gray_frames_avi(9)
+    mp4_stub = b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 64
+    df = _video_media(spark, [(1, a), (2, dup), (3, other), (4, mp4_stub)])
+    rows = video_frame_phashes(df).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, {})[r.frame_idx] = r.phash
+    assert set(by_id) == {1, 2, 3}           # stub mp4 yields NO rows
+    assert len(by_id[1]) == 3
+    ham12 = sum(bin((by_id[1][i] ^ by_id[2][i]) & (2**64 - 1)).count("1")
+                for i in range(3))
+    ham13 = sum(bin((by_id[1][i] ^ by_id[3][i]) & (2**64 - 1)).count("1")
+                for i in range(3))
+    assert ham12 < ham13                      # perturbed twin is closer
+
+
+def test_video_decoder_hook_injects_mp4_support(spark):
+    """register_video_decoder: an environment with a real codec library
+    installs a decoder and the SAME pipeline produces frame hashes for
+    mp4 — no code changes (the video mirror of
+    test_phash_injectable_jpeg_decoder). The fake decoder stands in for
+    PyAV/imageio."""
+    import numpy as np
+
+    from id3c_spark import multimodal as mm
+
+    def fake_mp4_decoder(content: bytes):
+        # deterministic 2-frame gradient "decode"
+        return [
+            np.array([[(f * 7 + y * 5 + x * 3) % 199 for x in range(16)]
+                      for y in range(16)], dtype=float)
+            for f in range(2)
+        ]
+
+    mp4 = b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 64
+    df = _video_media(spark, [(1, mp4)])
+    try:
+        assert mm.video_frame_phashes(df).count() == 0   # stub first
+        mm.register_video_decoder("mp4", fake_mp4_decoder)
+        rows = mm.video_frame_phashes(df).collect()
+        assert {r.frame_idx for r in rows} == {0, 1}
+        assert all(r.phash is not None for r in rows)
+    finally:
+        mm._VIDEO_DECODERS.pop("mp4", None)
+
+
+def test_video_signature_majority_and_pairs_complete(spark):
+    """The temporal signature is the per-bit frame majority, and the
+    banded pair join is complete vs brute force over signatures."""
+    from id3c_spark import multimodal as mm
+
+    rows = [(i, _gray_frames_avi(i // 3, bump=(i % 3, i % 3) if i % 3 else None))
+            for i in range(12)]
+    df = _video_media(spark, rows)
+    sigs = {r.media_id: r.signature for r in mm.video_signature(df).collect()}
+    assert len(sigs) == 12
+
+    # majority replay from the frame hashes
+    ph = mm.video_frame_phashes(df).collect()
+    by_id = {}
+    for r in ph:
+        by_id.setdefault(r.media_id, []).append(r.phash)
+    for mid, hs in by_id.items():
+        want = 0
+        for i in range(64):
+            ones = sum((h >> i) & 1 for h in hs)
+            if 2 * ones >= len(hs):
+                want |= 1 << i
+        if want >= 1 << 63:
+            want -= 1 << 64
+        assert sigs[mid] == want, mid
+
+    got = {(r.id_a, r.id_b) for r in
+           mm.video_signature_pairs(df, bands=8, max_hamming=7).collect()}
+    brute = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= 7:
+                brute.add((a, b))
+    assert brute and got == brute

@@ -788,11 +788,14 @@ def audio_fingerprint_pairs(
     (complete for max_hamming < bands). Returns (id_a, id_b, hamming)."""
     from id3c_spark.operators.ann import sketch_hamming_pairs
 
+    # no persist: sketch_hamming_pairs shares the fingerprint pass
+    # across both self-join sides via its join-key exchange
+    # (ReusedExchange) — a cache here would leak storage blocks past the
+    # caller's action (same fix as image_phash_pairs)
     sk = (
         audio_fingerprint(media)
         .filter(F.col("afp").isNotNull())
         .select(F.col("media_id").alias("id"), F.col("afp").alias("sketch"))
-        .persist()
     )
     return sketch_hamming_pairs(sk, 64, bands, max_hamming)
 

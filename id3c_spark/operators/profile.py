@@ -244,8 +244,19 @@ def kmv_jaccard(df: DataFrame, group_col: str, value_col: str, k: int = 64) -> D
     — the union's k smallest are among them); the Jaccard estimate is the
     fraction of merged-sketch hashes present in BOTH sides. All inputs
     are ≤ k-row-per-group relations, so the pair join broadcasts; the
-    full corpus is scanned exactly once by kmv_sketch."""
-    sk = kmv_sketch(df, group_col, value_col, k).select("g", "h").persist()
+    full corpus is scanned exactly once by kmv_sketch.
+
+    The sketch relation is BOUNDED at k·|groups| rows by construction,
+    so it collects to the driver and re-enters the plan as a local
+    relation: one corpus scan total (five lazy consumers would each
+    rescan otherwise), no persist (the old cache here leaked storage
+    blocks past the caller's action — the operator returns a lazy
+    plan and could never unpersist it), and every downstream join
+    broadcasts a local list exactly like the trained-model relations in
+    pq/ann."""
+    spark = df.sparkSession
+    sk_plan = kmv_sketch(df, group_col, value_col, k).select("g", "h")
+    sk = spark.createDataFrame(sk_plan.collect(), sk_plan.schema)
     groups = sk.select("g").distinct()
     # |G|² pair relation (the one intentional crossJoin — group count,
     # not corpus, bounds it); each side's sketch then attaches by EQUI

@@ -290,3 +290,46 @@ def test_top_revenue_supplier_leak_free(spark):
     _assert_leak_free_and_stable(
         spark, lambda: fn(spark, "/root/testdata/sf0.001")
     )
+
+
+def test_audio_fingerprint_pairs_leak_free(spark):
+    from pyspark.sql.types import (
+        BinaryType, LongType, StringType, StructField, StructType,
+    )
+
+    from id3c_spark import multimodal as mm
+
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("content", BinaryType()),
+    ])
+    import numpy as np
+
+    def tone(freq, n=2000, rate=8000, amp=0.4):
+        t = np.arange(n) / rate
+        return amp * np.sin(2 * np.pi * freq * t)
+
+    rows = [
+        (i, "audio", mm.encode_wav(tone(200 + 3 * (i % 4))))
+        for i in range(12)
+    ]
+    media = spark.createDataFrame(rows, schema)
+    _assert_leak_free_and_stable(
+        spark, lambda: mm.audio_fingerprint_pairs(media, bands=8, max_hamming=7)
+    )
+
+
+def test_kmv_jaccard_leak_free(spark):
+    """kmv_jaccard's sketch relation is bounded (k x |groups| rows) and
+    now re-enters the plan as a local relation — one corpus scan, zero
+    cached blocks left behind."""
+    from id3c_spark.operators.profile import kmv_jaccard
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "source")
+    )
+    _assert_leak_free_and_stable(
+        spark, lambda: kmv_jaccard(docs, "source", "text", k=32)
+    )

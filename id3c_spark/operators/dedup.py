@@ -394,35 +394,41 @@ def prefix_filter_jaccard_pairs(
     frac = Fraction(threshold).limit_denominator(10**6)
     num, den = frac.numerator, frac.denominator
     sh = _distinct_shingles(df, id_col, text_col, k)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
+    # per-doc size rides ON the rows via an id-keyed window that SHARES
+    # the prefix-rank window's partitioning (one Exchange(id) + sort
+    # serves both), replacing a separate sizes aggregate that was joined
+    # back three times — three fewer embeds of the shingle subtree, and
+    # the candidate pairs carry (n_a, n_b) through to verification so
+    # the final size joins disappear entirely
+    w_id = Window.partitionBy("id")
     w = Window.partitionBy("id").orderBy("f", "sh")
-    plen = F.col("n") - F.expr(f"(({num} * n + {den - 1}) div {den})") + 1
-    prefix = (
+    shn = (
         sh.join(freq, "sh")
+        .withColumn("n", F.count(F.lit(1)).over(w_id))
         .withColumn("rn", F.row_number().over(w))
-        .join(sizes, "id")
-        .filter(F.col("rn") <= plen)
-        .select("id", "sh")
     )
+    plen = F.col("n") - F.expr(f"(({num} * n + {den - 1}) div {den})") + 1
+    prefix = shn.filter(F.col("rn") <= plen).select("id", "sh", "n")
     cand = (
-        prefix.select(F.col("id").alias("id_a"), "sh")
-        .join(prefix.select(F.col("id").alias("id_b"), "sh"), "sh")
+        prefix.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), "sh")
+        .join(
+            prefix.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), "sh"),
+            "sh",
+        )
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "n_a", "n_b")
         .distinct()
     )
     inter = (
         cand.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("ni"))
     )
     union = F.col("n_a") + F.col("n_b") - F.col("ni")
     return (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
-        .filter(den * F.col("ni") >= num * union)
+        inter.filter(den * F.col("ni") >= num * union)
         .select(
             "id_a",
             "id_b",

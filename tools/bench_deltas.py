@@ -1,6 +1,6 @@
 """Summarize repeated bench.py runs against a previous round's bench.
 
-Usage: python tools/bench_deltas.py RUNS.jsonl BASELINE.json OUT.json
+Usage: python tools/bench_deltas.py RUNS.jsonl BASELINE.json OUT.json [NOTES.json]
 
 RUNS.jsonl = one bench.py JSON line per run (n >= 1). Writes per-query
 medians, the baseline comparison on the common query set, and the
@@ -39,9 +39,11 @@ def main() -> int:
         ),
         key=lambda d: -d["ratio"],
     )
+    notes_path = sys.argv[4] if len(sys.argv) > 4 else None
     out = {
         "n_runs": len(runs),
         "sf": runs[0].get("sf"),
+        **({"notes": json.load(open(notes_path))} if notes_path else {}),
         "catalog_total_median_sec": round(
             statistics.median(r["value"] for r in runs), 3
         ),

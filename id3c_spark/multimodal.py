@@ -1076,6 +1076,59 @@ def _video_frames(content: bytes | None, decoders: dict):
     return out
 
 
+VIDEO_FEATURES_SCHEMA = (
+    "media_id long, n_frames int, width int, height int, "
+    "mean_frame_delta double"
+)
+
+
+def extract_video_features(media: DataFrame) -> DataFrame:
+    """Per-video decode features — the video member of the
+    extract_image_features / extract_audio_features family: frame
+    count, dimensions, and the mean absolute gray delta between
+    consecutive frames (the cheap motion statistic a sampler or
+    quality gate keys on). Undecodable containers/codecs yield all-null
+    feature columns with the media_id preserved (the honest stub
+    boundary — same contract as the audio features)."""
+    videos = media.filter(F.col("kind") == "video")
+    decoders = dict(_VIDEO_DECODERS)  # closure snapshot (see image_phash)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for content in pdf["content"]:
+                frames = _video_frames(
+                    bytes(content) if content is not None else None, decoders
+                )
+                if not frames:
+                    feats.append({
+                        "n_frames": None, "width": None, "height": None,
+                        "mean_frame_delta": None,
+                    })
+                    continue
+                h, w = frames[0].shape
+                if len(frames) > 1:
+                    delta = float(np.mean([
+                        np.abs(frames[i + 1] - frames[i]).mean()
+                        for i in range(len(frames) - 1)
+                    ]))
+                else:
+                    delta = 0.0
+                feats.append({
+                    "n_frames": len(frames), "width": w, "height": h,
+                    "mean_frame_delta": round(delta, 6),
+                })
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return videos.select("media_id", "content").mapInPandas(
+        run, VIDEO_FEATURES_SCHEMA
+    )
+
+
 def video_frame_phashes(media: DataFrame, grid: int = 8) -> DataFrame:
     """Per-frame perceptual hash of every decodable video →
     (media_id, frame_idx, phash). AVI rawvideo decodes natively;

@@ -400,3 +400,40 @@ def test_video_signature_majority_and_pairs_complete(spark):
             if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= 7:
                 brute.add((a, b))
     assert brute and got == brute
+
+
+def test_avi_edge_cases_stride_padding_and_malformed():
+    """Odd widths exercise the 4-byte DIB row alignment; truncated and
+    frameless containers return None (stub boundary, never garbage)."""
+    import numpy as np
+
+    from id3c_spark.multimodal import decode_avi_frames, encode_avi
+
+    for w, h, nf in ((5, 3, 2), (1, 1, 1), (7, 4, 3)):
+        frames = [
+            bytes(bytearray((f * 13 + y * 5 + x * 3) % 256
+                            for y in reversed(range(h)) for x in range(w)
+                            for _ in range(3)))
+            for f in range(nf)
+        ]
+        dec = decode_avi_frames(encode_avi(w, h, frames))
+        assert len(dec) == nf
+        for f in range(nf):
+            want = np.array([[(f * 13 + y * 5 + x * 3) % 256
+                              for x in range(w)] for y in range(h)], dtype=float)
+            assert np.array_equal(dec[f], want), (w, h, f)
+    whole = encode_avi(5, 3, [bytes(45)])
+    assert decode_avi_frames(whole[:40]) is None          # truncated
+    assert decode_avi_frames(encode_avi(5, 3, [])) is None  # no frames
+
+
+def test_extract_video_features_motion_and_stub(spark):
+    from id3c_spark.multimodal import extract_video_features
+
+    static = _gray_frames_avi(1)                    # gradient, moving content
+    mp4_stub = b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 64
+    df = _video_media(spark, [(1, static), (2, mp4_stub)])
+    rows = {r.media_id: r for r in extract_video_features(df).collect()}
+    assert rows[1].n_frames == 3 and rows[1].width == 16 and rows[1].height == 16
+    assert rows[1].mean_frame_delta is not None and rows[1].mean_frame_delta > 0
+    assert rows[2].n_frames is None and rows[2].mean_frame_delta is None

@@ -562,3 +562,38 @@ def test_assign_ratio_cache_key_and_legacy_key_stability(spark, tmp_path):
     assert _params_string(
         8, 16, 256, 2, 2, "vec_id", "embedding", assign_ratio=1.07
     ) != with_ratio
+
+
+def test_adaptive_index_drift_clean_and_rebuild_preserves_ratio(spark, tmp_path):
+    """An adaptive-fan-out index's drift baseline is built over ITS OWN
+    kept rows, so a fresh adaptive index reports exactly clean
+    (resid_ratio 1.0, occupancy 1.0); and `corpus ann-rebuild` carries
+    the live assign_ratio forward from meta when no override is given."""
+    import json as _json
+
+    from click.testing import CliRunner
+
+    from id3c_spark.cli import cli
+    from id3c_spark.plans.ann_index import _read_assign_meta, index_drift_report
+
+    emb = _emb(spark)
+    src = str(tmp_path / "src.parquet")
+    emb.write.parquet(src)
+    path = str(tmp_path / "idx_adr")
+    build_index(emb, path, nlist=8, m=8, kcent=16, train_iter=2,
+                assign_n=2, assign_ratio=1.04)
+
+    rows = index_drift_report(spark, path).collect()
+    assert rows and not any(r["rebuild"] for r in rows)
+    assert all(r["resid_ratio"] == 1.0 for r in rows if r["n_built"])
+    assert all(r["occupancy_ratio"] == 1.0 for r in rows if r["n_built"])
+
+    runner = CliRunner()
+    res = runner.invoke(cli, ["corpus", "ann-rebuild", path, src, "--force",
+                              "--nlist", "8", "--m", "8", "--kcent", "16"])
+    assert res.exit_code == 0, res.output
+    assert _json.loads(res.output)["rebuilt"]
+    t = _tables(spark, path)
+    assert _read_assign_meta(spark, t) == (2, 1.04)
+    n = emb.count()
+    assert n < t["codes"].read().count() < 2 * n   # still adaptive fan-out

@@ -333,3 +333,25 @@ def test_kmv_jaccard_leak_free(spark):
     _assert_leak_free_and_stable(
         spark, lambda: kmv_jaccard(docs, "source", "text", k=32)
     )
+
+
+def test_video_signature_pairs_leak_free(spark):
+    from pyspark.sql.types import (
+        BinaryType, LongType, StringType, StructField, StructType,
+    )
+
+    from id3c_spark import multimodal as mm
+
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("content", BinaryType()),
+    ])
+    ids = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    media = mm.synthetic_video_corpus(ids)
+    # materialized synthetic corpus as the stable input relation
+    rows = [(r.media_id, r.kind, bytes(r.content)) for r in media.collect()]
+    fixed = spark.createDataFrame(rows, schema)
+    _assert_leak_free_and_stable(
+        spark, lambda: mm.video_signature_pairs(fixed, bands=8, max_hamming=7)
+    )

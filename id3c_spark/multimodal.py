@@ -1282,3 +1282,90 @@ def _synthetic_pixel(
     if (y * width + x) % 97 == (did % group) * 7 % 97:
         v = (v + 90) % 256
     return v
+
+
+def video_frame_matches(
+    videos: DataFrame,
+    images: DataFrame,
+    bands: int = 8,
+    max_hamming: int = 7,
+    grid: int = 8,
+) -> DataFrame:
+    """Cross-modal still-in-video matching: which videos contain (a
+    near-duplicate of) which benchmark images — the video-corpus
+    analogue of benchmark decontamination, and the dedup primitive for
+    corpora where the same picture circulates as both a still and a
+    video frame. Frame-grain aHashes join benchmark-image aHashes
+    through the bipartite banded hamming join (complete for
+    max_hamming < bands); returns (media_id video, image_id, frame_idx,
+    hamming). Frame and image bytes are each hashed exactly once; the
+    join moves 8-byte sketches only."""
+    from id3c_spark.operators.ann import sketch_hamming_join
+
+    fr = video_frame_phashes(videos, grid).select(
+        # frame identity rides INSIDE the join id (one sketch row per
+        # frame) and unpacks after the banded join — the join core needs
+        # only (id, sketch)
+        F.struct(
+            F.col("media_id").alias("v"), F.col("frame_idx").alias("f")
+        ).alias("id"),
+        F.col("phash").alias("sketch"),
+    )
+    im = image_phash(images, grid).filter(F.col("phash").isNotNull()).select(
+        F.col("media_id").alias("id"), F.col("phash").alias("sketch")
+    )
+    out = sketch_hamming_join(im, fr, grid * grid, bands, max_hamming)
+    return out.select(
+        F.col("id_b.v").alias("media_id"),
+        F.col("id_a").alias("image_id"),
+        F.col("id_b.f").alias("frame_idx"),
+        "hamming",
+    )
+
+
+def synthetic_still_corpus(
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    frame: int = 0,
+    width: int = 16,
+    height: int = 16,
+    group: int = 12,
+) -> DataFrame:
+    """Deterministic synthetic BMP stills from the SAME integer pixel
+    spec as synthetic_video_corpus (*frame* selects which frame the
+    still replicates) — the benchmark-image fixture for cross-modal
+    decontamination catalog runs. A still whose id shares a base
+    (id // group) with a video is a planted near-match of that video's
+    corresponding frame."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        yy, xx = np.mgrid[0:height, 0:width]
+        flat = yy * width + xx
+        for pdf in batches:
+            outs = []
+            for did in pdf[id_col]:
+                did = int(did)
+                base = did // group
+                bump = (flat % 97) == ((did % group) * 7 % 97)
+                v = (
+                    (37 * base + 7) * (5 * yy + 3 * xx + 11 * frame + 13)
+                ) % 200
+                v = np.where(bump, (v + 90) % 256, v)
+                bgr = np.repeat(
+                    v[::-1].astype(np.uint8)[:, :, None], 3, axis=2
+                )
+                outs.append(encode_bmp(width, height, bgr.tobytes()))
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype("int64"),
+                "kind": ["image"] * len(pdf),
+                "content": outs,
+            })
+
+    spread = ids.select(id_col).repartition(
+        ids.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    return spread.mapInPandas(
+        run, "media_id long, kind string, content binary"
+    )

@@ -485,6 +485,58 @@ def sketch_hamming_pairs(
     )
 
 
+def sketch_hamming_join(
+    left: DataFrame,
+    right: DataFrame,
+    bits: int,
+    bands: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Bipartite variant of sketch_hamming_pairs: all (left.id, right.id)
+    pairs whose int64 bit-sketches differ in <= *max_hamming* bits —
+    same banded equi-join and pigeonhole completeness argument, but
+    across two DIFFERENT relations (e.g. benchmark-image hashes vs
+    video-frame hashes), so no id_a < id_b dedup and each side keeps its
+    own banding pass. Inputs: (id, sketch) on both sides; returns
+    (id_a from left, id_b from right, hamming)."""
+    if max_hamming >= bands:
+        raise ValueError(
+            "completeness needs max_hamming < bands (pigeonhole guarantee)"
+        )
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+
+    def banded(df: DataFrame, id_out: str, sk_out: str) -> DataFrame:
+        return df.select(
+            F.col("id").alias(id_out),
+            F.col("sketch").alias(sk_out),
+            F.explode(
+                F.array(
+                    *(
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftrightunsigned("sketch", b * width)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("val"),
+                        )
+                        for b in range(bands)
+                    )
+                )
+            ).alias("bv"),
+        ).select(id_out, sk_out, "bv.band", "bv.val").repartition("band", "val")
+
+    ham = F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b")))
+    return (
+        banded(left, "id_a", "sk_a")
+        .join(banded(right, "id_b", "sk_b"), ["band", "val"])
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def srp_pairs(
     df: DataFrame,
     id_col: str,

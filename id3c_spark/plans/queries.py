@@ -1722,6 +1722,100 @@ def _video_pairs_oracle() -> str:
 LAZY_ORACLES["video_neardup_pairs_docs"] = _video_pairs_oracle
 
 
+@query("video_image_decontam_docs")
+def video_image_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal decontamination: which corpus VIDEOS contain a
+    near-duplicate frame of a benchmark STILL image — the video-corpus
+    analogue of benchmark decontamination, over the bipartite banded
+    hamming join (ann.sketch_hamming_join; complete for
+    max_hamming < bands). Benchmark stills are the doc_id % 97 == 0
+    slice rendered as BMPs from the shared pixel spec, corpus videos the
+    rest as AVIs — stills sharing a base with a video group are planted
+    matches. Frame and image bytes are hashed exactly once; the join
+    moves 8-byte sketches. Oracle: independent pure-Python replay
+    (decode→aHash both modalities→all-pairs hamming) as a VALUES
+    literal."""
+    from id3c_spark import multimodal
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    vids = multimodal.synthetic_video_corpus(docs.filter(F.col("doc_id") % 97 != 0))
+    stills = multimodal.synthetic_still_corpus(docs.filter(F.col("doc_id") % 97 == 0))
+    return multimodal.video_frame_matches(vids, stills, bands=8, max_hamming=7)
+
+
+def _video_decontam_oracle() -> str:
+    """Pure-Python mirror of video_image_decontam_docs (see
+    _video_pairs_oracle for the independence argument: the fixture
+    pixel spec is shared, the operator chain is reimplemented)."""
+    import duckdb
+
+    from id3c_spark.multimodal import _synthetic_pixel
+
+    n_frames, w, h, grid, group = 4, 16, 16, 8, 12
+    ids = [
+        int(r[0])
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{oracle_sf_dir()}/documents.parquet' "
+            "ORDER BY doc_id"
+        ).fetchall()
+    ]
+
+    def ahash(gray):
+        means = []
+        for r in range(grid):
+            row = []
+            for c in range(grid):
+                r0, r1 = r * h // grid, (r + 1) * h // grid
+                c0, c1 = c * w // grid, (c + 1) * w // grid
+                vals = [gray[y][x] for y in range(r0, r1) for x in range(c0, c1)]
+                row.append(sum(vals) / len(vals))
+            means.append(row)
+        thresh = sum(sum(row) for row in means) / (grid * grid)
+        bits = 0
+        for r in range(grid):
+            for c in range(grid):
+                if means[r][c] >= thresh:
+                    bits |= 1 << (r * grid + c)
+        return bits
+
+    def gray(did, f):
+        return [
+            [float(_synthetic_pixel(did, f, y, x, w, group)) for x in range(w)]
+            for y in range(h)
+        ]
+
+    frame_hashes = {
+        (did, f): ahash(gray(did, f))
+        for did in ids if did % 97 != 0
+        for f in range(n_frames)
+    }
+    image_hashes = {did: ahash(gray(did, 0)) for did in ids if did % 97 == 0}
+    rows = []
+    for (v, f), hv in frame_hashes.items():
+        for i, hi in image_hashes.items():
+            hd = bin(hv ^ hi).count("1")
+            if hd <= 7:
+                rows.append((v, i, f, hd))
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS media_id,"
+            " CAST(NULL AS BIGINT) AS image_id,"
+            " CAST(NULL AS INTEGER) AS frame_idx,"
+            " CAST(NULL AS INTEGER) AS hamming WHERE FALSE"
+        )
+    values = ", ".join(f"({v}, {i}, {f}, {hd})" for v, i, f, hd in rows)
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id,"
+        " CAST(image_id AS BIGINT) AS image_id,"
+        " CAST(frame_idx AS INTEGER) AS frame_idx,"
+        " CAST(hamming AS INTEGER) AS hamming"
+        f" FROM (VALUES {values}) AS t(media_id, image_id, frame_idx, hamming)"
+    )
+
+
+LAZY_ORACLES["video_image_decontam_docs"] = _video_decontam_oracle
+
+
 def _pack_tokens_oracle() -> str:
     """Token-budget packing oracle: the BPE mirror's per-doc token counts
     (VALUES literal) fed through the same recursive-CTE next-fit replay

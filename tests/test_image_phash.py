@@ -437,3 +437,57 @@ def test_extract_video_features_motion_and_stub(spark):
     assert rows[1].n_frames == 3 and rows[1].width == 16 and rows[1].height == 16
     assert rows[1].mean_frame_delta is not None and rows[1].mean_frame_delta > 0
     assert rows[2].n_frames is None and rows[2].mean_frame_delta is None
+
+
+def test_video_frame_matches_cross_modal(spark):
+    """A still image planted as a video frame is found by the bipartite
+    banded join (video decontamination against a benchmark-image set);
+    unrelated images match nothing. Complete vs brute force."""
+    from pyspark.sql import functions as F
+
+    from id3c_spark import multimodal as mm
+
+    # videos: three clips; clip 1's frame 2 IS image 100's pixels
+    def frame_bytes(seed, f, w=16, h=16):
+        return bytes(bytearray(
+            (seed * 31 + f * 11 + y * 5 + x * 3) % 200
+            for y in reversed(range(h)) for x in range(w) for _ in range(3)
+        ))
+
+    vids = _video_media(spark, [
+        (1, mm.encode_avi(16, 16, [frame_bytes(1, 0), frame_bytes(1, 1),
+                                   frame_bytes(77, 0)])),
+        (2, mm.encode_avi(16, 16, [frame_bytes(2, f) for f in range(3)])),
+    ])
+    # images as BMPs with the same pixel layout (bottom-up rows match)
+    img_rows = [
+        (100, mm.encode_bmp(16, 16, frame_bytes(77, 0))),   # = vid1 frame 2
+        (101, mm.encode_bmp(16, 16, frame_bytes(55, 0))),   # unrelated
+    ]
+    from pyspark.sql.types import (
+        BinaryType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("content", BinaryType()),
+    ])
+    imgs = spark.createDataFrame(
+        [(i, "image", c) for i, c in img_rows], schema
+    )
+    got = mm.video_frame_matches(vids, imgs, bands=8, max_hamming=7).collect()
+
+    # brute force over the hashes
+    fr = {(r.media_id, r.frame_idx): r.phash
+          for r in mm.video_frame_phashes(vids).collect()}
+    im = {r.media_id: r.phash for r in mm.image_phash(imgs).collect()}
+    brute = {
+        (v, i, f)
+        for (v, f), hv in fr.items()
+        for i, hi in im.items()
+        if bin((hv ^ hi) & (2**64 - 1)).count("1") <= 7
+    }
+    assert (1, 100, 2) in brute                  # planted match exists
+    assert {(r.media_id, r.image_id, r.frame_idx) for r in got} == brute
+    assert all(r.image_id != 101 for r in got)   # unrelated image clean

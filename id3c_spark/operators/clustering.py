@@ -129,6 +129,13 @@ def kmeans(
             new[r.cluster][r.dim] = r.c
         cent = new
         bc.destroy()
+    # training actions (seed collect + per-iteration centroid collects) are
+    # done — release the cached prep relation NOW so a long-lived session
+    # doesn't accumulate storage blocks across calls (the pq.py:585 recipe).
+    # The returned lazy plan recomputes one deterministic _prep Arrow pass;
+    # assignment math is 6-dp-rounded with index tiebreak, so the result is
+    # bit-identical with or without the cache.
+    vp.unpersist()
     out = _assign(vp, sc.broadcast(cent), with_dist=True)
     return out.select(
         F.col("id").alias(id_col), "cluster", "dist"

@@ -355,3 +355,18 @@ def test_video_signature_pairs_leak_free(spark):
     _assert_leak_free_and_stable(
         spark, lambda: mm.video_signature_pairs(fixed, bands=8, max_hamming=7)
     )
+
+
+def test_kmeans_leak_free(spark):
+    """kmeans persists its prep relation across the Lloyd-iteration
+    collects but must release it before returning (the r12-verdict leak:
+    operators/clustering.py persisted ``vp`` and never unpersisted).
+    Repeated calls leave zero new cached blocks and return bit-identical
+    assignments — the returned plan recomputes one deterministic Arrow
+    prep pass instead of riding the training cache."""
+    from id3c_spark.operators.clustering import kmeans
+
+    emb = _emb(spark, n=150)
+    _assert_leak_free_and_stable(
+        spark, lambda: kmeans(emb, k=4, max_iter=2)
+    )

@@ -944,6 +944,73 @@ def register_video_decoder(fmt: str, fn) -> None:
     _VIDEO_DECODERS[fmt] = fn
 
 
+def _try_register_video_libs() -> None:
+    """Auto-register library-backed mp4/webm decoders when a real codec
+    library is importable — the video mirror of _try_register_pil: the
+    honest no-rows stub stays the default in this image (no codec libs),
+    and a production environment with imageio(+ffmpeg) or PyAV gets
+    compressed-video frame decode without touching code. Decoders are
+    module-level functions (picklable) that import their library inside
+    the call, so closure snapshots ship to executors cleanly."""
+    try:
+        import av  # noqa: F401  (PyAV)
+
+        for fmt in ("mp4", "webm"):
+            _VIDEO_DECODERS.setdefault(fmt, _pyav_decode_frames)
+        return
+    except Exception:
+        pass
+    try:
+        import imageio.v3  # noqa: F401
+
+        for fmt in ("mp4", "webm"):
+            _VIDEO_DECODERS.setdefault(fmt, _imageio_decode_frames)
+    except Exception:
+        pass
+
+
+def _pyav_decode_frames(content: bytes):
+    """PyAV-backed frame decode → list of H×W grayscale float64 arrays,
+    None on any failure (the registry's stub contract)."""
+    import io
+
+    import numpy as np
+
+    try:
+        import av
+
+        with av.open(io.BytesIO(content)) as container:
+            out = []
+            for frame in container.decode(video=0):
+                arr = frame.to_ndarray(format="gray")
+                out.append(np.asarray(arr, dtype=np.float64))
+            return out or None
+    except Exception:
+        return None
+
+
+def _imageio_decode_frames(content: bytes):
+    """imageio-backed frame decode → list of H×W grayscale float64
+    arrays, None on any failure (the registry's stub contract)."""
+    import numpy as np
+
+    try:
+        import imageio.v3 as iio
+
+        frames = iio.imread(content, index=None, extension=".mp4")
+        frames = np.asarray(frames, dtype=np.float64)
+        if frames.ndim == 3:               # (n, h, w) already gray
+            return list(frames)
+        if frames.ndim == 4:               # (n, h, w, c) → channel mean
+            return list(frames.mean(axis=3))
+        return None
+    except Exception:
+        return None
+
+
+_try_register_video_libs()
+
+
 def _sniff_video_format(content: bytes) -> str | None:
     if len(content) < 12:
         return None
@@ -1002,21 +1069,22 @@ def decode_avi_frames(content: bytes):
     """Native AVI rawvideo decode (stdlib struct): walks the RIFF tree,
     reads dims/depth from the 'strf' BITMAPINFOHEADER, and yields each
     '00db'/'00dc' DIB frame as an H×W float64 grayscale matrix
-    (channel mean, bottom-up rows flipped — decode_bmp's conventions).
-    Returns None for compressed streams (biCompression != 0), depths
-    other than 24-bit, or malformed containers — the honest boundary a
-    registered codec decoder takes over from."""
+    (channel mean; bottom-up rows flipped, negative biHeight = top-down
+    stored as-is — decode_bmp's conventions). Returns None for
+    compressed streams (biCompression != 0), depths other than 24-bit,
+    or malformed containers — the honest boundary a registered codec
+    decoder takes over from."""
     import struct
 
     import numpy as np
 
     if _sniff_video_format(content) != "avi":
         return None
-    width = height = None
+    width = height_raw = None
     frames = []
 
     def walk(buf: bytes, off: int, end: int):
-        nonlocal width, height
+        nonlocal width, height_raw
         while off + 8 <= end:
             cc = buf[off:off + 4]
             (size,) = struct.unpack("<I", buf[off + 4:off + 8])
@@ -1032,7 +1100,7 @@ def decode_avi_frames(content: bytes):
                 comp, = struct.unpack("<I", buf[data0 + 16:data0 + 20])
                 if comp != 0 or bits != 24:
                     return False
-                width, height = w, abs(h)
+                width, height_raw = w, h
             elif cc in (b"00db", b"00dc"):
                 frames.append(buf[data0:data1])
             off = data1 + (size % 2)
@@ -1040,8 +1108,9 @@ def decode_avi_frames(content: bytes):
 
     if not walk(content, 12, len(content)):
         return None
-    if not width or not height or not frames:
+    if not width or not height_raw or not frames:
         return None
+    height = abs(height_raw)
     stride = ((width * 3 + 3) // 4) * 4
     out = []
     for raw in frames:
@@ -1049,7 +1118,10 @@ def decode_avi_frames(content: bytes):
             return None
         a = np.frombuffer(raw[:stride * height], dtype=np.uint8)
         a = a.reshape(height, stride)[:, :width * 3].reshape(height, width, 3)
-        out.append(a.mean(axis=2)[::-1].astype(np.float64))
+        g = a.mean(axis=2)
+        if height_raw > 0:         # bottom-up storage → flip to top-down
+            g = g[::-1]
+        out.append(g.astype(np.float64))
     return out
 
 
@@ -1066,13 +1138,29 @@ def _video_frames(content: bytes | None, decoders: dict):
     fn = decoders.get(fmt)
     if fn is None:
         return None
-    frames = fn(content)
+    try:
+        frames = fn(content)
+    except Exception:
+        return None                 # a crashing decoder is a decode failure
     if frames is None:
         return None
     out = []
     for f in frames:
-        f = np.asarray(f, dtype=np.float64)
-        out.append(f.mean(axis=2) if f.ndim == 3 else f)
+        try:
+            f = np.asarray(f, dtype=np.float64)
+        except Exception:
+            return None             # ragged/non-numeric frame payload
+        if f.ndim == 3:
+            f = f.mean(axis=2)
+        # registered decoders are untrusted plugins: a non-2D frame or a
+        # shape change mid-video would crash the executor task downstream
+        # (frames[0].shape unpack, frame subtraction) — map it to the
+        # documented None/no-rows stub boundary instead of failing the job.
+        if f.ndim != 2 or 0 in f.shape:
+            return None
+        if out and f.shape != out[0].shape:
+            return None
+        out.append(f)
     return out
 
 

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from id3c_spark.functions.text import word_shingles, words_array
+from id3c_spark.operators.bounded import bounded_collect
 
 MERSENNE31 = 2147483647          # modulus for the MinHash permutation family
 
@@ -683,37 +684,23 @@ def dedup_clusters(
     Both regimes produce identical min-label components, so the DuckDB
     oracle's recursive reachability replay matches either path.
     """
-    # Regime choice via a BOUNDED probe — limit(cutoff+1).collect() runs
-    # the heavy pair pipeline once (its shuffle map stages execute fully;
-    # only the result stage is taken incrementally) and collects at most
-    # cutoff+1 rows, so driver memory stays bounded while the common
+    # Regime choice via a BOUNDED probe — bounded_collect runs the heavy
+    # pair pipeline once and collects at most cutoff+1 rows PER PARTITION
+    # in a single ordinary job (see operators/bounded.py for the bound +
+    # detection proof), so driver memory stays bounded while the common
     # small-graph case needs NO checkpoint at all: the old
     # localCheckpoint-then-count shape pinned the materialized pairs in
     # executor storage forever (a leak in every dedup_clusters consumer —
     # semantic_dedup, the curation flow, the dup-cluster queries).
     #
-    # Single-wave collect: executeTake's default ramp-up (1 partition,
-    # then ×4 per wave) re-launches the result stage job per wave — on a
-    # filtered pair relation far below the cutoff EVERY partition must be
-    # scanned anyway, so the waves are pure scheduler overhead (measured
-    # 1.5-5 s per probe at sf0.1, the single largest fixed cost in the
-    # curation flow). Raising initialNumPartitions makes wave one cover
-    # the whole result stage. Per-partition LocalLimit still bounds what
-    # each task emits, so the worst-case driver transfer (partitions ×
-    # cutoff rows) is identical to the default ramp's final wave — the
-    # bound the cutoff exists for is unchanged. The conf is restored
-    # immediately; this eager probe is driver-side sequential, so the
-    # only exposure is a concurrent SAME-session limit query racing the
-    # window (accepted: one wave-sized ramp skipped, results identical).
+    # Single wave, per-plan: the r12 shape got one wave by temporarily
+    # raising spark.sql.limit.initialNumPartitions — a session-GLOBAL
+    # conf a concurrent same-session limit query could inherit (ADVICE
+    # r12). The mapInPandas cap is scoped to this plan alone: no conf is
+    # touched, no executeTake ramp (measured 1.5-5 s of re-launched
+    # result-stage waves at sf0.1), identical worst-case driver transfer.
     raw_plan = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    conf = pairs.sparkSession.conf
-    _RAMP_KEY = "spark.sql.limit.initialNumPartitions"
-    prev = conf.get(_RAMP_KEY, None)
-    conf.set(_RAMP_KEY, "4096")
-    try:
-        probe = raw_plan.limit(driver_cutoff + 1).collect()
-    finally:
-        conf.unset(_RAMP_KEY) if prev is None else conf.set(_RAMP_KEY, prev)
+    probe = bounded_collect(raw_plan, driver_cutoff)
     if len(probe) <= driver_cutoff:
         parent: dict = {}
 

@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from id3c_spark.operators.bounded import bounded_collect
+
 _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
             T.FloatType, T.DoubleType, T.DecimalType)
 
@@ -234,7 +236,13 @@ def kmv_cardinality(df: DataFrame, group_col: str, value_col: str, k: int = 64) 
     )
 
 
-def kmv_jaccard(df: DataFrame, group_col: str, value_col: str, k: int = 64) -> DataFrame:
+def kmv_jaccard(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    max_sketch_rows: int = 4_000_000,
+) -> DataFrame:
     """Estimated pairwise Jaccard similarity between every pair of groups
     from their KMV sketches → (group_a, group_b, k_used, n_common,
     est_jaccard), group_a < group_b.
@@ -253,10 +261,28 @@ def kmv_jaccard(df: DataFrame, group_col: str, value_col: str, k: int = 64) -> D
     blocks past the caller's action — the operator returns a lazy
     plan and could never unpersist it), and every downstream join
     broadcasts a local list exactly like the trained-model relations in
-    pq/ann."""
+    pq/ann.
+
+    "Bounded" assumes bounded GROUP CARDINALITY: driver memory is
+    k·|groups| rows, which is a model-sized relation for source/domain/
+    shard-grain groupings but unbounded if *group_col* is
+    near-unique. *max_sketch_rows* guards that assumption explicitly —
+    the materializing action goes through ``bounded_collect`` (one
+    single-wave scan, per-partition-capped driver transfer regardless of
+    the true size; see operators/bounded.py) and overflow raises a clear
+    error instead of silently exhausting driver memory."""
     spark = df.sparkSession
     sk_plan = kmv_sketch(df, group_col, value_col, k).select("g", "h")
-    sk = spark.createDataFrame(sk_plan.collect(), sk_plan.schema)
+    rows = bounded_collect(sk_plan, max_sketch_rows)
+    if len(rows) > max_sketch_rows:
+        raise ValueError(
+            f"kmv_jaccard: sketch relation exceeds max_sketch_rows="
+            f"{max_sketch_rows} (k={k} x group cardinality of "
+            f"{group_col!r}); driver materialization assumes a bounded "
+            f"group count — lower k, group coarser, or raise "
+            f"max_sketch_rows if driver memory allows"
+        )
+    sk = spark.createDataFrame(rows, sk_plan.schema)
     groups = sk.select("g").distinct()
     # |G|² pair relation (the one intentional crossJoin — group count,
     # not corpus, bounds it); each side's sketch then attaches by EQUI

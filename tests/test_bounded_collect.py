@@ -1,0 +1,73 @@
+"""bounded_collect (operators/bounded.py): the shared single-wave probe
+primitive — completeness under the cap, guaranteed overflow detection,
+no session-conf mutation — plus the kmv_jaccard group-cardinality guard
+built on it (ADVICE r12)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from id3c_spark.operators.bounded import bounded_collect
+
+
+def test_bounded_collect_complete_under_cap(spark):
+    df = spark.range(0, 500, 1, 8).select(F.col("id"))
+    rows = bounded_collect(df, 1000)
+    assert sorted(r.id for r in rows) == list(range(500))
+
+
+def test_bounded_collect_detects_overflow(spark):
+    # true count 5000 > cap 100: must report > cap no matter how the
+    # per-partition caps interact with the partitioning
+    for parts in (1, 4, 32):
+        df = spark.range(0, 5000, 1, parts)
+        rows = bounded_collect(df, 100)
+        assert len(rows) > 100, parts
+        # and the transfer stays bounded at partitions x (cap+1)
+        assert len(rows) <= parts * 101, parts
+
+
+def test_bounded_collect_exact_cap_is_complete(spark):
+    # count == cap exactly: no partition can exceed the per-partition
+    # cap, so the result is complete and reported as such
+    df = spark.range(0, 64, 1, 4)
+    rows = bounded_collect(df, 64)
+    assert sorted(r.id for r in rows) == list(range(64))
+
+
+def test_bounded_collect_empty_and_mixed_types(spark):
+    assert bounded_collect(spark.range(0).select("id"), 10) == []
+    df = spark.createDataFrame(
+        [("a", 1.5), ("b", None)], "g string, h double"
+    )
+    got = {(r.g, r.h) for r in bounded_collect(df, 10)}
+    assert got == {("a", 1.5), ("b", None)}
+
+
+def test_bounded_collect_leaves_no_conf(spark):
+    # the per-plan mechanism must not touch the session-global limit
+    # ramp conf the r12 shape mutated
+    key = "spark.sql.limit.initialNumPartitions"
+    before = spark.conf.get(key, None)
+    bounded_collect(spark.range(100), 10)
+    assert spark.conf.get(key, None) == before
+
+
+def test_kmv_jaccard_group_cardinality_guard(spark):
+    """A near-unique group column overflows the sketch-row cap with a
+    clear error instead of an unbounded driver collect; a bounded group
+    column under the same cap still works."""
+    from id3c_spark.operators.profile import kmv_jaccard
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "source")
+    )
+    with pytest.raises(ValueError, match="max_sketch_rows"):
+        kmv_jaccard(
+            docs.withColumn("g", F.col("doc_id").cast("string")),
+            "g", "text", k=8, max_sketch_rows=50,
+        )
+    out = kmv_jaccard(docs, "source", "text", k=16, max_sketch_rows=10_000)
+    assert out.count() > 0

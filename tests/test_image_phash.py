@@ -491,3 +491,117 @@ def test_video_frame_matches_cross_modal(spark):
     assert (1, 100, 2) in brute                  # planted match exists
     assert {(r.media_id, r.image_id, r.frame_idx) for r in got} == brute
     assert all(r.image_id != 101 for r in got)   # unrelated image clean
+
+
+def test_avi_topdown_negative_height_decodes_unmirrored():
+    """ADVICE r12: a negative biHeight means TOP-DOWN row storage — the
+    decoder must not apply the bottom-up flip (which silently mirrored
+    frames and produced wrong aHashes). A top-down AVI (negative strf
+    height, rows stored first-row-first) decodes to the exact same
+    matrices as its bottom-up twin."""
+    import struct
+
+    import numpy as np
+
+    from id3c_spark.multimodal import decode_avi_frames, encode_avi
+
+    w, h = 8, 6
+    # bottom-up fixture (encode_avi's native convention)
+    frames_bu = [
+        bytes(bytearray((f * 13 + y * 5 + x * 3) % 256
+                        for y in reversed(range(h)) for x in range(w)
+                        for _ in range(3)))
+        for f in range(2)
+    ]
+    want = decode_avi_frames(encode_avi(w, h, frames_bu))
+
+    # top-down twin: same pixels with rows in natural top-down order,
+    # and biHeight patched negative in the strf BITMAPINFOHEADER
+    frames_td = [
+        bytes(bytearray((f * 13 + y * 5 + x * 3) % 256
+                        for y in range(h) for x in range(w)
+                        for _ in range(3)))
+        for f in range(2)
+    ]
+    raw = bytearray(encode_avi(w, h, frames_td))
+    strf_data = raw.index(b"strf") + 8
+    assert struct.unpack_from("<i", raw, strf_data + 8)[0] == h
+    struct.pack_into("<i", raw, strf_data + 8, -h)
+    got = decode_avi_frames(bytes(raw))
+
+    assert got is not None and len(got) == len(want)
+    for g, wv in zip(got, want):
+        assert np.array_equal(g, wv)
+
+
+def test_registered_decoder_bad_frames_hit_stub_boundary(spark):
+    """ADVICE r12: a registered decoder returning ragged, non-2D, empty,
+    or shape-shifting frames must map to the documented None/no-rows
+    boundary instead of crashing the executor task."""
+    import numpy as np
+
+    from id3c_spark import multimodal as mm
+
+    mp4 = b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 64
+    df = _video_media(spark, [(1, mp4)])
+
+    bad_decoders = {
+        "ragged": lambda c: [[[1, 2, 3], [4, 5]]],          # ragged rows
+        "one_d": lambda c: [np.arange(16.0)],               # 1-D frame
+        "four_d": lambda c: [np.zeros((2, 2, 2, 2))],       # 4-D frame
+        "empty": lambda c: [np.zeros((0, 4))],              # zero-height
+        "shapeshift": lambda c: [np.zeros((4, 4)), np.zeros((8, 8))],
+        "raises": lambda c: (_ for _ in ()).throw(RuntimeError("boom")),
+        "text": lambda c: [np.array([["a", "b"]])],         # non-numeric
+    }
+    for name, fn in bad_decoders.items():
+        try:
+            mm.register_video_decoder("mp4", fn)
+            assert mm.video_frame_phashes(df).count() == 0, name
+            feats = mm.extract_video_features(df).collect()
+            assert len(feats) == 1 and feats[0].n_frames is None, name
+        finally:
+            mm._VIDEO_DECODERS.pop("mp4", None)
+
+    # and a GOOD decoder still flows through the same validation path
+    def good(content):
+        return [np.full((4, 4), float(f)) for f in range(2)]
+
+    try:
+        mm.register_video_decoder("mp4", good)
+        assert mm.video_frame_phashes(df).count() == 2
+    finally:
+        mm._VIDEO_DECODERS.pop("mp4", None)
+
+
+def test_video_library_auto_register():
+    """_try_register_video_libs: with a real codec library importable
+    the registry lights up automatically (skipped where absent — this
+    image ships none); either way the function is a no-op on an
+    already-populated registry and never raises."""
+    from id3c_spark import multimodal as mm
+
+    have_lib = False
+    for lib in ("av", "imageio.v3"):
+        try:
+            __import__(lib)
+            have_lib = True
+        except Exception:
+            pass
+
+    saved = dict(mm._VIDEO_DECODERS)
+    try:
+        mm._VIDEO_DECODERS.clear()
+        mm._try_register_video_libs()      # must never raise
+        if have_lib:
+            assert set(mm._VIDEO_DECODERS) >= {"mp4", "webm"}
+        else:
+            assert mm._VIDEO_DECODERS == {}
+        # setdefault semantics: an explicit registration wins
+        sentinel = lambda c: None  # noqa: E731
+        mm._VIDEO_DECODERS["mp4"] = sentinel
+        mm._try_register_video_libs()
+        assert mm._VIDEO_DECODERS["mp4"] is sentinel
+    finally:
+        mm._VIDEO_DECODERS.clear()
+        mm._VIDEO_DECODERS.update(saved)

@@ -174,31 +174,59 @@ def main() -> int:
     upper = e0.filter(F.col("__e0") > cut).drop("__e0")
     idx_dir = tempfile.mkdtemp(prefix="ann_recall_idx_")
     drift_rows = []
+    # two configs: the r10 default, and the r12 adaptive multi-assign —
+    # the drift → report → rebuild loop must hold (and the assign_ratio
+    # must survive the rebuild) at BOTH (r12 verdict task #7)
+    configs = (
+        ("", dict()),
+        (" [adaptive n=2 ratio=1.04]", dict(assign_n=2, assign_ratio=1.04)),
+    )
     try:
-        path = f"{idx_dir}/idx"
-        build_index(lower, path, nlist=8, m=16, kcent=256, train_iter=2)
-        add_to_index(spark, path, upper)
-        rep_rows = index_drift_report(spark, path).collect()
-        flagged = any(r["rebuild"] for r in rep_rows)
-        max_occ = max(r["occupancy_ratio"] for r in rep_rows)
-        max_res = max(r["resid_ratio"] for r in rep_rows)
+        from id3c_spark.plans.ann_index import _read_assign_meta, _tables
 
-        def served():
-            return serve_topk(
-                spark, path, emb, k=k, nprobe=6, rerank_shortlist=4 * k
+        for tag, extra in configs:
+            path = f"{idx_dir}/idx{tag and '_ad'}"
+            build_index(lower, path, nlist=8, m=16, kcent=256,
+                        train_iter=2, **extra)
+            add_to_index(spark, path, upper)
+            rep_rows = index_drift_report(spark, path).collect()
+            flagged = any(r["rebuild"] for r in rep_rows)
+            if not tag:        # footer cites the default config's ratios
+                max_occ = max(r["occupancy_ratio"] for r in rep_rows)
+                max_res = max(r["resid_ratio"] for r in rep_rows)
+
+            def served(p=path):
+                return serve_topk(
+                    spark, p, emb, k=k, nprobe=6, rerank_shortlist=4 * k
+                )
+
+            name, rows, sec = run(
+                f"stale quantizer after drifted ingest{tag}", served)
+            approx = topk_sets(rows)
+            drift_rows.append((name, approx, sec, flagged))
+
+            # rebuild AT THE STORED PARAMS, the way `id3c ann-rebuild`
+            # does: read the meta back and carry it into the new build,
+            # then assert the adaptive config survived the round trip
+            stored_n, stored_ratio = _read_assign_meta(
+                spark, _tables(spark, path))
+            shutil.rmtree(path)
+            build_index(
+                emb, path, nlist=8, m=16, kcent=256, train_iter=2,
+                assign_n=stored_n,
+                **({"assign_ratio": stored_ratio}
+                   if stored_ratio is not None else {}),
             )
-
-        name, rows, sec = run("stale quantizer after drifted ingest", served)
-        approx = topk_sets(rows)
-        drift_rows.append((name, approx, sec, flagged))
-
-        shutil.rmtree(path)
-        build_index(emb, path, nlist=8, m=16, kcent=256, train_iter=2)
-        flagged2 = any(
-            r["rebuild"] for r in index_drift_report(spark, path).collect()
-        )
-        name, rows, sec = run("after rebuild over the full corpus", served)
-        drift_rows.append((name, topk_sets(rows), sec, flagged2))
+            got_n, got_ratio = _read_assign_meta(spark, _tables(spark, path))
+            assert (got_n, got_ratio) == (stored_n, stored_ratio), (
+                tag, got_n, got_ratio, stored_n, stored_ratio)
+            flagged2 = any(
+                r["rebuild"]
+                for r in index_drift_report(spark, path).collect()
+            )
+            name, rows, sec = run(
+                f"after rebuild over the full corpus{tag}", served)
+            drift_rows.append((name, topk_sets(rows), sec, flagged2))
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 

@@ -137,6 +137,25 @@ def main() -> int:
     for q in queries:
         ctrl = _band([x for s in sides["control"] for x in s[q]], args.reps)
         curr = _band([x for s in sides["current"] for x in s[q]], args.reps)
+        # per-pass bands + ratios: each control/current pass pair ran
+        # back-to-back, so the per-pass ratio is the drift-robust
+        # statistic — a noisy-neighbor swing that lands on ONE segment
+        # shows up as pass disagreement instead of silently biasing a
+        # concatenated band (exactly what r12's 223-322 s same-code
+        # swings would do to a single pooled median)
+        per_pass = []
+        for p in range(args.passes):
+            cb = _band(sides["control"][p][q], args.reps)
+            xb = _band(sides["current"][p][q], args.reps)
+            per_pass.append({
+                "control": cb,
+                "current": xb,
+                "ratio_converged_median": round(
+                    xb["converged_median"] / cb["converged_median"], 3
+                ) if cb["converged_median"] else None,
+            })
+        ratios = [p["ratio_converged_median"] for p in per_pass
+                  if p["ratio_converged_median"] is not None]
         result["queries"][q] = {
             "control": ctrl,
             "current": curr,
@@ -146,6 +165,9 @@ def main() -> int:
             "ratio_converged_min": round(
                 curr["converged_min"] / ctrl["converged_min"], 3
             ) if ctrl["converged_min"] else None,
+            "per_pass": per_pass,
+            "best_pass_ratio": min(ratios) if ratios else None,
+            "worst_pass_ratio": max(ratios) if ratios else None,
         }
 
     out = json.dumps(result, indent=2)
@@ -167,17 +189,19 @@ def main() -> int:
             "max(3, reps//2) reps. Relative bar (accepted r12 contract): "
             "current converged median <= 1.15x control on the same VM.",
             "",
-            "| query | control reps (s) | current reps (s) | control med/min | current med/min | ratio (med) |",
-            "|---|---|---|---|---|---|",
+            "| query | control reps (s) | current reps (s) | control med/min | current med/min | ratio (med) | per-pass ratios |",
+            "|---|---|---|---|---|---|---|",
         ]
         for q, r in result["queries"].items():
             cr = ", ".join(f"{x:.2f}" for x in r["control"]["reps"])
             xr = ", ".join(f"{x:.2f}" for x in r["current"]["reps"])
+            pp = ", ".join(str(p["ratio_converged_median"])
+                           for p in r["per_pass"])
             lines.append(
                 f"| {q} | {cr} | {xr} | "
                 f"{r['control']['converged_median']}/{r['control']['converged_min']} | "
                 f"{r['current']['converged_median']}/{r['current']['converged_min']} | "
-                f"{r['ratio_converged_median']} |"
+                f"{r['ratio_converged_median']} | {pp} |"
             )
         with open(os.path.join(REPO, args.out_md), "w") as f:
             f.write("\n".join(lines) + "\n")

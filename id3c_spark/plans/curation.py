@@ -146,7 +146,15 @@ def curate(
     # row set is identical — but joining `clean` would embed the
     # decontamination probe a SECOND time in one action (clean appears
     # both inside exact_keep's lineage and as the join's left side, and
-    # Spark does not dedupe common subplans within an action either)
+    # Spark does not dedupe common subplans within an action either).
+    # Why this stays a second persist rather than riding quality's
+    # (r12 verdict #8, adjudicated r13): the alternatives re-run the
+    # decontaminate words-grain join per post-probe action (no persist)
+    # or re-shuffle the full wide corpus per consumer to semi-join a
+    # narrow cached id set (persist ids only — exact_keep is ~N ids at
+    # scale, too big to broadcast). At 100 TB, caching the wide
+    # survivors once is strictly cheaper than either recompute; the
+    # relation is owned and released by CurationStages.close().
     exact = quality.join(exact_keep, id_col, "left_semi").persist()
     words_exact = words_all.join(
         exact.select(F.col(id_col).alias("id")), "id", "left_semi"

@@ -497,3 +497,24 @@ def test_embedding_drift_properties(spark, rows):
     )
     same = embedding_drift(dup, F.col("side")).collect()
     assert all(r.smd == 0.0 and r.mean_0 == r.mean_1 for r in same)
+
+
+@given(
+    st.integers(min_value=0, max_value=400),   # row count
+    st.integers(min_value=1, max_value=16),    # partitions
+    st.integers(min_value=1, max_value=100),   # cap
+)
+@settings(max_examples=12, deadline=None)
+def test_bounded_collect_detection_property(spark, n, parts, cap):
+    """bounded_collect invariants for arbitrary (rows, partitions, cap):
+    complete exactly when n <= cap, overflow reported (len > cap)
+    exactly when n > cap, transfer bounded by parts x (cap + 1)."""
+    from id3c_spark.operators.bounded import bounded_collect
+
+    df = spark.range(0, n, 1, parts)
+    rows = bounded_collect(df, cap)
+    if n <= cap:
+        assert sorted(r.id for r in rows) == list(range(n))
+    else:
+        assert len(rows) > cap
+    assert len(rows) <= max(parts, 1) * (cap + 1)

@@ -1301,6 +1301,65 @@ def video_signature_pairs(
     return sketch_hamming_pairs(sk, 64, bands, max_hamming)
 
 
+def streaming_video_dedup(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    grid: int = 8,
+) -> DataFrame:
+    """Streaming PERCEPTUAL video dedup — the video face of
+    streaming_image_dedup: compute each arriving video's 64-bit temporal
+    signature inside the micro-batch (stateless Arrow-batched
+    mapInPandas — a video's frames all live in its one content row, so
+    the frame-majority vote needs no cross-row state) and drop
+    re-deliveries of the same signature within the watermark horizon.
+    Catches what content-hash dedup can't: the same clip re-containered
+    or frame-duplicated (the bit-majority is invariant under frame
+    repetition and stable under re-sampling). Bit-for-bit the same
+    signature as the batch ``video_signature`` (majority with ties
+    rounding up, two's-complement int64), so batch and streaming paths
+    agree on what counts as a duplicate. State is 8 bytes per distinct
+    video, evicted at the watermark — runs forever on an unbounded
+    feed."""
+    from id3c_spark.streaming.stateful import streaming_dedup
+
+    videos = stream.filter(F.col("kind") == "video")
+    decoders = dict(_VIDEO_DECODERS)  # closure snapshot (see image_phash)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for content in pdf["content"]:
+                frames = _video_frames(
+                    bytes(content) if content is not None else None, decoders
+                )
+                if not frames:
+                    sigs.append(None)
+                    continue
+                hs = [_ahash(g, grid) & (2**64 - 1) for g in frames]
+                sig, n = 0, len(hs)
+                for i in range(64):
+                    ones = sum((h >> i) & 1 for h in hs)
+                    if 2 * ones >= n:          # ties round up (batch parity)
+                        sig |= 1 << i
+                if sig >= 1 << 63:
+                    sig -= 1 << 64
+                sigs.append(sig)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                ts_col: pdf[ts_col],
+                "signature": pd.array(sigs, dtype="Int64"),
+            })
+
+    hashed = videos.select("media_id", ts_col, "content").mapInPandas(
+        run, f"media_id long, {ts_col} timestamp, signature long"
+    )
+    return streaming_dedup(
+        hashed.filter(F.col("signature").isNotNull()),
+        ["signature"], ts_col, watermark,
+    )
+
+
 def synthetic_video_corpus(
     ids: DataFrame,
     id_col: str = "doc_id",

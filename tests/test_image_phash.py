@@ -605,3 +605,60 @@ def test_video_library_auto_register():
     finally:
         mm._VIDEO_DECODERS.clear()
         mm._VIDEO_DECODERS.update(saved)
+
+
+def test_streaming_video_dedup_catches_frame_duplicated_twin(spark, tmp_path):
+    """An AVI and its frame-duplicated twin (every frame repeated —
+    different bytes, same temporal signature by majority invariance)
+    arrive in the stream; perceptual dedup emits only the first. The
+    streaming signature must agree bit-for-bit with the batch
+    video_signature."""
+    import datetime
+
+    from id3c_spark import multimodal as mm
+
+    w, h = 16, 16
+    frames = [
+        bytes(bytearray((f * 13 + y * 5 + x * 3) % 256
+                        for y in reversed(range(h)) for x in range(w)
+                        for _ in range(3)))
+        for f in range(3)
+    ]
+    a = mm.encode_avi(w, h, frames)
+    twin = mm.encode_avi(w, h, [fr for fr in frames for _ in (0, 1)])
+    other = _gray_frames_avi(9)
+    t0 = datetime.datetime(2024, 1, 1)
+    src = spark.createDataFrame(
+        [
+            (1, "video", bytearray(a), t0),
+            (2, "video", bytearray(twin), t0 + datetime.timedelta(minutes=1)),
+            (3, "video", bytearray(other), t0 + datetime.timedelta(minutes=2)),
+            (4, "image", bytearray(b"\x89PNG\r\n\x1a\n"), t0),
+        ],
+        "media_id long, kind string, content binary, ts timestamp",
+    )
+    src_dir = str(tmp_path / "media")
+    src.write.parquet(src_dir)
+    out_dir = str(tmp_path / "out")
+    stream = spark.readStream.schema(src.schema).parquet(src_dir)
+    q = (
+        mm.streaming_video_dedup(stream, watermark="1 hour")
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out_dir).collect()
+    ids = sorted(r["media_id"] for r in rows)
+    assert len(ids) == 2 and 3 in ids and (1 in ids) != (2 in ids)
+
+    # batch parity: the streamed signatures equal video_signature's
+    batch = {r.media_id: r.signature
+             for r in mm.video_signature(
+                 spark.read.parquet(src_dir)).collect()}
+    streamed = {r["media_id"]: r["signature"] for r in rows}
+    for mid, sig in streamed.items():
+        assert batch[mid] == sig, mid

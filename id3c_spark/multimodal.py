@@ -1164,6 +1164,22 @@ def _video_frames(content: bytes | None, decoders: dict):
     return out
 
 
+def _sample_frames(frames: list, max_frames: int | None) -> list:
+    """Deterministic uniform frame subset: at most *max_frames* frames at
+    evenly spaced indices (first frame always included; the same video
+    always yields the same subset — no RNG, so results replay). The
+    100 TB lever for long-form video: an N-frame clip costs O(N) to
+    DECODE but only O(max_frames) to hash, and the bit-majority temporal
+    signature is stable under exactly this kind of re-sampling by
+    construction, so sampled and full signatures agree on near-dup
+    verdicts for all but adversarially alternating content."""
+    if max_frames is None or len(frames) <= max_frames:
+        return frames
+    n = len(frames)
+    step = n / max_frames
+    return [frames[min(int(i * step), n - 1)] for i in range(max_frames)]
+
+
 VIDEO_FEATURES_SCHEMA = (
     "media_id long, n_frames int, width int, height int, "
     "mean_frame_delta double"
@@ -1217,14 +1233,19 @@ def extract_video_features(media: DataFrame) -> DataFrame:
     )
 
 
-def video_frame_phashes(media: DataFrame, grid: int = 8) -> DataFrame:
+def video_frame_phashes(
+    media: DataFrame, grid: int = 8, max_frames: int | None = None
+) -> DataFrame:
     """Per-frame perceptual hash of every decodable video →
     (media_id, frame_idx, phash). AVI rawvideo decodes natively;
     registered codec decoders (register_video_decoder) handle mp4/webm;
     anything else yields NO rows — the honest stub boundary, surfaced
     as absence rather than fabricated hashes. Arrow-batched
     mapInPandas; output is 8 bytes/frame, so every downstream signature
-    or pair join never touches video bytes again."""
+    or pair join never touches video bytes again. *max_frames* bounds
+    the hashed subset per video via deterministic uniform sampling
+    (_sample_frames) — the long-form-video cost cap; frame_idx then
+    indexes the SAMPLED sequence."""
     videos = media.filter(F.col("kind") == "video")
     decoders = dict(_VIDEO_DECODERS)  # closure snapshot (see image_phash)
 
@@ -1237,6 +1258,7 @@ def video_frame_phashes(media: DataFrame, grid: int = 8) -> DataFrame:
                 )
                 if frames is None:
                     continue
+                frames = _sample_frames(frames, max_frames)
                 for i, gray in enumerate(frames):
                     ids.append(media_id)
                     idxs.append(i)
@@ -1252,7 +1274,9 @@ def video_frame_phashes(media: DataFrame, grid: int = 8) -> DataFrame:
     )
 
 
-def video_signature(media: DataFrame, grid: int = 8) -> DataFrame:
+def video_signature(
+    media: DataFrame, grid: int = 8, max_frames: int | None = None
+) -> DataFrame:
     """Temporal 64-bit signature per video → (media_id, signature):
     bit i is set when >= half the frames' aHashes set bit i (ties round
     up) — the SimHash-style majority vote that makes the signature
@@ -1263,7 +1287,7 @@ def video_signature(media: DataFrame, grid: int = 8) -> DataFrame:
     one shuffle on media_id, no Python past the frame decode."""
     from functools import reduce
 
-    ph = video_frame_phashes(media, grid)
+    ph = video_frame_phashes(media, grid, max_frames=max_frames)
     aggs = [
         F.sum(
             F.shiftrightunsigned("phash", i).bitwiseAND(F.lit(1))
@@ -1285,7 +1309,11 @@ def video_signature(media: DataFrame, grid: int = 8) -> DataFrame:
 
 
 def video_signature_pairs(
-    media: DataFrame, bands: int = 8, max_hamming: int = 7, grid: int = 8
+    media: DataFrame,
+    bands: int = 8,
+    max_hamming: int = 7,
+    grid: int = 8,
+    max_frames: int | None = None,
 ) -> DataFrame:
     """Near-duplicate video pairs: temporal signatures → the shared
     banded hamming join (ann.sketch_hamming_pairs — complete for
@@ -1295,7 +1323,7 @@ def video_signature_pairs(
     bytes are touched exactly once, in the hash pass."""
     from id3c_spark.operators.ann import sketch_hamming_pairs
 
-    sk = video_signature(media, grid).select(
+    sk = video_signature(media, grid, max_frames=max_frames).select(
         F.col("media_id").alias("id"), F.col("signature").alias("sketch")
     )
     return sketch_hamming_pairs(sk, 64, bands, max_hamming)
@@ -1306,6 +1334,7 @@ def streaming_video_dedup(
     ts_col: str = "ts",
     watermark: str = "1 hour",
     grid: int = 8,
+    max_frames: int | None = None,
 ) -> DataFrame:
     """Streaming PERCEPTUAL video dedup — the video face of
     streaming_image_dedup: compute each arriving video's 64-bit temporal
@@ -1336,6 +1365,7 @@ def streaming_video_dedup(
                 if not frames:
                     sigs.append(None)
                     continue
+                frames = _sample_frames(frames, max_frames)
                 hs = [_ahash(g, grid) & (2**64 - 1) for g in frames]
                 sig, n = 0, len(hs)
                 for i in range(64):

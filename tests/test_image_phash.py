@@ -662,3 +662,43 @@ def test_streaming_video_dedup_catches_frame_duplicated_twin(spark, tmp_path):
     streamed = {r["media_id"]: r["signature"] for r in rows}
     for mid, sig in streamed.items():
         assert batch[mid] == sig, mid
+
+
+def test_frame_sampling_deterministic_and_signature_stable(spark):
+    """_sample_frames: deterministic uniform subset (first frame pinned,
+    bounded count, pure function of (n, max_frames)); and the temporal
+    signature of a frame-repeated long video under sampling equals the
+    full-signature of the base clip (majority invariance — the property
+    that makes sampled and full indexes interoperable)."""
+    import numpy as np
+
+    from id3c_spark import multimodal as mm
+
+    frames = [np.full((4, 4), float(i)) for i in range(10)]
+    got = mm._sample_frames(frames, 4)
+    assert len(got) == 4
+    assert got[0] is frames[0]
+    assert [id(f) for f in got] == [id(f) for f in mm._sample_frames(frames, 4)]
+    assert mm._sample_frames(frames, None) is frames
+    assert mm._sample_frames(frames, 20) is frames
+
+    # a 12-frame clip that's the 3-frame base repeated 4x: sampled (max 6)
+    # and full signatures both equal the base clip's signature
+    w, h = 16, 16
+    base = [
+        bytes(bytearray((f * 13 + y * 5 + x * 3) % 256
+                        for y in reversed(range(h)) for x in range(w)
+                        for _ in range(3)))
+        for f in range(3)
+    ]
+    short = mm.encode_avi(w, h, base)
+    long_ = mm.encode_avi(w, h, base * 4)
+    df = _video_media(spark, [(1, short), (2, long_)])
+    full = {r.media_id: r.signature for r in mm.video_signature(df).collect()}
+    sampled = {r.media_id: r.signature
+               for r in mm.video_signature(df, max_frames=6).collect()}
+    assert full[1] == full[2] == sampled[2]
+    # and the sampled hash pass emitted at most max_frames rows per video
+    n_rows = (mm.video_frame_phashes(df, max_frames=6)
+              .groupBy("media_id").count().collect())
+    assert all(r["count"] <= 6 for r in n_rows)

@@ -991,13 +991,17 @@ def _pyav_decode_frames(content: bytes):
 
 def _imageio_decode_frames(content: bytes):
     """imageio-backed frame decode → list of H×W grayscale float64
-    arrays, None on any failure (the registry's stub contract)."""
+    arrays, None on any failure (the registry's stub contract). The
+    extension hint follows the sniffed container (ADVICE r13: a
+    hardcoded ".mp4" hint can route webm bytes down a plugin path that
+    fails and silently yields no rows)."""
     import numpy as np
 
     try:
         import imageio.v3 as iio
 
-        frames = iio.imread(content, index=None, extension=".mp4")
+        ext = {"mp4": ".mp4", "webm": ".webm"}.get(_sniff_video_format(content))
+        frames = iio.imread(content, index=None, extension=ext)
         frames = np.asarray(frames, dtype=np.float64)
         if frames.ndim == 3:               # (n, h, w) already gray
             return list(frames)
@@ -1164,6 +1168,19 @@ def _video_frames(content: bytes | None, decoders: dict):
     return out
 
 
+def _check_max_frames(max_frames: int | None) -> None:
+    """Validate a user-supplied frame-sampling cap at PLAN BUILD time —
+    a bad value must raise on the driver, not as a ZeroDivisionError /
+    negative-index crash inside an executor task (ADVICE r13)."""
+    if max_frames is not None and (
+        not isinstance(max_frames, int) or isinstance(max_frames, bool)
+        or max_frames < 1
+    ):
+        raise ValueError(
+            f"max_frames must be a positive int or None, got {max_frames!r}"
+        )
+
+
 def _sample_frames(frames: list, max_frames: int | None) -> list:
     """Deterministic uniform frame subset: at most *max_frames* frames at
     evenly spaced indices (first frame always included; the same video
@@ -1246,6 +1263,7 @@ def video_frame_phashes(
     the hashed subset per video via deterministic uniform sampling
     (_sample_frames) — the long-form-video cost cap; frame_idx then
     indexes the SAMPLED sequence."""
+    _check_max_frames(max_frames)
     videos = media.filter(F.col("kind") == "video")
     decoders = dict(_VIDEO_DECODERS)  # closure snapshot (see image_phash)
 
@@ -1352,6 +1370,7 @@ def streaming_video_dedup(
     feed."""
     from id3c_spark.streaming.stateful import streaming_dedup
 
+    _check_max_frames(max_frames)
     videos = stream.filter(F.col("kind") == "video")
     decoders = dict(_VIDEO_DECODERS)  # closure snapshot (see image_phash)
 

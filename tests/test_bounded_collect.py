@@ -45,6 +45,34 @@ def test_bounded_collect_empty_and_mixed_types(spark):
     assert got == {("a", 1.5), ("b", None)}
 
 
+def test_bounded_collect_global_bound_past_budget(spark):
+    # ADVICE r13: past the direct budget the driver must receive at most
+    # cap+1 rows TOTAL even when EVERY partition overflows — not
+    # partitions x (cap+1). Force the truncation path with a tiny budget.
+    df = spark.range(0, 50_000, 1, 32)
+    rows = bounded_collect(df, 100, direct_budget_rows=1)
+    assert len(rows) == 101          # exactly cap+1: overflow detected,
+    #                                  transfer globally truncated
+
+
+def test_bounded_collect_truncation_path_complete_under_cap(spark):
+    # the extra truncation stage must not break completeness: true count
+    # <= cap survives the repartition(1) + re-cap intact
+    df = spark.range(0, 500, 1, 16).select(F.col("id"))
+    rows = bounded_collect(df, 1000, direct_budget_rows=1)
+    assert sorted(r.id for r in rows) == list(range(500))
+
+
+def test_bounded_collect_budget_boundary(spark):
+    # worst case exactly AT the budget stays on the one-stage path and
+    # keeps the old per-partition bound; one row past it truncates
+    df = spark.range(0, 5000, 1, 4)
+    at_budget = bounded_collect(df, 100, direct_budget_rows=4 * 101)
+    assert 100 < len(at_budget) <= 4 * 101
+    past_budget = bounded_collect(df, 100, direct_budget_rows=4 * 101 - 1)
+    assert len(past_budget) == 101
+
+
 def test_bounded_collect_leaves_no_conf(spark):
     # the per-plan mechanism must not touch the session-global limit
     # ramp conf the r12 shape mutated

@@ -607,6 +607,172 @@ def test_video_library_auto_register():
         mm._VIDEO_DECODERS.update(saved)
 
 
+class _FakeAvFrame:
+    def __init__(self, arr):
+        self._arr = arr
+
+    def to_ndarray(self, format):
+        assert format == "gray"
+        return self._arr
+
+
+class _FakeAvContainer:
+    def __init__(self, frames):
+        self._frames = frames
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+    def decode(self, video):
+        assert video == 0
+        return iter(_FakeAvFrame(a) for a in self._frames)
+
+
+def _with_fake_module(name, module):
+    """Context manager installing *module* at sys.modules[name] (and its
+    parent package attribute for dotted names), restoring on exit."""
+    import contextlib
+    import sys
+
+    @contextlib.contextmanager
+    def cm():
+        saved = {n: sys.modules.get(n) for n in (name, name.split(".")[0])}
+        try:
+            if "." in name:
+                parent_name, child = name.rsplit(".", 1)
+                parent = sys.modules.get(parent_name)
+                if parent is None:
+                    import types
+
+                    parent = types.ModuleType(parent_name)
+                    sys.modules[parent_name] = parent
+                setattr(parent, child, module)
+            sys.modules[name] = module
+            yield
+        finally:
+            for n, m in saved.items():
+                if m is None:
+                    sys.modules.pop(n, None)
+                else:
+                    sys.modules[n] = m
+
+    return cm()
+
+
+def test_pyav_decode_frames_contract():
+    """API-shape contract for the PyAV-backed decoder (VERDICT r13 #3):
+    a fake ``av`` module drives the REAL _pyav_decode_frames body —
+    success, dtype coercion, empty container → None, open failure →
+    None — so the ~30 lines of codec-boundary code execute in CI even
+    though this image ships no codec libraries."""
+    import types
+
+    import numpy as np
+
+    from id3c_spark import multimodal as mm
+
+    frames = [np.arange(12, dtype=np.uint8).reshape(3, 4),
+              np.ones((3, 4), dtype=np.int32)]
+
+    fake_av = types.ModuleType("av")
+    fake_av.open = lambda fh: _FakeAvContainer(frames)
+    with _with_fake_module("av", fake_av):
+        out = mm._pyav_decode_frames(b"\x00\x00\x00\x18ftyp" + b"\x00" * 16)
+        assert out is not None and len(out) == 2
+        assert all(a.dtype == np.float64 and a.shape == (3, 4) for a in out)
+        assert out[0][0, 1] == 1.0
+
+    fake_av.open = lambda fh: _FakeAvContainer([])
+    with _with_fake_module("av", fake_av):
+        assert mm._pyav_decode_frames(b"x" * 16) is None   # empty → None
+
+    def boom(fh):
+        raise RuntimeError("codec not found")
+
+    fake_av.open = boom
+    with _with_fake_module("av", fake_av):
+        assert mm._pyav_decode_frames(b"x" * 16) is None   # failure → None
+
+
+def test_imageio_decode_frames_contract():
+    """API-shape contract for the imageio-backed decoder: fake
+    ``imageio.v3`` drives the REAL _imageio_decode_frames body — gray
+    (n,h,w) passthrough, (n,h,w,c) channel-mean collapse, bad ndim →
+    None, read failure → None — and the extension hint follows the
+    SNIFFED container (ADVICE r13: webm must not be read with ".mp4")."""
+    import types
+
+    import numpy as np
+
+    from id3c_spark import multimodal as mm
+
+    mp4 = b"\x00\x00\x00\x18ftyp" + b"\x00" * 16
+    webm = b"\x1a\x45\xdf\xa3" + b"\x00" * 16
+    seen = {}
+
+    def make_v3(ret):
+        v3 = types.ModuleType("imageio.v3")
+
+        def imread(content, index, extension):
+            assert index is None
+            seen["ext"] = extension
+            if isinstance(ret, Exception):
+                raise ret
+            return ret
+
+        v3.imread = imread
+        return v3
+
+    gray = np.stack([np.full((3, 4), float(f)) for f in range(2)])
+    with _with_fake_module("imageio.v3", make_v3(gray)):
+        out = mm._imageio_decode_frames(mp4)
+        assert seen["ext"] == ".mp4"
+        assert len(out) == 2 and out[0].shape == (3, 4)
+        assert out[1][0, 0] == 1.0
+
+    color = np.zeros((2, 3, 4, 3))
+    color[0, :, :, 0] = 3.0                     # channel mean → 1.0
+    with _with_fake_module("imageio.v3", make_v3(color)):
+        out = mm._imageio_decode_frames(webm)
+        assert seen["ext"] == ".webm"           # sniffed, not hardcoded
+        assert out[0].shape == (3, 4) and out[0][0, 0] == 1.0
+
+    with _with_fake_module("imageio.v3", make_v3(np.zeros((3, 4)))):
+        assert mm._imageio_decode_frames(mp4) is None      # bad ndim
+
+    with _with_fake_module("imageio.v3", make_v3(RuntimeError("no plugin"))):
+        assert mm._imageio_decode_frames(mp4) is None      # failure → None
+
+    with _with_fake_module("imageio.v3", make_v3(gray)):
+        mm._imageio_decode_frames(b"not-a-video-container")
+        assert seen["ext"] is None              # unknown → let imageio sniff
+
+
+def test_max_frames_validated_at_plan_build(spark):
+    """A bad max_frames raises ValueError on the DRIVER at plan-build
+    time (ADVICE r13: 0 was a ZeroDivisionError and negatives sampled
+    negative indices inside executor tasks)."""
+    import pytest
+
+    from id3c_spark import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, "video", None)], "media_id long, kind string, content binary"
+    )
+    for bad in (0, -3, True, 2.5):
+        with pytest.raises(ValueError, match="max_frames"):
+            mm.video_frame_phashes(df, max_frames=bad)
+        with pytest.raises(ValueError, match="max_frames"):
+            mm.streaming_video_dedup(df, max_frames=bad)
+        with pytest.raises(ValueError, match="max_frames"):
+            mm.video_signature(df, max_frames=bad)
+    # the valid boundary still builds a plan
+    assert mm.video_frame_phashes(df, max_frames=1).count() == 0
+
+
 def test_streaming_video_dedup_catches_frame_duplicated_twin(spark, tmp_path):
     """An AVI and its frame-duplicated twin (every frame repeated —
     different bytes, same temporal signature by majority invariance)

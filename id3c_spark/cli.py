@@ -1424,15 +1424,30 @@ def corpus_tag(input_parquet: str, output: str, phrases: tuple[str, ...],
 @click.option("--output", required=True, help="output parquet")
 @click.option("--what", default="image-features", show_default=True,
               type=click.Choice(["image-features", "audio-features",
-                                 "phash", "phash-pairs", "audio-pairs"]))
+                                 "phash", "phash-pairs", "audio-pairs",
+                                 "video-features", "video-phash",
+                                 "video-signature", "video-pairs"]))
 @click.option("--max-hamming", default=7, show_default=True)
+@click.option("--max-frames", type=int, default=None,
+              help="hash at most this many uniformly sampled frames per "
+                   "video (long-form cost cap; video hash operations "
+                   "only) [default: every frame]")
 def corpus_media(input_parquet: str, output: str, what: str,
-                 max_hamming: int) -> None:
+                 max_hamming: int, max_frames: int | None) -> None:
     """Multimodal column operations over a media table (media_id, kind,
     mime, content, meta): decode features, perceptual hashes, and banded
-    near-duplicate pair retrieval."""
+    near-duplicate pair retrieval — images, audio, and video."""
     from id3c_spark import multimodal as mm
 
+    # an option that would be silently ignored is a lie to the user
+    # (same contract as corpus dedup's --threshold)
+    if max_frames is not None and what not in (
+        "video-phash", "video-signature", "video-pairs"
+    ):
+        raise click.UsageError(
+            "--max-frames only applies to video hash operations "
+            "(video-phash / video-signature / video-pairs)"
+        )
     spark = get_spark("corpus-media")
     media = spark.read.parquet(input_parquet)
     if what == "image-features":
@@ -1443,11 +1458,69 @@ def corpus_media(input_parquet: str, output: str, what: str,
         out = mm.image_phash(media)
     elif what == "phash-pairs":
         out = mm.image_phash_pairs(media, max_hamming=max_hamming)
-    else:
+    elif what == "audio-pairs":
         out = mm.audio_fingerprint_pairs(media, max_hamming=max_hamming)
+    elif what == "video-features":
+        out = mm.extract_video_features(media)
+    elif what == "video-phash":
+        out = mm.video_frame_phashes(media, max_frames=max_frames)
+    elif what == "video-signature":
+        out = mm.video_signature(media, max_frames=max_frames)
+    else:  # video-pairs
+        out = mm.video_signature_pairs(
+            media, max_hamming=max_hamming, max_frames=max_frames
+        )
     out.write.mode("overwrite").parquet(output)
     click.echo(json.dumps({"what": what,
                            "rows": spark.read.parquet(output).count()}))
+
+
+@corpus.command("media-dedup-stream")
+@click.argument("source_glob")
+@click.option("--output", required=True,
+              help="parquet dir of first-arrival (media_id, ts, signature) rows")
+@click.option("--checkpoint", required=True, help="streaming checkpoint dir")
+@click.option("--ts-col", default="ts", show_default=True,
+              help="event-time column of the media stream")
+@click.option("--watermark", default="1 hour", show_default=True,
+              help="dedup horizon (state evicted past it)")
+@click.option("--max-frames", type=int, default=None,
+              help="hash at most this many uniformly sampled frames per "
+                   "video [default: every frame]")
+def corpus_media_dedup_stream(source_glob: str, output: str, checkpoint: str,
+                              ts_col: str, watermark: str,
+                              max_frames: int | None) -> None:
+    """Streaming PERCEPTUAL video dedup (multimodal.streaming_video_dedup
+    made operational, mirroring `corpus ingest`): drain media parquet
+    files through micro-batch temporal signatures — bit-for-bit the
+    batch video_signature — keeping the first arrival of each signature
+    within the watermark horizon. Replay-safe via the checkpoint;
+    re-containered or frame-duplicated re-deliveries of the same clip
+    are dropped even though their content hashes differ."""
+    from id3c_spark import multimodal as mm
+
+    spark = get_spark("corpus-media-dedup-stream")
+    # parquet readStream needs an explicit schema: take it from the
+    # files already present (the cron-run shape — same trigger as ingest)
+    schema = spark.read.parquet(source_glob).schema
+    stream = spark.readStream.schema(schema).parquet(source_glob)
+    uniq = mm.streaming_video_dedup(
+        stream, ts_col=ts_col, watermark=watermark, max_frames=max_frames
+    )
+    q = (
+        uniq.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        n = spark.read.parquet(output).count()
+    except Exception:
+        n = 0                    # no decodable videos → empty sink
+    click.echo(json.dumps({"unique": n}))
 
 
 # Load extra commands from extensions AFTER the built-in registrations,

@@ -567,6 +567,139 @@ def test_cli_corpus_media_phash_pairs(spark, tmp_path):
     assert (pair.id_a, pair.id_b, pair.hamming) == (1, 2, 0)
 
 
+def _cli_test_frames(seed, n_frames=3, w=16, h=16):
+    """Deterministic gradient DIB frames (same integer formula as the
+    test_image_phash fixtures)."""
+    frames = []
+    for f in range(n_frames):
+        px = bytearray()
+        for y in reversed(range(h)):          # bottom-up DIB rows
+            for x in range(w):
+                v = (seed * 31 + f * 11 + y * 5 + x * 3) % 200
+                px += bytes((v, v, v))
+        frames.append(bytes(px))
+    return frames
+
+
+def _cli_test_avi(seed, n_frames=3, w=16, h=16):
+    from id3c_spark.multimodal import encode_avi
+
+    return encode_avi(w, h, _cli_test_frames(seed, n_frames, w, h))
+
+
+def test_cli_corpus_media_video_and_max_frames(spark, tmp_path):
+    """corpus media video operations + --max-frames (VERDICT r13 #4):
+    the long-form sampling cap is reachable from the CLI, sampled and
+    full signatures agree on the near-dup verdicts, and --max-frames on
+    a non-video operation is a usage error, not silently ignored."""
+    from id3c_spark.multimodal import encode_avi
+
+    runner = CliRunner()
+    base = _cli_test_frames(1, n_frames=3)
+    short_avi = encode_avi(16, 16, base)
+    # frame-REPEATED long twin: 12 frames cycling the 3-frame base —
+    # same majority signature as the base clip, different bytes, and a
+    # realistic target for the sampling cap
+    long_avi = encode_avi(16, 16, [fr for fr in base for _ in range(4)])
+    # high-frequency noise clip: gradient seeds all share similar aHash
+    # bit patterns, so "different" needs different TEXTURE, not seed
+    other_avi = encode_avi(16, 16, [
+        bytes(bytearray(
+            v for y in reversed(range(16)) for x in range(16)
+            for v in [((y * 16 + x) * 2654435761 + f * 97) % 256] * 3
+        ))
+        for f in range(3)
+    ])
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(short_avi)),
+         (2, "video", bytearray(long_avi)),
+         (3, "video", bytearray(other_avi))],
+        "media_id long, kind string, content binary",
+    )
+    src = str(tmp_path / "media")
+    media.write.parquet(src)
+
+    def run(what, out_name, *extra):
+        out = str(tmp_path / out_name)
+        res = runner.invoke(cli, ["corpus", "media", src, "--output", out,
+                                  "--what", what, *extra])
+        assert res.exit_code == 0, res.output
+        return spark.read.parquet(out)
+
+    full = run("video-pairs", "pairs_full")
+    sampled = run("video-pairs", "pairs_sampled", "--max-frames", "6")
+    verdict = {(r.id_a, r.id_b) for r in full.collect()}
+    assert verdict == {(r.id_a, r.id_b) for r in sampled.collect()}
+    assert (1, 2) in verdict and len(verdict) == 1
+
+    sig_full = {r.media_id: r.signature
+                for r in run("video-signature", "sig_full").collect()}
+    sig_sampled = {r.media_id: r.signature
+                   for r in run("video-signature", "sig_sampled",
+                                "--max-frames", "6").collect()}
+    # uniform sampling of a frame-repeated clip lands on the same base
+    # pattern → identical majority signatures
+    assert sig_full == sig_sampled and len(sig_full) == 3
+
+    phash = run("video-phash", "phash", "--max-frames", "2")
+    counts = {r.media_id: r.cnt for r in
+              phash.groupBy("media_id").count()
+              .withColumnRenamed("count", "cnt").collect()}
+    assert counts == {1: 2, 2: 2, 3: 2}       # capped at 2 frames each
+
+    feats = run("video-features", "feats")
+    assert {r.media_id: r.n_frames for r in feats.collect()} == \
+        {1: 3, 2: 12, 3: 3}
+
+    # silently ignoring the cap on a non-video op would lie to the user
+    res = runner.invoke(cli, ["corpus", "media", src, "--output",
+                              str(tmp_path / "x"), "--what", "phash",
+                              "--max-frames", "4"])
+    assert res.exit_code != 0
+    assert "--max-frames" in res.output
+
+
+def test_cli_corpus_media_dedup_stream(spark, tmp_path):
+    """corpus media-dedup-stream (VERDICT r13 #7): the streaming
+    perceptual video dedup is reachable from the CLI — a clip and its
+    frame-duplicated twin drain to ONE surviving row plus the distinct
+    clip; the non-video row is ignored."""
+    import datetime
+
+    from id3c_spark.multimodal import encode_avi
+
+    runner = CliRunner()
+    w, h = 16, 16
+    frames = [
+        bytes(bytearray((f * 13 + y * 5 + x * 3) % 256
+                        for y in reversed(range(h)) for x in range(w)
+                        for _ in range(3)))
+        for f in range(3)
+    ]
+    a = encode_avi(w, h, frames)
+    twin = encode_avi(w, h, [fr for fr in frames for _ in (0, 1)])
+    other = _cli_test_avi(9)
+    t0 = datetime.datetime(2024, 1, 1)
+    src = str(tmp_path / "media")
+    spark.createDataFrame(
+        [(1, "video", bytearray(a), t0),
+         (2, "video", bytearray(twin), t0 + datetime.timedelta(minutes=1)),
+         (3, "video", bytearray(other), t0 + datetime.timedelta(minutes=2)),
+         (4, "image", bytearray(b"\x89PNG\r\n\x1a\n"), t0)],
+        "media_id long, kind string, content binary, ts timestamp",
+    ).write.parquet(src)
+    out = str(tmp_path / "uniq")
+    res = runner.invoke(cli, [
+        "corpus", "media-dedup-stream", src,
+        "--output", out, "--checkpoint", str(tmp_path / "ckpt"),
+        "--watermark", "1 hour",
+    ])
+    assert res.exit_code == 0, res.output
+    assert json.loads(res.output.strip().splitlines()[-1])["unique"] == 2
+    ids = sorted(r.media_id for r in spark.read.parquet(out).collect())
+    assert len(ids) == 2 and 3 in ids and (1 in ids) != (2 in ids)
+
+
 def test_cli_corpus_dedup_minhash_simhash(spark, tmp_path):
     runner = CliRunner()
     base = "the quick brown fox jumps over the lazy dog again and again today"

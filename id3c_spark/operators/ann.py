@@ -224,6 +224,51 @@ def cosine_topk(
         corpus_shards = corpus_shards or _auto_shards(corpus)
         query_blocks = query_blocks or _auto_shards(queries)
     same = queries is corpus and query_blocks == corpus_shards
+    if same and corpus_shards == 1:
+        # single-shard self-search fast path (see cosine_pairs_above):
+        # the corpus fits one GEMM task, so the pack exchange, crossJoin,
+        # AND the final row_number window (its partial top-k is already
+        # global when there is exactly one block pair) all collapse into
+        # one narrow stage. Ordering, 6-dp rounding, and id tiebreak are
+        # identical to the sharded path, so results are bit-equal.
+        src = corpus.select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+        ).coalesce(1)
+
+        def fused_topk(batches):
+            ids_acc, mat_acc = [], []
+            for pdf in batches:
+                if len(pdf):
+                    ids_acc.append(pdf["id"].to_numpy(dtype=np.int64))
+                    mat_acc.append(np.asarray(
+                        [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+                    ))
+            if not ids_acc:
+                return
+            ids = np.concatenate(ids_acc)
+            mat = np.vstack(mat_acc)
+            norm = np.sqrt((mat * mat).sum(axis=1))
+            sims = np.round((mat @ mat.T) / np.outer(norm, norm), 6)
+            out_q, out_n, out_s, out_r = [], [], [], []
+            for i in range(len(ids)):
+                mask = ids != ids[i]
+                cand_ids = ids[mask]
+                cand_sims = sims[i][mask]
+                order = np.lexsort((cand_ids, -cand_sims))[:k]
+                out_q.extend([ids[i]] * len(order))
+                out_n.extend(cand_ids[order])
+                out_s.extend(cand_sims[order])
+                out_r.extend(range(1, len(order) + 1))
+            yield pd.DataFrame({
+                "query_id": out_q, "neighbor_id": out_n,
+                "sim": out_s,
+                "rank": pd.array(out_r, dtype="int32"),
+            })
+
+        return src.mapInPandas(
+            fused_topk,
+            schema="query_id long, neighbor_id long, sim double, rank int",
+        )
     qpacked = _packed_blocks(queries, id_col, vec_col, query_blocks, "qb")
     if same:
         # self-search: one packing pass feeds both crossJoin sides. An
@@ -301,6 +346,43 @@ def cosine_pairs_above(
     import pandas as pd
 
     corpus_shards = corpus_shards or _auto_shards(corpus)
+    if corpus_shards == 1:
+        # single-shard fast path: the whole corpus fits one GEMM task
+        # (≤ ~AUTO_SHARD_ROWS by the stats that chose 1 shard), so the
+        # pack stage, its exchange, and the crossJoin buy nothing — fuse
+        # scan → normalize → GEMM → threshold mask into ONE narrow stage
+        # (coalesce is not a shuffle). Identical arithmetic and rounding
+        # to the sharded path, so results are bit-equal; at bench scale
+        # this halves the fixed per-run cost of a sub-second plan.
+        src = corpus.select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+        ).coalesce(1)
+
+        def fused_pairs(batches):
+            ids_acc, mat_acc = [], []
+            for pdf in batches:
+                if len(pdf):
+                    ids_acc.append(pdf["id"].to_numpy(dtype=np.int64))
+                    mat_acc.append(np.asarray(
+                        [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+                    ))
+            if not ids_acc:
+                return
+            ids = np.concatenate(ids_acc)
+            mat = np.vstack(mat_acc)
+            mat = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
+            sims = np.round(mat @ mat.T, 6)
+            out_a, out_b, out_s = [], [], []
+            for i in range(len(ids)):
+                mask = (ids > ids[i]) & (sims[i] >= threshold)
+                out_a.extend([ids[i]] * int(mask.sum()))
+                out_b.extend(ids[mask])
+                out_s.extend(sims[i][mask])
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
+
+        return src.mapInPandas(
+            fused_pairs, schema="id_a long, id_b long, sim double"
+        )
     # one exchange feeds both crossJoin sides via ReusedExchange — the
     # packing pass runs once per action, nothing cached (see cosine_topk)
     blocks = _packed_blocks(

@@ -286,6 +286,27 @@ def test_ivf_recall_and_determinism(spark, sf_dir):
     assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
 
 
+def test_fused_single_shard_paths_match_sharded(spark, sf_dir):
+    """cosine_topk / cosine_pairs_above r14 single-shard fast path: the
+    fused one-stage plan must return EXACTLY the sharded blocked-GEMM
+    rows (values, ranks, and ordering criteria) — blocking is a layout
+    choice, never a semantics choice."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
+
+    fused = ann.cosine_topk(emb, emb, k=3)          # auto → 1 shard → fused
+    sharded = ann.cosine_topk(emb, emb, k=3, corpus_shards=3, query_blocks=3)
+    assert "CROSS" not in fused._jdf.queryExecution().optimizedPlan().toString().upper()
+    f = sorted((r.query_id, r.neighbor_id, r.sim, r.rank) for r in fused.collect())
+    s = sorted((r.query_id, r.neighbor_id, r.sim, r.rank) for r in sharded.collect())
+    assert f == s and len(f) == 300 * 3
+
+    fused_p = ann.cosine_pairs_above(emb, threshold=0.3)
+    sharded_p = ann.cosine_pairs_above(emb, threshold=0.3, corpus_shards=3)
+    fp = sorted((r.id_a, r.id_b, r.sim) for r in fused_p.collect())
+    sp = sorted((r.id_a, r.id_b, r.sim) for r in sharded_p.collect())
+    assert fp == sp and fp
+
+
 def test_cluster_representatives_pick_best_member(spark):
     from id3c_spark.operators.dedup import cluster_representatives, dedup_clusters
 

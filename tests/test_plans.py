@@ -23,11 +23,16 @@ ALLOWED_CROSS = {
     # intentional BLOCKED cross joins: the crossJoin pairs B query blocks
     # with S corpus shards (B*S rows of packed bytes), never row-level
     # all-pairs — the distributed GEMM layout of ann.cosine_topk and the
-    # ADC scorer of pq.pq_topk
-    "embedding_topk": 1,
-    "embedding_dups": 1,
-    # cosine_topk's B×S blocked-GEMM crossJoin + the single-row top-4
-    # mean relation joined back for the margin ratio
+    # ADC scorer of pq.pq_topk. At this test's scale the SELF-search
+    # single-shard corpora take the r14 fused one-stage path (no pack, no
+    # crossJoin, no window), so embedding_topk / embedding_dups /
+    # int8_topk_embeddings expect ZERO crosses; the multi-shard blocked
+    # crossJoin shape stays covered by margin_mined_pairs /
+    # knn_label_embeddings (query-vs-corpus searches, never fused).
+    "embedding_topk": 0,
+    "embedding_dups": 0,
+    # cross-search cosine_topk's B×S blocked-GEMM crossJoin + the
+    # single-row top-4 mean relation joined back for the margin ratio
     "margin_mined_pairs": 2,
     # bm25's two single-row stats scalars (as in bm25_search_docs);
     # the broadcast query vector rides as a literal, not a join
@@ -54,8 +59,9 @@ ALLOWED_CROSS = {
     "kmv_source_jaccard": 2,
     # cosine_topk's B×S blocked-GEMM crossJoin inside the kNN classifier
     "knn_label_embeddings": 1,
-    # cosine_topk's B×S blocked GEMM over the dequantized int8 index
-    "int8_topk_embeddings": 1,
+    # self-search over the dequantized int8 index: fused single-shard
+    # path at this scale (see embedding_topk above)
+    "int8_topk_embeddings": 0,
 }
 
 

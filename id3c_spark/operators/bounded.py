@@ -12,36 +12,48 @@ session-global conf mutation a concurrent same-session limit query could
 inherit (ADVICE r12).
 
 ``bounded_collect`` replaces both shapes with a per-plan mechanism: an
-Arrow ``mapInPandas`` stage that emits at most ``cap + 1`` rows PER
+Arrow ``mapInPandas`` stage that emits a bounded number of rows PER
 PARTITION (early-exiting the batch iterator, so a huge partition stops
-decoding past the cap), collected by one ordinary single-wave job.  No
-session conf is touched, so nothing can leak across queries.
+decoding past its allowance), collected by one ordinary single-wave job.
+No session conf is touched, so nothing can leak across queries.
 
-Bounds and detection semantics:
+Driver-transfer bound (ADVICE r13, reworked r14): the per-partition
+allowance is sized so the ONE direct collect can never ship more than
+``direct_budget_rows`` to the driver, however many partitions overflow:
 
-  - if the TRUE row count ≤ cap, no partition can hit the per-partition
-    cap, so the collected list is provably COMPLETE;
-  - if rows were dropped anywhere, the dropping site alone contributed
-    cap + 1 rows, so ``len(result) > cap`` still holds — overflow is
-    always detected, never masked.
+  - when ``partitions × (cap + 1)`` fits the budget, every partition
+    keeps the full ``cap + 1`` allowance — the original r13 shape, one
+    stage, completeness and overflow both decidable from the result;
+  - past the budget the allowance shrinks to ``budget // partitions``
+    (≥ 1), keeping the direct transfer ≤ ``max(budget, partitions)``
+    rows.  The reduced allowance weakens per-partition truncation
+    evidence, so the result is adjudicated in three tiers:
 
-Driver-transfer bound (ADVICE r13): the direct single-stage collect
-ships worst-case ``partitions × (cap + 1)`` rows to the driver — fine
-for the probe-sized caps it was built for, but a large cap on a
-many-partition relation (kmv_jaccard's 4 M-row sketch guard over ~200
-shuffle partitions) could OOM the driver BEFORE the caller's overflow
-check runs.  When that worst case exceeds ``direct_budget_rows`` the
-collect routes through one extra tiny stage: ``repartition(1)`` over
-the already-capped rows, then the same per-partition cap again — the
-single downstream task's Arrow reader early-exits after ``cap + 1``
-rows (shuffle fetch is pull-based, so it never materializes the other
-blocks), and the driver receives at most ``cap + 1`` rows no matter how
-many partitions overflowed.  Executor-side shuffle write stays bounded
-at ``partitions × (cap + 1)`` rows — distributed, spillable, and only
-paid in the overflow regime the caller is about to error on anyway.
-The budget keeps the common probe case (small cap, ≤ a few dozen
-partitions) on the original one-stage path so regime probes stay as
-fast as r13 measured them.
+      * ``len(result) > cap`` — more than ``cap`` REAL rows were
+        collected: overflow, definitively (truncation only removes
+        rows);
+      * ``len(result) < allowance`` — no partition can have hit its
+        allowance (a truncating partition contributes exactly
+        ``allowance`` rows), so nothing was dropped anywhere: the
+        result is provably COMPLETE;
+      * otherwise (ambiguous — some partition MAY have truncated below
+        the true count): one extra tiny stage settles it —
+        ``repartition(1)`` over the full-allowance capped rows, capped
+        once more at ``cap + 1`` globally.  The single downstream task's
+        Arrow reader early-exits (shuffle fetch is pull-based, so it
+        never materializes the remaining blocks) and the driver receives
+        at most ``cap + 1`` rows.  Executor-side shuffle write stays
+        bounded at ``partitions × (cap + 1)`` rows — distributed,
+        spillable.
+
+The common probe case — a relation far smaller than its cap, the very
+thing the primitive exists to prove — lands in the COMPLETE tier and
+pays exactly one single-wave job regardless of the cap size, which is
+what keeps kmv_jaccard's 4 M-row sketch guard as cheap as the small
+regime probes (the r13 always-two-stage shape taxed every kmv call with
+a second Python/Arrow round trip; measured ~1.2–1.3× on
+kmv_source_jaccard, CONTROL_r14_touched.md).  Overflow returns are
+truncated to ``cap + 1`` rows — callers only test ``len > cap``.
 """
 
 from __future__ import annotations
@@ -51,13 +63,31 @@ from typing import Iterator, List
 import pandas as pd
 from pyspark.sql import DataFrame, Row
 
-#: Worst-case direct-collect rows (partitions × (cap+1)) above which the
-#: global-truncation stage is inserted. 64 M rows of a 2-long probe row
-#: is ~1 GB driver-side worst case — the r13 status quo for
-#: dedup_clusters' 32-partition × 1 M-cutoff probe, kept one-stage; the
-#: kmv 4 M-row cap (32 × 4 M = 128 M) and any real-cluster partition
-#: count route through the bounded path.
+#: Hard ceiling on rows the direct single-stage collect may ship to the
+#: driver (the ADVICE r13 OOM scenario: a large cap × many partitions).
+#: 64 M rows of a 2-long probe row is ~1 GB driver-side worst case.
+#: dedup_clusters' 32-partition × 1 M-cutoff probe (~32 M worst case)
+#: keeps the full allowance; kmv's 4 M-row cap over 32 partitions
+#: (128 M worst case) gets a 2 M-row per-partition allowance — still one
+#: stage in the non-pathological regime.
 DIRECT_BUDGET_ROWS = 64 * 1024 * 1024
+
+
+def _head_cap(limit: int, schema):
+    """mapInPandas fn emitting at most *limit* rows per partition,
+    early-exiting the Arrow batch iterator past the allowance."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        taken = 0
+        for pdf in batches:
+            if taken >= limit:
+                return                      # stop decoding Arrow batches
+            take = min(len(pdf), limit - taken)
+            taken += take
+            if take:
+                yield pdf.head(take)
+
+    return fn
 
 
 def bounded_collect(
@@ -65,29 +95,28 @@ def bounded_collect(
     cap: int,
     direct_budget_rows: int = DIRECT_BUDGET_ROWS,
 ) -> List[Row]:
-    """Collect *df* bounded at ``cap + 1`` rows per partition (and, past
-    the direct budget, ``cap + 1`` rows TOTAL on the driver).
-    ``len(result) <= cap`` guarantees the result is the complete
-    relation; ``len(result) > cap`` signals overflow (the caller's cue
-    to take the distributed path or raise)."""
-
-    def head_cap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        taken = 0
-        for pdf in batches:
-            if taken > cap:
-                return                      # stop decoding Arrow batches
-            take = min(len(pdf), cap + 1 - taken)
-            taken += take
-            if take:
-                yield pdf.head(take)
-
-    capped = df.mapInPandas(head_cap, df.schema)
+    """Collect *df* with bounded driver transfer (≤ ``max(budget,
+    partitions)`` rows on the direct attempt, ≤ ``cap + 1`` on the rare
+    adjudication stage).  ``len(result) <= cap`` guarantees the result
+    is the complete relation; ``len(result) > cap`` signals overflow
+    (the caller's cue to take the distributed path or raise)."""
+    full = cap + 1
     # Partition count is an upper-bound estimate from the compiled plan
     # (no job; AQE may coalesce at runtime, which only shrinks transfer).
-    parts = df.rdd.getNumPartitions()
-    if parts * (cap + 1) <= direct_budget_rows:
-        return capped.collect()             # one stage, single wave
-    # Global truncation: round-robin the ≤ cap+1 per-partition survivors
-    # to one partition and cap once more — the downstream task stops
-    # pulling shuffle blocks after cap+1 rows, the driver sees ≤ cap+1.
-    return capped.repartition(1).mapInPandas(head_cap, df.schema).collect()
+    parts = max(1, df.rdd.getNumPartitions())
+    allowance = full if parts * full <= direct_budget_rows else max(
+        1, direct_budget_rows // parts
+    )
+
+    rows = df.mapInPandas(_head_cap(allowance, df.schema), df.schema).collect()
+    if len(rows) > cap:
+        return rows[:full]                  # overflow, definitively
+    if allowance == full or len(rows) < allowance:
+        return rows                         # provably complete
+    # Ambiguous (reduced allowance, some partition may have truncated):
+    # settle with full per-partition allowance + global truncation.
+    capped = df.mapInPandas(_head_cap(full, df.schema), df.schema)
+    rows = capped.repartition(1).mapInPandas(
+        _head_cap(full, df.schema), df.schema
+    ).collect()
+    return rows[:full] if len(rows) > cap else rows

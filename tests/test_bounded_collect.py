@@ -99,3 +99,37 @@ def test_kmv_jaccard_group_cardinality_guard(spark):
         )
     out = kmv_jaccard(docs, "source", "text", k=16, max_sketch_rows=10_000)
     assert out.count() > 0
+
+
+def test_bounded_collect_reduced_allowance_stays_one_stage(spark, monkeypatch):
+    # r14: past the budget, a relation far under its cap must be proven
+    # complete by the ONE direct collect (len < allowance ⇒ no partition
+    # truncated) — the adjudication stage must not run. This is the kmv
+    # common case the r13 always-two-stage shape taxed (~1.2-1.3x,
+    # CONTROL_r14_touched.md).
+    from pyspark.sql import DataFrame
+
+    def boom(self, *a, **k):
+        raise AssertionError("adjudication stage must not run")
+
+    monkeypatch.setattr(DataFrame, "repartition", boom)
+    df = spark.range(0, 50, 1, 8).select(F.col("id"))
+    rows = bounded_collect(df, 1_000_000, direct_budget_rows=1000)
+    assert sorted(r.id for r in rows) == list(range(50))
+
+
+def test_bounded_collect_ambiguous_tier_adjudicates_complete(spark):
+    # reduced allowance with a partition AT its allowance but true count
+    # <= cap: the adjudication stage must return the COMPLETE relation
+    df = spark.range(0, 300).repartition(4, F.lit(1))  # all rows, one partition
+    rows = bounded_collect(df, 1000, direct_budget_rows=400)
+    assert sorted(r.id for r in rows) == list(range(300))
+
+
+def test_bounded_collect_overflow_detected_without_adjudication(spark):
+    # reduced allowance, true count > cap spread across partitions: the
+    # direct attempt alone collects > cap real rows — overflow decided
+    # in one stage, result truncated to cap+1
+    df = spark.range(0, 5000, 1, 4)
+    rows = bounded_collect(df, 100, direct_budget_rows=403)
+    assert len(rows) == 101

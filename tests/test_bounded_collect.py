@@ -133,3 +133,29 @@ def test_bounded_collect_overflow_detected_without_adjudication(spark):
     df = spark.range(0, 5000, 1, 4)
     rows = bounded_collect(df, 100, direct_budget_rows=403)
     assert len(rows) == 101
+
+
+def test_bounded_collect_tier_invariants_property(spark):
+    """Property check across the (rows, partitions, cap, budget) grid —
+    every regime (full allowance / reduced-complete / ambiguous /
+    overflow) must satisfy the two-sided contract: true count <= cap
+    yields the exact complete relation; true count > cap yields exactly
+    cap+1 rows (overflow detected, transfer truncated)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=400),
+        parts=st.integers(min_value=1, max_value=8),
+        cap=st.integers(min_value=0, max_value=300),
+        budget=st.integers(min_value=1, max_value=2000),
+    )
+    def check(n, parts, cap, budget):
+        df = spark.range(0, n, 1, parts)
+        rows = bounded_collect(df, cap, direct_budget_rows=budget)
+        if n <= cap:
+            assert sorted(r.id for r in rows) == list(range(n))
+        else:
+            assert len(rows) == cap + 1
+
+    check()

@@ -461,3 +461,33 @@ def test_knn_classify_composes_with_ann_index(spark):
     # near-duplicate queries recover their seed's label for most queries
     hits = sum(got.get(1000 + i) == i % 3 for i in range(20))
     assert hits >= 15, hits
+
+
+def test_fused_cosine_edge_cases(spark):
+    """r14 fused single-shard path at its boundaries: sim ties break by
+    ascending neighbor id, k past the corpus size yields n-1 ranked
+    neighbors, and single-row / empty corpora return empty results —
+    the same criteria the sharded merge applies (oracle hashes depend
+    on these exact tiebreaks)."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    by_q = {}
+    for r in ann.cosine_topk(emb, emb, k=5).collect():
+        by_q.setdefault(r.query_id, []).append(r)
+    assert {q: len(v) for q, v in by_q.items()} == {1: 2, 2: 2, 3: 2}
+    q3 = sorted(by_q[3], key=lambda r: r.rank)
+    assert [r.neighbor_id for r in q3] == [1, 2]      # 0.0-sim tie → id asc
+    assert [r.rank for r in q3] == [1, 2]
+    pairs = ann.cosine_pairs_above(emb, threshold=0.9).collect()
+    assert [(r.id_a, r.id_b, r.sim) for r in pairs] == [(1, 2, 1.0)]
+
+    one = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    assert ann.cosine_topk(one, one, k=3).count() == 0
+    assert ann.cosine_pairs_above(one, threshold=0.0).count() == 0
+    empty = one.filter("vec_id < 0")
+    assert ann.cosine_topk(empty, empty, k=3).count() == 0
+    assert ann.cosine_pairs_above(empty, threshold=0.0).count() == 0

@@ -828,6 +828,7 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     seed: str = "lsh",
     multiprobe: int = 0,
+    fuse: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share at least one LSH band
     (planes/bands sign bits), exact cosine rerank within candidates.
@@ -848,6 +849,17 @@ def lsh_bucketed_topk(
     (1+multiprobe)× QUERY-side band rows, with the corpus side and its
     index untouched — the classic recall/cost dial that beats adding
     bands (which re-hashes the corpus too).
+
+    *fuse* (self-search only): None = stats-gated — when _auto_shards
+    says the corpus fits ONE GEMM task (≤ ~65 k vectors by file-size /
+    count stats, the same gate as cosine_topk's r14 fast path), the
+    band exchange, bucket self-join, rerank joins, and rank window all
+    collapse into one narrow mapInPandas stage (projection → banding →
+    in-memory bucket grouping → candidate dedup → exact-cosine rerank →
+    per-query top-k). Candidates, 6-dp rounding, and the (sim desc,
+    neighbor_id asc) rank criterion are identical to the banded path,
+    so results are bit-equal (parity-tested). Multi-shard corpora keep
+    the banded shuffle layout — the 100 TB shape is untouched.
     """
     assert planes % bands == 0
     r = planes // bands
@@ -857,6 +869,94 @@ def lsh_bucketed_topk(
 
     spark = queries.sparkSession
     w_mat = hyperplanes(dim, planes, seed)
+
+    if fuse is None:
+        fuse = queries is corpus and _auto_shards(corpus) == 1
+    if fuse and queries is corpus:
+        src = corpus.select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+        ).coalesce(1)
+        n_probe = min(multiprobe, r)
+
+        def fused(batches):
+            ids_acc, mat_acc = [], []
+            for pdf in batches:
+                if len(pdf):
+                    ids_acc.append(pdf["id"].to_numpy(dtype=np.int64))
+                    mat_acc.append(np.asarray(
+                        [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+                    ))
+            if not ids_acc:
+                return
+            ids = np.concatenate(ids_acc)
+            mat = np.vstack(mat_acc)
+            n = len(ids)
+            proj = mat @ w_mat.T
+            signs = proj > 0
+            weights = 1 << np.arange(r)
+            pair_codes: list = []  # qidx * n + cidx, deduped at the end
+            for b in range(bands):
+                sig = signs[:, b * r:(b + 1) * r].dot(weights)
+                order = np.argsort(sig, kind="stable")
+                ssig = sig[order]
+                starts = np.flatnonzero(np.r_[True, ssig[1:] != ssig[:-1]])
+                ends = np.r_[starts[1:], n]
+                for s, e in zip(starts, ends):
+                    if e - s > 1:
+                        grp = order[s:e]
+                        qi = np.repeat(grp, len(grp))
+                        ci = np.tile(grp, len(grp))
+                        pair_codes.append(qi * np.int64(n) + ci)
+                if n_probe:
+                    # query-side flips of the n_probe least-confident sign
+                    # bits, matched against the CORPUS base buckets only —
+                    # mirrors band_rows(probes)'s asymmetry exactly
+                    margins = np.abs(proj[:, b * r:(b + 1) * r])
+                    mo = np.argsort(margins, axis=1)[:, :n_probe]
+                    for p in range(n_probe):
+                        fl = sig ^ weights[mo[:, p]]
+                        lo = np.searchsorted(ssig, fl, side="left")
+                        hi = np.searchsorted(ssig, fl, side="right")
+                        hit = np.flatnonzero(hi > lo)
+                        if len(hit):
+                            cnt = (hi - lo)[hit]
+                            qi = np.repeat(hit, cnt)
+                            ci = np.concatenate(
+                                [order[lo[i]:hi[i]] for i in hit]
+                            )
+                            pair_codes.append(qi * np.int64(n) + ci)
+            if not pair_codes:
+                return
+            codes = np.unique(np.concatenate(pair_codes))
+            qi = codes // n
+            ci = codes % n
+            keep = ids[qi] != ids[ci]
+            qi, ci = qi[keep], ci[keep]
+            if not len(qi):
+                return
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            sims = np.round(
+                (mat[qi] * mat[ci]).sum(axis=1) / (nrm[qi] * nrm[ci]), 6
+            )
+            qids, cids = ids[qi], ids[ci]
+            o = np.lexsort((cids, -sims, qids))
+            qs, cs, ss = qids[o], cids[o], sims[o]
+            grp_new = np.r_[True, qs[1:] != qs[:-1]]
+            grp_start = np.flatnonzero(grp_new)
+            sizes = np.diff(np.r_[grp_start, len(qs)])
+            rank = np.arange(len(qs)) - np.repeat(grp_start, sizes) + 1
+            top = rank <= k
+            yield pd.DataFrame({
+                "query_id": qs[top], "neighbor_id": cs[top],
+                "sim": ss[top],
+                "rank": pd.array(rank[top], dtype="int32"),
+            })
+
+        return src.mapInPandas(
+            fused,
+            schema="query_id long, neighbor_id long, sim double, rank int",
+        )
+
     bw = spark.sparkContext.broadcast(w_mat)
 
     def band_rows(side: str, probes: int = 0):

@@ -307,6 +307,64 @@ def test_fused_single_shard_paths_match_sharded(spark, sf_dir):
     assert fp == sp and fp
 
 
+def test_fused_lsh_path_matches_banded(spark, sf_dir):
+    """lsh_bucketed_topk r15 single-shard fast path: the fused one-stage
+    plan (projection → banding → bucket grouping → rerank → top-k in one
+    mapInPandas) must return EXACTLY the banded shuffle layout's rows —
+    including the multiprobe query-side bucket flips. Layout choice,
+    never a semantics choice."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
+
+    for probes in (0, 2):
+        fused = ann.lsh_bucketed_topk(
+            emb, emb, dim=64, k=3, planes=64, bands=8, multiprobe=probes
+        )  # auto → 1 shard → fused
+        banded = ann.lsh_bucketed_topk(
+            emb, emb, dim=64, k=3, planes=64, bands=8, multiprobe=probes,
+            fuse=False,
+        )
+        # the .limit(300) test harness adds its own single-partition
+        # exchange; the operator's own machinery (bucket join, rank
+        # window) must be gone from the fused plan
+        plan = fused._jdf.queryExecution().optimizedPlan().toString()
+        assert "Join" not in plan and "Window" not in plan, plan
+        f = sorted((r.query_id, r.neighbor_id, r.sim, r.rank)
+                   for r in fused.collect())
+        b = sorted((r.query_id, r.neighbor_id, r.sim, r.rank)
+                   for r in banded.collect())
+        assert f == b and f, (probes, len(f), len(b))
+
+
+def test_fused_lsh_edge_cases(spark):
+    """Empty corpus, k past candidate count, and duplicate-bucket ties
+    through the fused LSH path."""
+    from pyspark.sql import functions as F
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert ann.lsh_bucketed_topk(
+        empty, empty, dim=64, k=3, planes=64, bands=8, fuse=True
+    ).count() == 0
+
+    # two near-identical vectors land in shared buckets; k=5 past the
+    # 1-candidate supply returns the single rank-1 row per query
+    import numpy as np
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=64)
+    rows = [(1, base.tolist()), (2, (base + 1e-9).tolist()),
+            (3, (-base).tolist())]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = ann.lsh_bucketed_topk(
+        emb, emb, dim=64, k=5, planes=64, bands=8, fuse=True
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q.get(1, []) and [r.neighbor_id for r in by_q[1]]) >= {2}
+    for q, rs in by_q.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)), (q, ranks)
+
+
 def test_cluster_representatives_pick_best_member(spark):
     from id3c_spark.operators.dedup import cluster_representatives, dedup_clusters
 

@@ -54,6 +54,10 @@ regime probes (the r13 always-two-stage shape taxed every kmv call with
 a second Python/Arrow round trip; measured ~1.2–1.3× on
 kmv_source_jaccard, CONTROL_r14_touched.md).  Overflow returns are
 truncated to ``cap + 1`` rows — callers only test ``len > cap``.
+
+Tier behavior is exercised at a pathological partition count (2,048
+partitions, reduced allowance, skewed and spread layouts) in
+tests/test_bounded_collect.py::test_bounded_collect_pathological_partitions.
 """
 
 from __future__ import annotations
@@ -73,7 +77,7 @@ from pyspark.sql import DataFrame, Row
 DIRECT_BUDGET_ROWS = 64 * 1024 * 1024
 
 
-def _head_cap(limit: int, schema):
+def _head_cap(limit: int):
     """mapInPandas fn emitting at most *limit* rows per partition,
     early-exiting the Arrow batch iterator past the allowance."""
 
@@ -99,24 +103,38 @@ def bounded_collect(
     partitions)`` rows on the direct attempt, ≤ ``cap + 1`` on the rare
     adjudication stage).  ``len(result) <= cap`` guarantees the result
     is the complete relation; ``len(result) > cap`` signals overflow
-    (the caller's cue to take the distributed path or raise)."""
+    (the caller's cue to take the distributed path or raise).
+
+    The rare ambiguous tier recomputes *df* from scratch (the direct
+    attempt's rows are discarded), so a heavy upstream pipeline runs
+    twice in that regime; a nondeterministic *df* could even disagree
+    between the two executions, though the returned result is
+    internally consistent because only the adjudication stage's rows
+    are returned.  Acceptable: the tier requires BOTH a reduced
+    allowance (plan estimated past the row budget) AND a collected size
+    in the narrow [allowance, cap] band."""
     full = cap + 1
-    # Partition count is an upper-bound estimate from the compiled plan
-    # (no job; AQE may coalesce at runtime, which only shrinks transfer).
+    # Partition count estimate from the compiled plan.  Converting to
+    # .rdd compiles (and under AQE may execute upstream shuffle query
+    # stages of) the plan, and AQE skew-split can make runtime
+    # partitions exceed this estimate — but the estimate only sizes the
+    # direct-transfer allowance, so an under-count softens the budget
+    # margin by the split factor rather than breaking any tier
+    # (completeness and overflow adjudication don't depend on parts).
     parts = max(1, df.rdd.getNumPartitions())
     allowance = full if parts * full <= direct_budget_rows else max(
         1, direct_budget_rows // parts
     )
 
-    rows = df.mapInPandas(_head_cap(allowance, df.schema), df.schema).collect()
+    rows = df.mapInPandas(_head_cap(allowance), df.schema).collect()
     if len(rows) > cap:
         return rows[:full]                  # overflow, definitively
     if allowance == full or len(rows) < allowance:
         return rows                         # provably complete
     # Ambiguous (reduced allowance, some partition may have truncated):
     # settle with full per-partition allowance + global truncation.
-    capped = df.mapInPandas(_head_cap(full, df.schema), df.schema)
+    capped = df.mapInPandas(_head_cap(full), df.schema)
     rows = capped.repartition(1).mapInPandas(
-        _head_cap(full, df.schema), df.schema
+        _head_cap(full), df.schema
     ).collect()
     return rows[:full] if len(rows) > cap else rows

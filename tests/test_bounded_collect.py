@@ -135,6 +135,37 @@ def test_bounded_collect_overflow_detected_without_adjudication(spark):
     assert len(rows) == 101
 
 
+def test_bounded_collect_pathological_partitions(spark):
+    """r14 verdict task: 2,048 partitions with a reduced allowance.
+    (a) the direct stage ships <= max(budget, partitions) rows however
+    the rows land; (b) the ambiguous tier's adjudication is exact;
+    (c) wall time stays bounded (the repartition(1) task's pull-based
+    fetch never materializes more than cap+1 rows)."""
+    import time
+
+    from id3c_spark.operators.bounded import _head_cap
+
+    parts, budget = 2048, 4096
+    allowance = max(1, budget // parts)  # reduced: 2 rows/partition
+
+    # skewed: 2,500 rows packed into 4 of 2,048 partitions → the direct
+    # stage collects [allowance, cap] rows → ambiguous → adjudication
+    skewed = spark.range(0, 2500).repartition(parts, F.col("id") % 4)
+    direct = skewed.mapInPandas(_head_cap(allowance), skewed.schema).count()
+    assert direct <= max(budget, parts)                       # (a)
+    t0 = time.time()
+    rows = bounded_collect(skewed, 3000, direct_budget_rows=budget)
+    elapsed = time.time() - t0
+    assert sorted(r.id for r in rows) == list(range(2500))    # (b)
+    assert elapsed < 120, elapsed                             # (c)
+
+    # spread: 5,000 rows over all 2,048 partitions, true count > cap —
+    # overflow must be detected with the transfer still bounded
+    spread = spark.range(0, 5000, 1, parts)
+    rows = bounded_collect(spread, 100, direct_budget_rows=budget)
+    assert len(rows) == 101
+
+
 def test_bounded_collect_tier_invariants_property(spark):
     """Property check across the (rows, partitions, cap, budget) grid —
     every regime (full allowance / reduced-complete / ambiguous /

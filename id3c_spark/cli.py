@@ -1448,6 +1448,22 @@ def corpus_media(input_parquet: str, output: str, what: str,
             "--max-frames only applies to video hash operations "
             "(video-phash / video-signature / video-pairs)"
         )
+    if what.startswith("video-"):
+        # loud skip-visibility (r14 verdict): say up front which
+        # compressed-video formats will decode for real vs. run
+        # contract-only (stub → zero frames) in this environment, so a
+        # deployment that gains PyAV/imageio is immediately exploited
+        # and a no-codec environment can't mistake "no rows" for
+        # "no duplicates"
+        vstat = mm.decoder_status()["video"]
+        stub_only = sorted(f for f, real in vstat.items() if not real)
+        click.echo(
+            json.dumps({"video_decoders": {
+                "real": sorted(f for f, real in vstat.items() if real),
+                "contract_only": stub_only,
+            }}),
+            err=True,
+        )
     spark = get_spark("corpus-media")
     media = spark.read.parquet(input_parquet)
     if what == "image-features":

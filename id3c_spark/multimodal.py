@@ -1015,6 +1015,20 @@ def _imageio_decode_frames(content: bytes):
 _try_register_video_libs()
 
 
+def decoder_status() -> dict:
+    """Which pluggable decode formats have a REAL library-backed decoder
+    registered in this environment vs. contract-only (the honest no-rows
+    stub): {"image": {fmt: bool}, "video": {fmt: bool}}. The CLI prints
+    the contract-only list at session start for video operations so an
+    environment that gains PyAV/imageio/Pillow is immediately visible as
+    exploited (r14 verdict: real-codec contact must be loud, not a
+    silent no-rows run)."""
+    return {
+        "image": {f: f in _PIXEL_DECODERS for f in ("jpeg", "gif", "webp")},
+        "video": {f: f in _VIDEO_DECODERS for f in ("mp4", "webm")},
+    }
+
+
 def _sniff_video_format(content: bytes) -> str | None:
     if len(content) < 12:
         return None

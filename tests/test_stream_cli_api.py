@@ -659,6 +659,51 @@ def test_cli_corpus_media_video_and_max_frames(spark, tmp_path):
     assert "--max-frames" in res.output
 
 
+def test_cli_video_decoder_skip_visibility(spark, tmp_path, monkeypatch):
+    """r14 verdict #6: video operations announce at session start which
+    compressed-video formats decode for real vs. run contract-only in
+    this environment — and a registered real decoder flips the report,
+    so an image that gains PyAV/imageio is immediately visible as
+    exploited."""
+    from id3c_spark import multimodal as mm
+    from id3c_spark.multimodal import encode_avi
+
+    runner = CliRunner()
+    media = spark.createDataFrame(
+        [(1, "video",
+          bytearray(encode_avi(16, 16, _cli_test_frames(1, n_frames=2))))],
+        "media_id long, kind string, content binary",
+    )
+    src = str(tmp_path / "media")
+    media.write.parquet(src)
+
+    res = runner.invoke(cli, ["corpus", "media", src, "--output",
+                              str(tmp_path / "o1"),
+                              "--what", "video-signature"])
+    assert res.exit_code == 0, res.output
+    report = next(json.loads(line) for line in res.output.splitlines()
+                  if "video_decoders" in line)["video_decoders"]
+    # this image ships no codec libs: mp4/webm are contract-only
+    assert set(report["contract_only"]) == {"mp4", "webm"}
+    assert report["real"] == []
+
+    # with a real decoder registered the report flips — and image
+    # operations stay quiet (the announcement is video-scoped)
+    monkeypatch.setitem(mm._VIDEO_DECODERS, "mp4", lambda content: None)
+    res = runner.invoke(cli, ["corpus", "media", src, "--output",
+                              str(tmp_path / "o2"),
+                              "--what", "video-signature"])
+    assert res.exit_code == 0, res.output
+    report = next(json.loads(line) for line in res.output.splitlines()
+                  if "video_decoders" in line)["video_decoders"]
+    assert report["real"] == ["mp4"] and report["contract_only"] == ["webm"]
+
+    res = runner.invoke(cli, ["corpus", "media", src, "--output",
+                              str(tmp_path / "o3"), "--what", "phash"])
+    assert res.exit_code == 0, res.output
+    assert "video_decoders" not in res.output
+
+
 def test_cli_corpus_media_dedup_stream(spark, tmp_path):
     """corpus media-dedup-stream (VERDICT r13 #7): the streaming
     perceptual video dedup is reachable from the CLI — a clip and its

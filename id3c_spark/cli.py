@@ -1539,6 +1539,48 @@ def corpus_media_dedup_stream(source_glob: str, output: str, checkpoint: str,
     click.echo(json.dumps({"unique": n}))
 
 
+@cli.command("explain")
+@click.argument("query", required=False)
+@click.option("--sf-dir", default="/root/testdata/sf0.1", show_default=True,
+              help="parquet table directory the query runs against")
+@click.option("--execute/--no-execute", "execute", default=True,
+              show_default=True,
+              help="run the query through the noop sink first so the "
+                   "reported plan is AQE-final (runtime coalesce, skew "
+                   "splits, broadcast demotions settled)")
+@click.option("--plan", "show_plan", is_flag=True,
+              help="also print the physical plan tree (stderr)")
+@click.option("--list", "list_queries", is_flag=True,
+              help="list catalog query names and exit")
+def explain(query: str | None, sf_dir: str, execute: bool,
+            show_plan: bool, list_queries: bool) -> None:
+    """Audited plan facts for a catalog query, on demand (the per-round
+    plan_audit artifact's computation, per query): shuffle exchanges,
+    broadcast exchanges, reused stages, whole-stage-codegen spans,
+    parquet scans, cache sites, and pushed filters — the 100 TB-shape
+    evidence a user needs before trusting an operator at scale."""
+    from id3c_spark.plans.audit import audit_query
+    from id3c_spark.plans.queries import all_queries
+
+    names = sorted(all_queries())
+    if list_queries:
+        for n in names:
+            click.echo(n)
+        return
+    if not query:
+        raise click.UsageError("pass a catalog query name (or --list)")
+    if query not in names:
+        raise click.UsageError(
+            f"unknown query {query!r} (see `id3c explain --list`)"
+        )
+    spark = get_spark("explain")
+    facts = audit_query(spark, query, sf_dir, execute=execute,
+                        include_plan=show_plan)
+    if show_plan:
+        click.echo(facts.pop("plan"), err=True)
+    click.echo(json.dumps(facts))
+
+
 # Load extra commands from extensions AFTER the built-in registrations,
 # mirroring the reference's import-time entry-point scan
 # (lib/id3c/cli/__init__.py:22-31). See id3c_spark/plugins.py for the

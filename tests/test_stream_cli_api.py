@@ -704,6 +704,53 @@ def test_cli_video_decoder_skip_visibility(spark, tmp_path, monkeypatch):
     assert "video_decoders" not in res.output
 
 
+def test_cli_explain_plan_facts(spark):
+    """r14 verdict #8: `id3c explain` surfaces the audited plan facts
+    (shuffles/broadcasts/cached/pushed-filters) per catalog query on
+    demand — same computation as the committed plan_audit artifact."""
+    runner = CliRunner()
+
+    res = runner.invoke(cli, ["explain", "embedding_dups",
+                              "--sf-dir", "/root/testdata/sf0.001",
+                              "--no-execute"])
+    assert res.exit_code == 0, res.output
+    # CliRunner merges stderr, where the catalog's rotation NOTE lands
+    # after the JSON — parse the JSON line, not the last line
+    facts = json.loads(next(l for l in res.output.splitlines()
+                            if l.startswith("{")))
+    # the r14 fused single-shard cosine path: no exchange, one scan
+    assert facts["query"] == "embedding_dups" and not facts["executed"]
+    assert facts["shuffles"] == 0 and facts["scans"] == 1
+    assert set(facts) >= {"broadcasts", "reused", "codegen_spans",
+                          "cached", "pushed", "aqe_final"}
+
+    res = runner.invoke(cli, ["explain", "--list"])
+    assert res.exit_code == 0
+    names = [l for l in res.output.splitlines()
+             if l and not l.startswith("[id3c_spark]")]
+    assert "revenue_by_nation" in names and len(names) >= 148
+
+    res = runner.invoke(cli, ["explain", "not_a_query"])
+    assert res.exit_code != 0 and "unknown query" in res.output
+
+    res = runner.invoke(cli, ["explain"])
+    assert res.exit_code != 0 and "--list" in res.output
+
+    # the shared extractor parses a representative printed tree
+    from id3c_spark.plans.audit import plan_facts
+
+    plan = ("*(2) Project [a]\n"
+            "+- Exchange hashpartitioning(a, 32)\n"
+            "   +- BroadcastExchange HashedRelationBroadcastMode\n"
+            "      +- ReusedExchange [a]\n"
+            "         +- *(1) FileScan parquet [a] PushedFilters: "
+            "[IsNotNull(a)]\n")
+    f = plan_facts(plan)
+    # broadcast exchanges are counted separately, not as shuffles
+    assert (f["shuffles"], f["broadcasts"], f["reused"]) == (1, 1, 1)
+    assert f["codegen_spans"] == 2 and f["scans"] == 1 and f["pushed"]
+
+
 def test_cli_corpus_media_dedup_stream(spark, tmp_path):
     """corpus media-dedup-stream (VERDICT r13 #7): the streaming
     perceptual video dedup is reachable from the CLI — a clip and its

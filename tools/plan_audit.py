@@ -11,7 +11,6 @@ most expensive + newest queries.
 
 from __future__ import annotations
 
-import re
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -94,23 +93,9 @@ DEFAULT_QUERIES = [
 ]
 
 
-def audit(plan: str) -> dict:
-    # NOTE: counts are over the PRINTED plan tree; under AQE a shared
-    # shuffle/broadcast stage prints its subtree at every reuse site, so
-    # these are upper bounds — `cached` (InMemoryTableScan) shows where a
-    # persist() actually cut recomputation.
-    lines = plan.splitlines()
-    strip = [ln.lstrip("+-*: (0123456789) ") for ln in lines]
-    return {
-        "shuffles": sum(s.startswith("Exchange") for s in strip),
-        "broadcasts": sum(s.startswith("BroadcastExchange") for s in strip),
-        "reused": sum(s.startswith("ReusedExchange") or s.startswith("ReusedQueryStage") for s in strip),
-        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
-        "cached": sum("InMemoryTableScan" in ln for ln in lines),
-        "pushed": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
-        "aqe_final": "isFinalPlan=true" in plan,
-        "scans": sum("FileScan parquet" in ln or "Scan parquet" in ln for ln in lines),
-    }
+# the fact extraction lives in the library (shared with `id3c explain`,
+# r14 verdict #8); this tool remains the committed per-round artifact
+from id3c_spark.plans.audit import plan_facts as audit  # noqa: E402
 
 
 def main() -> int:

@@ -90,6 +90,8 @@ DEFAULT_QUERIES = [
     "knn_label_embeddings",
     "event_transition_matrix",
     "embedding_drift",
+    # round-15 additions
+    "ann_lsh_topk",
 ]
 
 

@@ -1552,8 +1552,11 @@ def corpus_media_dedup_stream(source_glob: str, output: str, checkpoint: str,
               help="also print the physical plan tree (stderr)")
 @click.option("--list", "list_queries", is_flag=True,
               help="list catalog query names and exit")
+@click.option("--all", "all_catalog", is_flag=True,
+              help="audit every catalog query (one JSON line each; "
+                   "pair with --no-execute for a fast sweep)")
 def explain(query: str | None, sf_dir: str, execute: bool,
-            show_plan: bool, list_queries: bool) -> None:
+            show_plan: bool, list_queries: bool, all_catalog: bool) -> None:
     """Audited plan facts for a catalog query, on demand (the per-round
     plan_audit artifact's computation, per query): shuffle exchanges,
     broadcast exchanges, reused stages, whole-stage-codegen spans,
@@ -1567,8 +1570,20 @@ def explain(query: str | None, sf_dir: str, execute: bool,
         for n in names:
             click.echo(n)
         return
+    if all_catalog:
+        if show_plan:
+            raise click.UsageError("--plan is per-query; drop it for --all")
+        spark = get_spark("explain")
+        for n in names:
+            try:
+                facts = audit_query(spark, n, sf_dir, execute=execute)
+            except Exception as e:  # keep sweeping; surface the failure
+                facts = {"query": n, "error": str(e).splitlines()[0][:200]}
+            click.echo(json.dumps(facts))
+            spark.catalog.clearCache()
+        return
     if not query:
-        raise click.UsageError("pass a catalog query name (or --list)")
+        raise click.UsageError("pass a catalog query name (or --list / --all)")
     if query not in names:
         raise click.UsageError(
             f"unknown query {query!r} (see `id3c explain --list`)"

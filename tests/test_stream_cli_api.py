@@ -733,6 +733,9 @@ def test_cli_explain_plan_facts(spark):
     res = runner.invoke(cli, ["explain", "not_a_query"])
     assert res.exit_code != 0 and "unknown query" in res.output
 
+    res = runner.invoke(cli, ["explain", "--all", "--plan"])
+    assert res.exit_code != 0 and "--plan is per-query" in res.output
+
     res = runner.invoke(cli, ["explain"])
     assert res.exit_code != 0 and "--list" in res.output
 

@@ -335,6 +335,44 @@ def test_fused_lsh_path_matches_banded(spark, sf_dir):
         assert f == b and f, (probes, len(f), len(b))
 
 
+def test_fused_lsh_parity_property(spark):
+    """Property: for ARBITRARY small corpora (size, values, k,
+    multiprobe), the fused single-shard LSH path returns exactly the
+    banded layout's rows. Zero vectors excluded — cosine is undefined
+    there and both paths would only produce NaN noise."""
+    from hypothesis import given, settings, strategies as st
+
+    dim = 8
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        seed=st.integers(min_value=0, max_value=10_000),
+        n=st.integers(min_value=2, max_value=40),
+        k=st.integers(min_value=1, max_value=5),
+        probes=st.integers(min_value=0, max_value=2),
+    )
+    def check(seed, n, k, probes):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        mat = rng.integers(-5, 6, size=(n, dim)).astype(float)
+        mat[(mat == 0).all(axis=1)] += 1.0      # no zero vectors
+        rows = [(i, mat[i].tolist()) for i in range(n)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        kw = dict(dim=dim, k=k, planes=16, bands=4, multiprobe=probes)
+        f = sorted((r.query_id, r.neighbor_id, r.sim, r.rank)
+                   for r in ann.lsh_bucketed_topk(
+                       emb, emb, fuse=True, **kw).collect())
+        b = sorted((r.query_id, r.neighbor_id, r.sim, r.rank)
+                   for r in ann.lsh_bucketed_topk(
+                       emb, emb, fuse=False, **kw).collect())
+        assert f == b, (seed, n, k, probes)
+
+    check()
+
+
 def test_fused_lsh_edge_cases(spark):
     """Empty corpus, k past candidate count, and duplicate-bucket ties
     through the fused LSH path."""

@@ -71,6 +71,12 @@ def audit_query(
     facts = plan_facts(plan)
     facts["query"] = name
     facts["executed"] = execute
+    # estimated bytes behind the plan's file scans (driver-side listing,
+    # strided sample — the same statistic the GEMM shard sizing uses):
+    # at 100 TB "how much will this read" is the first admission question
+    from id3c_spark.operators.ann import source_bytes
+
+    facts["input_bytes"] = source_bytes(df)
     if include_plan:
         facts["plan"] = plan
     return facts

@@ -723,6 +723,9 @@ def test_cli_explain_plan_facts(spark):
     assert facts["shuffles"] == 0 and facts["scans"] == 1
     assert set(facts) >= {"broadcasts", "reused", "codegen_spans",
                           "cached", "pushed", "aqe_final"}
+    # bytes admission estimate: embeddings.parquet at sf0.001 is small
+    # but nonzero
+    assert facts["input_bytes"] and 0 < facts["input_bytes"] < 10_000_000
 
     res = runner.invoke(cli, ["explain", "--list"])
     assert res.exit_code == 0

@@ -42,6 +42,109 @@ DOT_SCALE = 1e9
 NORM_SCALE = 1e12
 
 
+def _single_task_source(df: DataFrame) -> bool:
+    """Stats gate for the fused small-regime path — the same
+    statistics-before-strategy step as ann._auto_shards: a file-backed
+    source whose listed bytes fit ONE task's worth of vectors
+    (≤ AUTO_SHARD_BYTES). Driver-side listing only, no Spark job.
+    File-backed also guarantees ≥ 1 scan partition (a parquet footer is
+    never 0 bytes), so the fused mapInPandas task always runs and can
+    emit the start vector even on an empty-but-present source;
+    in-memory frames (no file lineage) keep the distributed passes."""
+    from id3c_spark.operators.ann import AUTO_SHARD_BYTES, source_bytes
+
+    b = source_bytes(df)
+    return b is not None and b <= AUTO_SHARD_BYTES
+
+
+def _np_power(mat, dim: int, iters: int, contrib_scale: float):
+    """numpy mirror of the distributed fixed-point power iteration —
+    bit-exact by construction: every op below is the same single IEEE
+    float64 op, in the same order, as the column expressions in
+    power_iteration (floor((e·v)·1e9) int64 sums for the dot,
+    floor((e·dot)·scale) int64 sums for the AᵀAv components,
+    floor(q²·1e12) for the norm; integer sums are exact and
+    order-independent, so numpy's summation order cannot diverge)."""
+    import numpy as np
+
+    n = mat.shape[0]
+    v = np.full(dim, 1.0 / math.sqrt(float(dim)), dtype=np.float64)
+    if n == 0:
+        return v
+    for _ in range(iters):
+        dot = (
+            np.floor(mat * v * DOT_SCALE).astype(np.int64).sum(axis=1)
+        ).astype(np.float64) / DOT_SCALE
+        c = (
+            np.floor(mat * dot[:, None] * contrib_scale)
+            .astype(np.int64)
+            .sum(axis=0)
+        )
+        q = (c.astype(np.float64) / contrib_scale) / float(n)
+        nm = int(np.floor(q * q * NORM_SCALE).astype(np.int64).sum())
+        if nm == 0:  # degenerate (all-zero) input — keep current vector
+            break
+        norm = math.sqrt(nm / NORM_SCALE)
+        v = q / norm
+    return v
+
+
+def _fused_spectral(
+    df: DataFrame,
+    id_col: str | None,
+    vec_col: str,
+    dim: int,
+    iters: int,
+    output: str,
+    contrib_scale: float = DOT_SCALE,
+) -> DataFrame:
+    """LAZY single-task plan for the small regime: scan → coalesce(1) →
+    one mapInPandas running the whole power iteration (and, for
+    ``output="scores"``, the final projection) in numpy. Emits RAW
+    (unrounded) doubles — callers apply the identical F.round / stats
+    expressions the distributed path uses, so the visible arithmetic is
+    unchanged. Replaces 1 count job + *iters* collect jobs (each a full
+    source re-scan + 64-group aggregation) with one narrow stage."""
+    cols = ([F.col(id_col).alias("id")] if id_col else []) + [
+        F.col(vec_col).alias("e")
+    ]
+    src = df.select(*cols).coalesce(1)
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids_acc, mat_acc = [], []
+        for pdf in batches:
+            if len(pdf):
+                if id_col:
+                    ids_acc.append(pdf["id"].to_numpy(dtype="int64"))
+                mat_acc.append(
+                    np.asarray(
+                        [np.asarray(x, dtype=np.float64) for x in pdf["e"]]
+                    )
+                )
+        mat = (
+            np.vstack(mat_acc) if mat_acc
+            else np.empty((0, dim), dtype=np.float64)
+        )
+        v = _np_power(mat, dim, iters, contrib_scale)
+        if output == "direction":
+            yield pd.DataFrame(
+                {"dim": np.arange(1, dim + 1, dtype="int64"), "v": v}
+            )
+        elif len(mat):
+            score = (
+                np.floor(mat * v * DOT_SCALE).astype(np.int64).sum(axis=1)
+            ).astype(np.float64) / DOT_SCALE
+            yield pd.DataFrame({"id": np.concatenate(ids_acc), "score": score})
+
+    schema = (
+        "dim long, v double" if output == "direction" else "id long, score double"
+    )
+    return src.mapInPandas(run, schema)
+
+
 def _dot_int(e, v: list[float]):
     """Σ_d floor(e[d]·v[d]·DOT_SCALE) as one bigint column — the exact
     fixed-point dot with the broadcast-literal vector *v*."""
@@ -119,11 +222,18 @@ def principal_direction(
     iters: int = 3,
 ) -> DataFrame:
     """(dim, v) relation of the dominant principal direction, rounded
-    6 dp in Spark (so the rounding engine matches the catalog oracle)."""
-    v = power_iteration(df, vec_col, dim, iters)
-    out = df.sparkSession.createDataFrame(
-        [(d, v[d - 1]) for d in range(1, dim + 1)], "dim long, v double"
-    )
+    6 dp in Spark (so the rounding engine matches the catalog oracle).
+
+    Small regime (stats-gated, see _single_task_source): the whole
+    iteration fuses into one narrow mapInPandas stage — bit-parity with
+    the distributed passes is pinned in tests/test_linalg_fused.py."""
+    if _single_task_source(df):
+        out = _fused_spectral(df, None, vec_col, dim, iters, "direction")
+    else:
+        v = power_iteration(df, vec_col, dim, iters)
+        out = df.sparkSession.createDataFrame(
+            [(d, v[d - 1]) for d in range(1, dim + 1)], "dim long, v double"
+        )
     return out.select("dim", F.round("v", 6).alias("v"))
 
 
@@ -138,6 +248,26 @@ def pc_projection(
     binning/sorting of an embedding corpus."""
     score = _dot_int(F.col(vec_col), v).cast("double") / F.lit(DOT_SCALE)
     return df.select(F.col(id_col).alias("id"), F.round(score, 6).alias("score"))
+
+
+def spectral_scores(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 3,
+) -> DataFrame:
+    """(id, score): each row's projection onto the corpus's dominant
+    principal direction — power_iteration + pc_projection composed, or,
+    in the stats-gated small regime, ONE fused narrow stage computing
+    both (no count job, no per-iteration collect jobs, no source
+    re-scans). Identical output either way (bit-parity pinned in
+    tests/test_linalg_fused.py)."""
+    if _single_task_source(df):
+        raw = _fused_spectral(df, id_col, vec_col, dim, iters, "scores")
+        return raw.select("id", F.round("score", 6).alias("score"))
+    v = power_iteration(df, vec_col, dim, iters)
+    return pc_projection(df, v, id_col, vec_col)
 
 
 def top_directions(

@@ -3555,7 +3555,8 @@ def principal_direction_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     corpus is scanned once — row-local 64-term dot expression (codegen,
     no join/UDF), one 64-group map-side-combined agg — and the driver
     holds d floats. Communication-optimal AᵀAv; the Krylov pattern for
-    spectral diagnostics at 100 TB."""
+    spectral diagnostics at 100 TB. Small corpora (stats-gated) fuse
+    the whole iteration into one narrow stage (linalg._fused_spectral)."""
     from id3c_spark.operators.linalg import principal_direction
 
     emb = t(spark, sf_dir, "embeddings")
@@ -5730,11 +5731,10 @@ def spectral_outlier_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters, adversarial inserts). Sufficient statistics are exact
     decimal sums over the 6-dp scores, the z a single double op per
     row against a broadcast 1-row scalar."""
-    from id3c_spark.operators.linalg import pc_projection, power_iteration
+    from id3c_spark.operators.linalg import spectral_scores
 
     emb = t(spark, sf_dir, "embeddings")
-    v = power_iteration(emb, "embedding", dim=64, iters=3)
-    sc = pc_projection(emb, v, "vec_id", "embedding")
+    sc = spectral_scores(emb, "vec_id", "embedding", dim=64, iters=3)
     st = sc.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(F.col("score").cast("decimal(18,6)")).cast("double").alias("sx"),
@@ -5767,11 +5767,10 @@ def spectral_scores_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     free scoring pass behind spectral outlier cuts, 1-D binning, and
     embedding-space-collapse monitoring. The oracle replays the full
     unrolled iteration chain plus the projection, bit-for-bit."""
-    from id3c_spark.operators.linalg import pc_projection, power_iteration
+    from id3c_spark.operators.linalg import spectral_scores
 
     emb = t(spark, sf_dir, "embeddings")
-    v = power_iteration(emb, "embedding", dim=64, iters=3)
-    return pc_projection(emb, v, "vec_id", "embedding")
+    return spectral_scores(emb, "vec_id", "embedding", dim=64, iters=3)
 
 
 def _ivf_trained_oracle(

@@ -726,6 +726,7 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fuse: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer —
     the production-scale companion to lsh_bucketed_topk.
@@ -749,6 +750,97 @@ def ivf_topk(
     # scan — a cache would outlive the caller's action (leak) for zero
     # shared work
     cp = _prep(corpus, id_col, vec_col)
+
+    # *fuse* (self-search only): None = stats-gated — when _auto_shards
+    # says the corpus fits ONE GEMM task (same gate as the cosine/LSH
+    # fast paths), the pivot-collect job, both assignment passes, the
+    # cell-keyed pack join, and the rank window collapse into one narrow
+    # mapInPandas stage. Pivot selection, 6-dp cosine assignment with
+    # pivot-id tiebreak, self-exclusion, rerank rounding and the
+    # (sim desc, neighbor_id asc) rank are identical to the staged path
+    # (parity-tested); multi-shard corpora keep the cell-keyed layout.
+    if fuse is None:
+        fuse = queries is corpus and _auto_shards(corpus) == 1
+    if fuse and queries is corpus:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        src = cp.coalesce(1)
+
+        def fused(batches):
+            ids_acc, mat_acc = [], []
+            for pdf in batches:
+                if len(pdf):
+                    ids_acc.append(pdf["id"].to_numpy(dtype=np.int64))
+                    mat_acc.append(np.asarray(
+                        [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+                    ))
+            if not ids_acc:
+                return
+            ids = np.concatenate(ids_acc)
+            mat = np.vstack(mat_acc)
+            n = len(ids)
+            # pivots: smallest md5(str(id)) with id tiebreak (hex sort ==
+            # Spark's string ordering on md5 output), then id-ascending
+            # like _ivf_pivots
+            md5s = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+            by_md5 = sorted(range(n), key=lambda j: (md5s[j], ids[j]))[:nlist]
+            piv_rows = sorted(by_md5, key=lambda j: ids[j])
+            piv_ids = ids[piv_rows]
+            raw = mat[piv_rows]
+            pmat = raw / np.sqrt((raw * raw).sum(axis=1))[:, None]
+            # assignment/probes: 6-dp cosine, pivot-id tiebreak (stable
+            # argsort over id-ascending pivots — same as _ivf_assign)
+            vm = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
+            asims = np.round(vm @ pmat.T, 6)
+            order = np.argsort(-asims, axis=1, kind="stable")
+            cell_of = order[:, 0]                      # corpus side, 1 cell
+            probes = order[:, : min(nprobe, len(piv_ids))]
+            # candidates: per probed cell, query × members (a corpus row
+            # lives in exactly one cell → no duplicate pairs)
+            members = [np.flatnonzero(cell_of == c) for c in range(len(piv_ids))]
+            qi_parts, ci_parts = [], []
+            for c in range(len(piv_ids)):
+                mem = members[c]
+                if not len(mem):
+                    continue
+                probing = np.flatnonzero((probes == c).any(axis=1))
+                if not len(probing):
+                    continue
+                qi_parts.append(np.repeat(probing, len(mem)))
+                ci_parts.append(np.tile(mem, len(probing)))
+            if not qi_parts:
+                return
+            qi = np.concatenate(qi_parts)
+            ci = np.concatenate(ci_parts)
+            keep = qi != ci
+            qi, ci = qi[keep], ci[keep]
+            if not len(qi):
+                return
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            sims = np.round(
+                (mat[qi] * mat[ci]).sum(axis=1) / (nrm[qi] * nrm[ci]), 6
+            )
+            qids, cids = ids[qi], ids[ci]
+            o = np.lexsort((cids, -sims, qids))
+            qs, cs, ss = qids[o], cids[o], sims[o]
+            grp_start = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+            sizes = np.diff(np.r_[grp_start, len(qs)])
+            rank = np.arange(len(qs)) - np.repeat(grp_start, sizes) + 1
+            top = rank <= k
+            yield pd.DataFrame({
+                "query_id": qs[top], "neighbor_id": cs[top],
+                "sim": ss[top],
+                "rank": pd.array(rank[top], dtype="int32"),
+            })
+
+        return src.mapInPandas(
+            fused,
+            schema="query_id long, neighbor_id long, sim double, rank int",
+        )
+
     qp = cp if queries is corpus else _prep(queries, id_col, vec_col)
     bp = _ivf_pivots(cp, nlist)
     cells = _ivf_assign(cp, bp, 1)

@@ -587,3 +587,84 @@ def test_fused_cosine_edge_cases(spark):
     empty = one.filter("vec_id < 0")
     assert ann.cosine_topk(empty, empty, k=3).count() == 0
     assert ann.cosine_pairs_above(empty, threshold=0.0).count() == 0
+
+
+def test_fused_ivf_path_matches_staged(spark, sf_dir):
+    """ivf_topk r15 single-shard fast path: the fused one-stage plan
+    (pivots → assignment → probing → rerank → top-k in one mapInPandas)
+    must return EXACTLY the staged cell-keyed layout's rows. Layout
+    choice, never a semantics choice."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
+
+    for nlist, nprobe, k in [(16, 2, 3), (8, 3, 5), (4, 1, 2)]:
+        fused = ann.ivf_topk(emb, emb, k=k, nlist=nlist, nprobe=nprobe)
+        staged = ann.ivf_topk(
+            emb, emb, k=k, nlist=nlist, nprobe=nprobe, fuse=False
+        )
+        plan = fused._jdf.queryExecution().optimizedPlan().toString()
+        assert "Join" not in plan and "Window" not in plan, plan
+        f = sorted((r.query_id, r.neighbor_id, r.sim, r.rank)
+                   for r in fused.collect())
+        s = sorted((r.query_id, r.neighbor_id, r.sim, r.rank)
+                   for r in staged.collect())
+        assert f == s and f, (nlist, nprobe, k, len(f), len(s))
+
+
+def test_fused_ivf_parity_property(spark):
+    """Property: for ARBITRARY small corpora (size, values, k, nlist,
+    nprobe), the fused single-shard IVF path returns exactly the staged
+    layout's rows. Zero vectors excluded — cosine is undefined there."""
+    from hypothesis import given, settings, strategies as st
+
+    dim = 8
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        seed=st.integers(min_value=0, max_value=10_000),
+        n=st.integers(min_value=2, max_value=40),
+        k=st.integers(min_value=1, max_value=5),
+        nlist=st.integers(min_value=2, max_value=8),
+        nprobe=st.integers(min_value=1, max_value=3),
+    )
+    def check(seed, n, k, nlist, nprobe):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        mat = rng.integers(-5, 6, size=(n, dim)).astype(float)
+        mat[(mat == 0).all(axis=1)] += 1.0      # no zero vectors
+        rows = [(i, mat[i].tolist()) for i in range(n)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        kw = dict(k=k, nlist=nlist, nprobe=nprobe)
+        f = sorted((r.query_id, r.neighbor_id, r.sim, r.rank)
+                   for r in ann.ivf_topk(emb, emb, fuse=True, **kw).collect())
+        s = sorted((r.query_id, r.neighbor_id, r.sim, r.rank)
+                   for r in ann.ivf_topk(emb, emb, fuse=False, **kw).collect())
+        assert f == s, (seed, n, k, nlist, nprobe)
+
+    check()
+
+
+def test_fused_ivf_edge_cases(spark):
+    """Empty corpus, nlist past corpus size, and k past candidate supply
+    through the fused IVF path."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert ann.ivf_topk(empty, empty, k=3, nlist=4, nprobe=2, fuse=True).count() == 0
+
+    import numpy as np
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(3, 8))
+    rows = [(i, mat[i].tolist()) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # nlist=16 > 3 vectors: every vector is a pivot; k=5 past supply
+    got = ann.ivf_topk(emb, emb, k=5, nlist=16, nprobe=2, fuse=True).collect()
+    staged = ann.ivf_topk(emb, emb, k=5, nlist=16, nprobe=2, fuse=False).collect()
+    f = sorted((r.query_id, r.neighbor_id, r.sim, r.rank) for r in got)
+    s = sorted((r.query_id, r.neighbor_id, r.sim, r.rank) for r in staged)
+    assert f == s
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)

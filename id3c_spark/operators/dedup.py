@@ -156,6 +156,91 @@ def _distinct_shingles(
     return _exploded_shingles(df, id_col, text_col, k, words=words).distinct()
 
 
+def _fused_shingle_inter(
+    df: DataFrame, id_col: str, text_col: str, k: int, max_df: int | None
+) -> DataFrame:
+    """Single-task (id_a, id_b, n_a, n_b, n_inter) relation for the
+    stats-gated small regime: tokenization stays a Spark expression
+    (words_array — identical to the distributed path by construction),
+    then ONE mapInPandas pass shingles, distincts, applies the stop-cap,
+    and counts per-pair intersections — replacing the explode + two
+    windows + stop aggregate + shingle-keyed self-join + pair aggregate
+    (6 exchanges). Everything in the task is string/integer work; the
+    jaccard division + rounding + threshold stay the caller's Spark
+    expressions, so the visible arithmetic is unchanged."""
+    from id3c_spark.functions.text import words_array
+
+    src = df.select(
+        F.col(id_col).alias("id"), words_array(F.col(text_col)).alias("ws")
+    ).coalesce(1)
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        by_id: dict = {}
+        for pdf in batches:
+            for rid, ws in zip(pdf["id"], pdf["ws"]):
+                ws = list(ws)
+                by_id.setdefault(int(rid), set()).update(
+                    " ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)
+                )
+        if not by_id:
+            return
+        # index order == id order (mirrors the distributed a.id < b.id);
+        # duplicate-id rows merged above exactly like the distinct over
+        # (id, shingle)
+        ids = np.asarray(sorted(by_id), dtype=np.int64)
+        doc_sets = [by_id[i] for i in ids.tolist()]
+        n = len(ids)
+        # vocabulary + occurrence arrays over distinct (doc, shingle)
+        vocab: dict = {}
+        di_parts, si_parts = [], []
+        for i, s in enumerate(doc_sets):
+            for sh in s:
+                code = vocab.setdefault(sh, len(vocab))
+                di_parts.append(i)
+                si_parts.append(code)
+        if not vocab:
+            return
+        di = np.asarray(di_parts, dtype=np.int64)
+        si = np.asarray(si_parts, dtype=np.int64)
+        if max_df is not None:
+            freq = np.bincount(si, minlength=len(vocab))
+            keep = freq[si] <= max_df
+            di, si = di[keep], si[keep]
+            if not len(di):
+                return
+        sizes = np.bincount(di, minlength=n)
+        # bucket by shingle, emit ordered index pairs per bucket
+        o = np.argsort(si, kind="stable")
+        sdi, ssi = di[o], si[o]
+        starts = np.flatnonzero(np.r_[True, ssi[1:] != ssi[:-1]])
+        ends = np.r_[starts[1:], len(ssi)]
+        pair_parts = []
+        for s, e in zip(starts, ends):
+            if e - s > 1:
+                grp = np.sort(sdi[s:e])
+                qi = np.repeat(grp, np.arange(len(grp) - 1, -1, -1))
+                ci = np.concatenate([grp[j + 1:] for j in range(len(grp) - 1)]) \
+                    if len(grp) > 1 else np.empty(0, dtype=np.int64)
+                pair_parts.append(qi[: len(ci)] * np.int64(n) + ci)
+        if not pair_parts:
+            return
+        codes, counts = np.unique(np.concatenate(pair_parts), return_counts=True)
+        ai = codes // n
+        bi = codes % n
+        yield pd.DataFrame({
+            "id_a": ids[ai], "id_b": ids[bi],
+            "n_a": sizes[ai], "n_b": sizes[bi],
+            "n_inter": counts.astype(np.int64),
+        })
+
+    return src.mapInPandas(
+        run, "id_a long, id_b long, n_a long, n_b long, n_inter long"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -164,6 +249,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
     words: DataFrame | None = None,
+    fuse: bool | None = None,
 ) -> DataFrame:
     """Pairs (id_a < id_b, jaccard) with shingle-set Jaccard ≥ threshold.
 
@@ -184,6 +270,40 @@ def ngram_jaccard_pairs(
     blocking the driver per call (the probe was a measurable share of
     the curation pipeline's latency).
     """
+    # *fuse* (r15): None = stats-gated — when the source is file-backed
+    # and fits one task (same file-size statistic as ann._auto_shards),
+    # the whole shingle → stop-cap → self-join → intersection-count
+    # pipeline collapses into _fused_shingle_inter's single narrow
+    # stage; the jaccard division/round/threshold below are shared by
+    # both paths, so the visible arithmetic is identical (parity-tested
+    # in tests/test_dedup_similarity.py). Callers passing a prebuilt
+    # *words* relation (the curation flow) keep the distributed shape —
+    # their words cache is the better sharing vehicle.
+    if fuse is None:
+        from pyspark.sql import types as T
+
+        from id3c_spark.operators.linalg import _single_task_source
+
+        id_ok = isinstance(
+            df.schema[id_col].dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        )
+        fuse = words is None and id_ok and _single_task_source(df)
+    if fuse:
+        inter = _fused_shingle_inter(df, id_col, text_col, k, max_df)
+        return (
+            inter
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_inter").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     # NO persist anywhere: the shingle pipeline is shared across the
     # self-join sides by an explicit exchange on the join key (both
     # sides become the identical shuffle → ReusedExchange, one compute

@@ -668,3 +668,63 @@ def test_fused_ivf_edge_cases(spark):
         by_q.setdefault(r.query_id, []).append(r.rank)
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
+
+
+def test_fused_ngram_pairs_match_distributed(spark, sf_dir):
+    """ngram_jaccard_pairs r15 single-task fast path: the fused
+    shingle/intersection stage must return EXACTLY the distributed
+    pipeline's rows, with and without the stop-shingle cap."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    for max_df in (None, 200, 3):
+        fused = dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.4, max_df=max_df,
+            fuse=True,
+        )
+        dist = dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.4, max_df=max_df,
+            fuse=False,
+        )
+        f = sorted((r.id_a, r.id_b, r.jaccard) for r in fused.collect())
+        d = sorted((r.id_a, r.id_b, r.jaccard) for r in dist.collect())
+        assert f == d, (max_df, len(f), len(d))
+        if max_df in (None, 200):
+            assert f, max_df  # non-degenerate on the fixture corpus
+
+
+def test_fused_ngram_pairs_parity_property(spark):
+    """Property: for ARBITRARY small corpora (repeated words, short
+    docs, duplicate texts), fused == distributed, including k > doc
+    length and thresholds that keep everything."""
+    from hypothesis import given, settings, strategies as st
+
+    word = st.sampled_from(["alpha", "beta", "gamma", "delta", "x"])
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        texts=st.lists(st.lists(word, min_size=0, max_size=12), min_size=1,
+                       max_size=15),
+        k=st.integers(min_value=1, max_value=4),
+        max_df=st.one_of(st.none(), st.integers(min_value=1, max_value=5)),
+        thr=st.sampled_from([0.1, 0.5, 0.9]),
+    )
+    def check(texts, k, max_df, thr):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        f = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", k=k, threshold=thr, max_df=max_df,
+                fuse=True,
+            ).collect()
+        )
+        d = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", k=k, threshold=thr, max_df=max_df,
+                fuse=False,
+            ).collect()
+        )
+        assert f == d, (texts, k, max_df, thr)
+
+    check()

@@ -36,6 +36,158 @@ from pyspark.sql import functions as F
 SCALE = 1e12
 
 
+def _fuse_graph(pairs: DataFrame, *id_cols: str, double_cols: tuple = ()) -> bool:
+    """Stats gate for the fused small-regime graph paths — the same
+    statistics-before-strategy step as linalg._single_task_source: the
+    pair relation's SOURCE FILES (driver-side listing through the
+    frame's file lineage, no Spark job) fit one task, and the id columns
+    are integral (the numpy mirror is int64). Derived frames keep their
+    lineage through inputFiles(), so a fused shingle-pair relation over
+    a small documents table gates true while an in-memory test frame or
+    a 100 TB corpus keeps the distributed iteration."""
+    from pyspark.sql import types as T
+
+    from id3c_spark.operators.linalg import _single_task_source
+
+    for c in id_cols:
+        if not isinstance(
+            pairs.schema[c].dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        ):
+            return False
+    for c in double_cols:
+        if not isinstance(pairs.schema[c].dataType, T.DoubleType):
+            return False
+    return _single_task_source(pairs)
+
+
+def _sym_edges_np(src, dst, w=None):
+    """numpy mirror of the operators' symmetrize + distinct prologue:
+    both directions of every pair, deduped — over (src, dst) tuples, or
+    (src, dst, w) when weighted (identical to DataFrame.distinct() on
+    those columns). Returns sorted-unique node ids and edge index
+    arrays into that node vector (plus per-edge weights when given)."""
+    import numpy as np
+
+    s2 = np.concatenate([src, dst])
+    d2 = np.concatenate([dst, src])
+    if w is None:
+        codes = np.stack([s2, d2], axis=1)
+        uniq = np.unique(codes, axis=0) if len(codes) else codes
+        s2, d2 = (uniq[:, 0], uniq[:, 1]) if len(uniq) else (s2[:0], d2[:0])
+        wv = None
+    else:
+        w2 = np.concatenate([w, w]).astype(np.float64)
+        # distinct over the full (src, dst, w) tuple, like the
+        # distributed union+distinct — w compares by BIT PATTERN (the
+        # 6-dp-rounded doubles are bit-stable, so bit equality is value
+        # equality; int64 columns stay exact, no float cast of the ids)
+        codes = np.stack([s2, d2, w2.view(np.int64)], axis=1)
+        uniq = np.unique(codes, axis=0) if len(codes) else codes
+        if len(uniq):
+            s2, d2 = uniq[:, 0], uniq[:, 1]
+            wv = uniq[:, 2].copy().view(np.float64)
+        else:
+            s2, d2, wv = s2[:0], d2[:0], w2[:0]
+    nodes = np.unique(np.concatenate([s2, d2]))
+    si = np.searchsorted(nodes, s2)
+    di = np.searchsorted(nodes, d2)
+    return nodes, si, di, wv
+
+
+def _fused_pagerank(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    damping: float,
+    iters: int,
+    weight_col: str | None,
+) -> DataFrame:
+    """Single-task mirror of the pagerank loop for the stats-gated small
+    regime: symmetrize+distinct, degree, and all *iters* contribution
+    rounds run in one numpy task instead of per-iteration
+    localCheckpoint jobs. Bit-parity holds by the module's determinism
+    contract: contributions are floor((…)·1e12) int64 sums (exact,
+    order-independent — np.add.at), degrees are exact int64 counts
+    (unweighted) or exact micro sums divided once (weighted — the same
+    single correctly-rounded division DECIMAL(18,6)→double performs),
+    and every remaining float op is the identical single IEEE op. Emits
+    RAW ranks; the caller applies the same F.round as the distributed
+    path."""
+    wcols = [F.col(weight_col).alias("w")] if weight_col else []
+    src = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst"), *wcols
+    ).coalesce(1)
+    weighted = weight_col is not None
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        sa, da, wa = [], [], []
+        for pdf in batches:
+            if len(pdf):
+                sa.append(pdf["src"].to_numpy(np.int64))
+                da.append(pdf["dst"].to_numpy(np.int64))
+                if weighted:
+                    wa.append(pdf["w"].to_numpy(np.float64))
+        if not sa:
+            return
+        nodes, si, di, wv = _sym_edges_np(
+            np.concatenate(sa),
+            np.concatenate(da),
+            np.concatenate(wa) if weighted else None,
+        )
+        n = len(nodes)
+        if n == 0:
+            return
+        if weighted:
+            # per-edge micros must equal cast(w AS DECIMAL(18,6))'s
+            # unscaled value: for (near-)6-dp weights rint is exact;
+            # anything else replays BigDecimal(repr).setScale(HALF_UP)
+            # (repr and Double.toString are both shortest round-trip
+            # reprs — the same numeric value feeds the same rounding)
+            mf = np.rint(wv * 1e6)
+            if np.all(np.abs(wv * 1e6 - mf) < 1e-6):
+                mic = mf.astype(np.int64)
+            else:
+                from decimal import ROUND_HALF_UP, Decimal
+
+                one = Decimal(1)
+                mic = np.asarray(
+                    [
+                        int(
+                            Decimal(repr(float(x)))
+                            .scaleb(6)
+                            .quantize(one, ROUND_HALF_UP)
+                        )
+                        for x in wv
+                    ],
+                    dtype=np.int64,
+                )
+            micros = np.zeros(n, dtype=np.int64)
+            np.add.at(micros, si, mic)
+            deg = micros.astype(np.float64) / 1e6
+        else:
+            deg = np.bincount(si, minlength=n).astype(np.int64)
+        teleport = (1.0 - damping) / float(n)
+        rank = np.full(n, 1.0 / float(n), dtype=np.float64)
+        for _ in range(iters):
+            if weighted:
+                c = np.floor(rank[si] * (wv / deg[si]) * SCALE).astype(np.int64)
+            else:
+                c = np.floor(rank[si] / deg[si] * SCALE).astype(np.int64)
+            sums = np.zeros(n, dtype=np.int64)
+            np.add.at(sums, di, c)
+            # post-symmetrize every node has an in-edge from a ranked
+            # node, so the distributed inner-join+groupBy keeps ALL
+            # nodes each round — the dense vector mirrors it exactly
+            rank = teleport + damping * (sums.astype(np.float64) / SCALE)
+        yield pd.DataFrame({"node": nodes, "rank": rank})
+
+    return src.mapInPandas(run, "node long, rank double")
+
+
 def pagerank(
     pairs: DataFrame,
     a_col: str = "id_a",
@@ -44,6 +196,7 @@ def pagerank(
     iters: int = 5,
     round_dp: int = 6,
     weight_col: str | None = None,
+    fuse: bool | None = None,
 ) -> DataFrame:
     """PageRank over an undirected pair relation → (node, rank).
 
@@ -60,6 +213,20 @@ def pagerank(
     totals sum exactly as DECIMAL(18,6), and the per-edge share w/W is
     a single double division — the oracle discipline is unchanged.
     """
+    # *fuse* (r15): None = stats-gated — a small file-backed pair
+    # relation (derived frames keep file lineage) runs the whole loop in
+    # one narrow task (_fused_pagerank); large or in-memory relations
+    # keep the distributed per-iteration shape below. Both paths end in
+    # the same F.round, and the iteration arithmetic is bit-identical
+    # (pinned in tests/test_graph_fused.py).
+    if fuse is None:
+        fuse = _fuse_graph(
+            pairs, a_col, b_col,
+            double_cols=(weight_col,) if weight_col else (),
+        )
+    if fuse:
+        out = _fused_pagerank(pairs, a_col, b_col, damping, iters, weight_col)
+        return out.select("node", F.round("rank", round_dp).alias("rank"))
     wcols = [F.col(weight_col).alias("w")] if weight_col else []
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst"), *wcols
@@ -118,8 +285,69 @@ def pagerank(
     return ranks.select("node", F.round("rank", round_dp).alias("rank"))
 
 
+def _fused_triangles(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Single-task mirror of the oriented two-join triangle count: the
+    (lo < hi, distinct) edge set and the wedge-close counting are all
+    integer set operations, so the numpy form is exact by construction.
+    Counts, per middle vertex b, the closed wedges in(b) × out(b) whose
+    (a, c) is itself an edge (sorted-code membership)."""
+    src = pairs.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).coalesce(1)
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        aa, ba = [], []
+        for pdf in batches:
+            if len(pdf):
+                aa.append(pdf["a"].to_numpy(np.int64))
+                ba.append(pdf["b"].to_numpy(np.int64))
+        one = lambda t: pd.DataFrame({"n_triangles": np.asarray([t], dtype=np.int64)})
+        if not aa:
+            yield one(0)
+            return
+        a = np.concatenate(aa)
+        b = np.concatenate(ba)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        keep = lo != hi
+        lo, hi = lo[keep], hi[keep]
+        if not len(lo):
+            yield one(0)
+            return
+        nodes = np.unique(np.concatenate([lo, hi]))
+        n = len(nodes)
+        codes = np.unique(
+            np.searchsorted(nodes, lo).astype(np.int64) * n
+            + np.searchsorted(nodes, hi)
+        )
+        li, hi_i = codes // n, codes % n  # sorted by (lo, hi)
+        by_hi = np.argsort(hi_i, kind="stable")
+        hi_sorted, lo_by_hi = hi_i[by_hi], li[by_hi]
+        ub_out, so = np.unique(li, return_index=True)
+        eo = np.r_[so[1:], len(li)]
+        out_of = {int(x): hi_i[s:e] for x, s, e in zip(ub_out, so, eo)}
+        ub_in, s2 = np.unique(hi_sorted, return_index=True)
+        e2 = np.r_[s2[1:], len(hi_sorted)]
+        total = 0
+        for x, s, e in zip(ub_in, s2, e2):
+            outs = out_of.get(int(x))
+            if outs is None:
+                continue
+            cand = (lo_by_hi[s:e][:, None] * n + outs[None, :]).ravel()
+            pos = np.searchsorted(codes, cand)
+            pos[pos >= len(codes)] = len(codes) - 1
+            total += int((codes[pos] == cand).sum())
+        yield one(total)
+
+    return src.mapInPandas(run, "n_triangles long")
+
+
 def triangle_count(
-    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
+    fuse: bool | None = None,
 ) -> DataFrame:
     """Single-row (n_triangles) of the undirected pair relation.
 
@@ -133,6 +361,10 @@ def triangle_count(
     orientation the skew bound is the max same-lo fan-out, which AQE
     skew-join splitting handles.
     """
+    if fuse is None:
+        fuse = _fuse_graph(pairs, a_col, b_col)
+    if fuse:
+        return _fused_triangles(pairs, a_col, b_col)
     e = (
         pairs.select(
             F.least(F.col(a_col), F.col(b_col)).alias("lo"),
@@ -154,6 +386,65 @@ def triangle_count(
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+def _fused_hops(
+    pairs: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    a_col: str,
+    b_col: str,
+    seed_col: str,
+) -> DataFrame:
+    """Single-task mirror of the BFS loop: the edge and seed relations
+    ride ONE tagged union into one numpy task (both inputs are in the
+    plan — no driver collect), and the *max_hops* min-relaxation rounds
+    are exact int64 arithmetic. Seeds absent from the graph stay at
+    dist 0 exactly like the distributed union+min."""
+    tagged = pairs.select(
+        F.col(a_col).alias("src"),
+        F.col(b_col).alias("dst"),
+        F.lit(False).alias("is_seed"),
+    ).unionByName(
+        seeds.select(
+            F.col(seed_col).alias("src"),
+            F.col(seed_col).alias("dst"),
+            F.lit(True).alias("is_seed"),
+        )
+    ).coalesce(1)
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        sa, da, seed_acc = [], [], []
+        for pdf in batches:
+            if len(pdf):
+                m = pdf["is_seed"].to_numpy(bool)
+                sa.append(pdf["src"].to_numpy(np.int64)[~m])
+                da.append(pdf["dst"].to_numpy(np.int64)[~m])
+                seed_acc.append(pdf["src"].to_numpy(np.int64)[m])
+        seed_ids = np.unique(np.concatenate(seed_acc)) if seed_acc else None
+        if seed_ids is None or not len(seed_ids):
+            return
+        s = np.concatenate(sa) if sa else seed_ids[:0]
+        d = np.concatenate(da) if da else seed_ids[:0]
+        gnodes, si, di, _ = _sym_edges_np(s, d)
+        nodes = np.unique(np.concatenate([gnodes, seed_ids]))
+        remap = np.searchsorted(nodes, gnodes)
+        si, di = remap[si], remap[di]
+        n = len(nodes)
+        INF = np.iinfo(np.int64).max
+        dist = np.full(n, INF, dtype=np.int64)
+        dist[np.searchsorted(nodes, seed_ids)] = 0
+        for _ in range(max_hops):
+            m = dist[si] != INF
+            cand = dist[si[m]] + 1  # snapshot read — synchronous rounds
+            np.minimum.at(dist, di[m], cand)
+        reached = dist != INF
+        yield pd.DataFrame({"node": nodes[reached], "dist": dist[reached]})
+
+    return tagged.mapInPandas(run, "node long, dist long")
+
+
 def hop_distances(
     pairs: DataFrame,
     seeds: DataFrame,
@@ -161,6 +452,7 @@ def hop_distances(
     a_col: str = "id_a",
     b_col: str = "id_b",
     seed_col: str = "id",
+    fuse: bool | None = None,
 ) -> DataFrame:
     """(node, dist): BFS hop distance from the *seeds* set over the
     undirected pair relation, capped at *max_hops* (unreached nodes are
@@ -175,6 +467,10 @@ def hop_distances(
     document to a known-bad seed set" — contamination blast-radius
     scoring beyond direct pairs.
     """
+    if fuse is None:
+        fuse = _fuse_graph(pairs, a_col, b_col) and _fuse_graph(seeds, seed_col)
+    if fuse:
+        return _fused_hops(pairs, seeds, max_hops, a_col, b_col, seed_col)
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (
         edges.unionByName(
@@ -200,11 +496,57 @@ def hop_distances(
     return dist
 
 
+def _fused_lpa(
+    pairs: DataFrame, iters: int, a_col: str, b_col: str
+) -> DataFrame:
+    """Single-task mirror of the synchronous LPA rounds: per round the
+    (node, label) vote counts and the (cnt desc, label asc) top-1 are
+    integer sorts — exact by construction. Labels are always node ids,
+    so they index the node vector directly."""
+    src = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).coalesce(1)
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        sa, da = [], []
+        for pdf in batches:
+            if len(pdf):
+                sa.append(pdf["src"].to_numpy(np.int64))
+                da.append(pdf["dst"].to_numpy(np.int64))
+        if not sa:
+            return
+        nodes, si, di, _ = _sym_edges_np(
+            np.concatenate(sa), np.concatenate(da)
+        )
+        n = len(nodes)
+        if n == 0:
+            return
+        lab = np.arange(n, dtype=np.int64)  # index-space: label == own node
+        for _ in range(iters):
+            code = di * np.int64(n) + lab[si]
+            uniq, cnt = np.unique(code, return_counts=True)
+            vd, vl = uniq // n, uniq % n
+            order = np.lexsort((vl, -cnt, vd))
+            vd, vl = vd[order], vl[order]
+            first = np.r_[True, vd[1:] != vd[:-1]]
+            # post-symmetrize every node has a labeled neighbor, so the
+            # distributed join+window covers all nodes — as here
+            lab = lab.copy()
+            lab[vd[first]] = vl[first]
+        yield pd.DataFrame({"node": nodes, "community": nodes[lab]})
+
+    return src.mapInPandas(run, "node long, community long")
+
+
 def label_propagation(
     pairs: DataFrame,
     iters: int = 3,
     a_col: str = "id_a",
     b_col: str = "id_b",
+    fuse: bool | None = None,
 ) -> DataFrame:
     """(node, community) by synchronous label propagation: each round a
     node adopts the most frequent label among its neighbors (ties → the
@@ -217,6 +559,10 @@ def label_propagation(
     edge-keyed join, a (node,label) count, and a node-keyed top-1
     window — the catalog oracle unrolls the identical rounds.
     """
+    if fuse is None:
+        fuse = _fuse_graph(pairs, a_col, b_col)
+    if fuse:
+        return _fused_lpa(pairs, iters, a_col, b_col)
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (
         edges.unionByName(
@@ -248,12 +594,55 @@ def label_propagation(
     return labels.withColumnRenamed("label", "community")
 
 
+def _fused_kcore(
+    pairs: DataFrame, a_col: str, b_col: str, k: int, rounds: int
+) -> DataFrame:
+    """Single-task mirror of the synchronous peeling rounds — degree
+    counts and endpoint prunes are integer ops, the early-stop compares
+    the same per-round edge count the distributed loop collects."""
+    src = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).coalesce(1)
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        sa, da = [], []
+        for pdf in batches:
+            if len(pdf):
+                sa.append(pdf["src"].to_numpy(np.int64))
+                da.append(pdf["dst"].to_numpy(np.int64))
+        if not sa:
+            return
+        nodes, si, di, _ = _sym_edges_np(
+            np.concatenate(sa), np.concatenate(da)
+        )
+        n = len(nodes)
+        n_prev = len(si)
+        for _ in range(rounds):
+            deg = np.bincount(si, minlength=n)
+            keep = deg >= k
+            m = keep[si] & keep[di]
+            si, di = si[m], di[m]
+            if len(si) == n_prev:
+                break
+            n_prev = len(si)
+        if not len(si):
+            return
+        surv, degree = np.unique(si, return_counts=True)
+        yield pd.DataFrame({"node": nodes[surv], "degree": degree})
+
+    return src.mapInPandas(run, "node long, degree long")
+
+
 def kcore(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
     k: int = 2,
     rounds: int = 8,
+    fuse: bool | None = None,
 ) -> DataFrame:
     """k-core of an undirected pair relation via *rounds* of synchronous
     peeling → (node, degree) for nodes surviving all rounds, with their
@@ -269,6 +658,10 @@ def kcore(
     shuffle pattern as one PageRank iteration; localCheckpoint keeps the
     plan constant-depth. The per-round edge count (a driver scalar, one
     long) doubles as the convergence early-stop."""
+    if fuse is None:
+        fuse = _fuse_graph(pairs, a_col, b_col)
+    if fuse:
+        return _fused_kcore(pairs, a_col, b_col, k, rounds)
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (
         edges.unionByName(

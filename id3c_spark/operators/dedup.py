@@ -241,6 +241,161 @@ def _fused_shingle_inter(
     )
 
 
+def _fuse_text(df: DataFrame, id_col: str) -> bool:
+    """Stats gate for the fused small-regime text paths — integral id
+    column (the numpy mirrors carry ids as int64) AND a file-backed
+    source whose listed bytes fit one task (linalg._single_task_source,
+    the same statistics-before-strategy step as ann._auto_shards).
+    Derived frames keep lineage through inputFiles(), so a filtered
+    documents scan gates true while an in-memory test frame or a 100 TB
+    corpus keeps the distributed banded/blocked shape."""
+    from pyspark.sql import types as T
+
+    from id3c_spark.operators.linalg import _single_task_source
+
+    return isinstance(
+        df.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ) and _single_task_source(df)
+
+
+def _jaccard_from_inter(inter: DataFrame, threshold: float) -> DataFrame:
+    """Shared Spark-side tail of every fused pair path: the jaccard
+    division, 6-dp rounding and threshold are the SAME expressions the
+    distributed paths end in, so fused vs distributed differ only in
+    how the integer (n_a, n_b, n_inter) relation is produced."""
+    return (
+        inter
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _fused_minhash_inter(
+    new: DataFrame,
+    corpus: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """Single-task (id_a, id_b, n_a, n_b, n_inter) relation restricted
+    to the banded-MinHash candidate pairs, for the stats-gated small
+    regime: tokenization stays the words_array Spark expression (lexing
+    identical to the distributed path by construction); ONE mapInPandas
+    pass shingles, hashes (hashlib.md5 — bit-identical to Spark md5 on
+    UTF-8 bytes), takes the (2i+1)·h+(11i+7) mod M31 signature minima,
+    buckets docs by each band's r-tuple of signature values, and counts
+    exact shingle intersections for in-bucket pairs only — replacing
+    the explode + 32 min-aggs + band explode + band self-join +
+    candidate-restricted verify (6+ exchanges). Bucketing on the value
+    tuple instead of md5(to_json(slice)) is candidate-equivalent
+    (md5 equality ⇔ tuple equality absent a hash collision, and any
+    extra collision candidate still has to pass the exact-Jaccard
+    verify), so results are unchanged.
+
+    With *corpus* (the incremental mode) inputs ride one tagged union
+    and candidates pair side 0 (new) against side 1 (corpus) only; ids
+    may overlap between sides. Docs with < k words produce no signature
+    row, exactly like the distributed groupBy over an empty explode."""
+    from id3c_spark.functions.text import words_array
+
+    r = num_hashes // bands
+    sides = [new] if corpus is None else [new, corpus]
+    tagged = None
+    for s_idx, s_df in enumerate(sides):
+        part = s_df.select(
+            F.lit(s_idx).alias("side"),
+            F.col(id_col).alias("id"),
+            words_array(F.col(text_col)).alias("ws"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    src = tagged.coalesce(1)
+    cross = corpus is not None
+
+    def run(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        by_key: dict = {}
+        for pdf in batches:
+            for side, rid, ws in zip(pdf["side"], pdf["id"], pdf["ws"]):
+                ws = list(ws)
+                by_key.setdefault((int(side), int(rid)), set()).update(
+                    " ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)
+                )
+        if not by_key:
+            return
+        keys = sorted(by_key)  # (side, id) asc — self-mode pair order
+        sets = [by_key[key] for key in keys]
+        hcache: dict = {}
+
+        def h28(sh):
+            v = hcache.get(sh)
+            if v is None:
+                v = int(hashlib.md5(sh.encode("utf-8")).hexdigest()[:7], 16)
+                hcache[sh] = v
+            return v
+
+        coef_a = np.arange(num_hashes, dtype=np.int64) * 2 + 1
+        coef_b = np.arange(num_hashes, dtype=np.int64) * 11 + 7
+        buckets: dict = {}
+        for idx, s in enumerate(sets):
+            if not s:
+                continue
+            hs = np.asarray([h28(sh) for sh in s], dtype=np.int64)
+            sig = (
+                (coef_a[:, None] * hs[None, :] + coef_b[:, None]) % MERSENNE31
+            ).min(axis=1)
+            for b in range(bands):
+                bkey = (b, tuple(sig[b * r:(b + 1) * r].tolist()))
+                buckets.setdefault(bkey, []).append(idx)
+        cand = set()
+        for members in buckets.values():
+            if len(members) < 2:
+                continue
+            if cross:
+                lo = [i for i in members if keys[i][0] == 0]
+                hi = [i for i in members if keys[i][0] == 1]
+                cand.update((i, j) for i in lo for j in hi)
+            else:
+                cand.update(
+                    (members[i], members[j])
+                    for i in range(len(members) - 1)
+                    for j in range(i + 1, len(members))
+                )
+        if not cand:
+            return
+        rows = [
+            (keys[i][1], keys[j][1], len(sets[i]), len(sets[j]),
+             len(sets[i] & sets[j]))
+            for i, j in cand
+        ]
+        a, b, na, nb, ni = zip(*rows)
+        yield pd.DataFrame({
+            "id_a": np.asarray(a, dtype=np.int64),
+            "id_b": np.asarray(b, dtype=np.int64),
+            "n_a": np.asarray(na, dtype=np.int64),
+            "n_b": np.asarray(nb, dtype=np.int64),
+            "n_inter": np.asarray(ni, dtype=np.int64),
+        })
+
+    return src.mapInPandas(
+        run, "id_a long, id_b long, n_a long, n_b long, n_inter long"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -280,30 +435,10 @@ def ngram_jaccard_pairs(
     # *words* relation (the curation flow) keep the distributed shape —
     # their words cache is the better sharing vehicle.
     if fuse is None:
-        from pyspark.sql import types as T
-
-        from id3c_spark.operators.linalg import _single_task_source
-
-        id_ok = isinstance(
-            df.schema[id_col].dataType,
-            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
-        )
-        fuse = words is None and id_ok and _single_task_source(df)
+        fuse = words is None and _fuse_text(df, id_col)
     if fuse:
         inter = _fused_shingle_inter(df, id_col, text_col, k, max_df)
-        return (
-            inter
-            .withColumn(
-                "jaccard",
-                F.round(
-                    F.col("n_inter").cast("double")
-                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-                    6,
-                ),
-            )
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
-        )
+        return _jaccard_from_inter(inter, threshold)
     # NO persist anywhere: the shingle pipeline is shared across the
     # self-join sides by an explicit exchange on the join key (both
     # sides become the identical shuffle → ReusedExchange, one compute
@@ -483,6 +618,7 @@ def prefix_filter_jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.8,
+    fuse: bool | None = None,
 ) -> DataFrame:
     """Exact Jaccard self-join via PPJoin-style prefix filtering
     (Chaudhuri/Ganti/Kaushik SSJoin, Xiao et al. PPJoin): order every
@@ -514,6 +650,28 @@ def prefix_filter_jaccard_pairs(
 
     frac = Fraction(threshold).limit_denominator(10**6)
     num, den = frac.numerator, frac.denominator
+    # *fuse* (r15): the prefix filter only prunes CANDIDATES — the
+    # integer-exact verification makes the result identical to the
+    # brute-force join (docstring above), and every pair at J ≥ t > 0
+    # shares a shingle. So the stats-gated small regime reuses
+    # _fused_shingle_inter's shared-shingle pair relation outright (no
+    # frequency ranking needed when the whole corpus is one task) and
+    # applies the SAME den·ni ≥ num·union integer filter and rounding.
+    if fuse is None:
+        fuse = _fuse_text(df, id_col)
+    if fuse:
+        inter = _fused_shingle_inter(df, id_col, text_col, k, None)
+        union_f = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+        return (
+            inter.filter(den * F.col("n_inter") >= num * union_f)
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    F.col("n_inter").cast("double") / union_f.cast("double"), 6
+                ).alias("jaccard"),
+            )
+        )
     sh = _distinct_shingles(df, id_col, text_col, k)
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
     # per-doc size rides ON the rows via an id-keyed window that SHARES
@@ -598,6 +756,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    fuse: bool | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH, verified with exact Jaccard.
 
@@ -609,6 +768,20 @@ def minhash_lsh_pairs(
     is 1-(1-s^r)^b).
     """
     assert num_hashes % bands == 0
+    # *fuse* (r15): None = stats-gated — a small file-backed corpus runs
+    # signature + banding + candidate pairing + exact verify in ONE
+    # narrow mapInPandas stage (_fused_minhash_inter); large or
+    # in-memory corpora keep the banded join below. The jaccard
+    # division/round/threshold are shared (_jaccard_from_inter), so the
+    # visible arithmetic is identical (parity-tested in
+    # tests/test_dedup_similarity.py).
+    if fuse is None:
+        fuse = _fuse_text(df, id_col)
+    if fuse:
+        inter = _fused_minhash_inter(
+            df, None, id_col, text_col, k, num_hashes, bands
+        )
+        return _jaccard_from_inter(inter, threshold)
     # NO persist anywhere (the operator returns a lazy plan, so it could
     # never unpersist them itself — every cache here leaked past the
     # caller's action). Work sharing is structural instead: the shingle
@@ -714,6 +887,7 @@ def incremental_lsh_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    fuse: bool | None = None,
 ) -> DataFrame:
     """Asymmetric (new-batch vs existing-corpus) near-dup detection: which
     incoming documents duplicate something already ingested — the
@@ -733,6 +907,22 @@ def incremental_lsh_dedup(
     the per-batch cost proportional to the NEW data only.
     """
     assert num_hashes % bands == 0
+    # *fuse* (r15): None = stats-gated on BOTH inputs — when each side's
+    # source files fit one task, signatures, cross-side banding and the
+    # exact verify run in one narrow stage over a tagged union (sides
+    # tracked separately inside the task, so overlapping ids stay
+    # distinct); otherwise the distributed band join below.
+    if fuse is None:
+        fuse = _fuse_text(new, id_col) and _fuse_text(corpus, id_col)
+    if fuse:
+        inter = _fused_minhash_inter(
+            new, corpus, id_col, text_col, k, num_hashes, bands
+        )
+        return _jaccard_from_inter(inter, threshold).select(
+            F.col("id_a").alias("new_id"),
+            F.col("id_b").alias("corpus_id"),
+            "jaccard",
+        )
     tagged = (
         new.select(
             F.lit(0).alias("__side"),
@@ -950,12 +1140,77 @@ def cluster_representatives(
     return best.join(sizes, "cluster").withColumnRenamed("id", "rep_id")
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+def _fused_simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int
+) -> DataFrame:
+    """Single-task (id, simhash) for the stats-gated small regime:
+    tokenization stays the words_array Spark expression (the SAME
+    split/lower/filter the distributed path inlines), then one
+    mapInPandas pass hashes each distinct token once (hashlib.md5 ==
+    Spark md5 on UTF-8 bytes; 8 hex chars → h < 2^32), accumulates the
+    per-bit ±1 votes over token OCCURRENCES in exact int64, and packs
+    sign bits — replacing the explode + ``bits`` parallel SUM aggregates
+    (one exchange + wide aggregate). Docs whose token array is empty
+    produce no row, exactly like the distributed groupBy over an empty
+    explode; duplicate-id rows accumulate into one vote vector like the
+    distributed per-id aggregate."""
+    from id3c_spark.functions.text import words_array
+
+    src = df.select(
+        F.col(id_col).alias("id"), words_array(F.col(text_col)).alias("ws")
+    ).coalesce(1)
+
+    def run(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        votes: dict = {}
+        hcache: dict = {}
+        jbits = np.arange(bits, dtype=np.int64)
+        for pdf in batches:
+            for rid, ws in zip(pdf["id"], pdf["ws"]):
+                acc = None
+                for w in ws:
+                    hv = hcache.get(w)
+                    if hv is None:
+                        h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:8], 16)
+                        hv = hcache[w] = ((h >> jbits) & 1) * 2 - 1
+                    if acc is None:
+                        rid_i = int(rid)
+                        acc = votes.get(rid_i)
+                        if acc is None:
+                            acc = votes[rid_i] = np.zeros(bits, dtype=np.int64)
+                    acc += hv
+        if not votes:
+            return
+        ids = np.asarray(sorted(votes), dtype=np.int64)
+        vm = np.stack([votes[i] for i in ids.tolist()])
+        packed = ((vm > 0) * (np.int64(1) << jbits)).sum(axis=1)
+        yield pd.DataFrame({"id": ids, "simhash": packed})
+
+    return src.mapInPandas(run, "id long, simhash long")
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32,
+    fuse: bool | None = None,
+) -> DataFrame:
     """32-bit SimHash over word tokens (md5-derived token hashes).
 
     bit_j(doc) = sign of Σ_tokens (2*((H(tok) >> j) & 1) - 1); packed into
     one bigint. Pure integer expression — identical in the oracle.
     """
+    # *fuse* (r15): stats-gated single-task path (see _fused_simhash);
+    # the distributed explode + SUM-aggregate shape below is kept for
+    # large or in-memory corpora. All-integer arithmetic on identical
+    # md5-derived values, so the packed hashes are equal by construction
+    # (parity-tested in tests/test_dedup_similarity.py).
+    if fuse is None:
+        fuse = _fuse_text(df, id_col)
+    if fuse:
+        return _fused_simhash(df, id_col, text_col, bits)
     # Same explode+aggregate shape as minhash_signature: hash each token
     # once, take `bits` parallel SUM aggregates of the per-bit ±1 votes,
     # then pack. bit_j extracted via exact power-of-2 arithmetic
@@ -978,8 +1233,65 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return sums.select("id", packed.alias("simhash"))
 
 
+def _fused_simhash_band_pairs(
+    sh: DataFrame, max_distance: int
+) -> DataFrame:
+    """Single-task mirror of the byte-band blocking + bit_count(xor)
+    refine over a (id, simhash) relation: bucket docs by each of the 4
+    byte bands, pair within buckets (id_a < id_b), keep Hamming ≤
+    max_distance — the same candidate semantics as the band equi-join
+    (band agreement is checked, not assumed, so a max_distance > 3
+    caller gets the identical band-limited result)."""
+    src = sh.coalesce(1)
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        id_parts, h_parts = [], []
+        for pdf in batches:
+            if len(pdf):
+                id_parts.append(pdf["id"].to_numpy(np.int64))
+                h_parts.append(pdf["simhash"].to_numpy(np.int64))
+        if not id_parts:
+            return
+        ids = np.concatenate(id_parts)
+        hv = np.concatenate(h_parts)
+        order = np.argsort(ids, kind="stable")
+        ids, hv = ids[order], hv[order]
+        buckets: dict = {}
+        for b in range(4):
+            bv = (hv >> (8 * b)) & 255
+            for idx, v in enumerate(bv.tolist()):
+                buckets.setdefault((b, v), []).append(idx)
+        cand = set()
+        for members in buckets.values():
+            if len(members) > 1:
+                cand.update(
+                    (members[i], members[j])
+                    for i in range(len(members) - 1)
+                    for j in range(i + 1, len(members))
+                )
+        out = [
+            (ids[i], ids[j], d)
+            for i, j in cand
+            if (d := int(hv[i] ^ hv[j]).bit_count()) <= max_distance
+        ]
+        if not out:
+            return
+        a, b, d = zip(*out)
+        yield pd.DataFrame({
+            "id_a": np.asarray(a, dtype=np.int64),
+            "id_b": np.asarray(b, dtype=np.int64),
+            "distance": np.asarray(d, dtype=np.int64),
+        })
+
+    return src.mapInPandas(run, "id_a long, id_b long, distance long")
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_distance: int = 3, bits: int = 32,
+    fuse: bool | None = None,
 ) -> DataFrame:
     """Pairs within SimHash Hamming distance ≤ max_distance.
 
@@ -988,7 +1300,16 @@ def simhash_pairs(
     refine with bit_count(xor). Same trick as the reference's barcode
     slices (dev/doc/01-barcode-slices.md), lifted to bit bands.
     """
-    sh = simhash(df, id_col, text_col, bits)
+    # *fuse* (r15): stats-gated — small file-backed corpora chain the
+    # fused simhash stage into a second narrow banding/refine stage (two
+    # mapInPandas, zero exchanges); otherwise the band self-join below.
+    if fuse is None:
+        fuse = _fuse_text(df, id_col)
+    if fuse:
+        return _fused_simhash_band_pairs(
+            simhash(df, id_col, text_col, bits, fuse=True), max_distance
+        )
+    sh = simhash(df, id_col, text_col, bits, fuse=False)
     # both sides of the band self-join share this subplan via an
     # explicit exchange on the join keys (ReusedExchange: the simhash
     # aggregate runs once per action, nothing cached — a persist here
@@ -1036,6 +1357,7 @@ def ngram_containment_pairs(
     k: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    fuse: bool | None = None,
 ) -> DataFrame:
     """Pairs (id_a < id_b, containment) with max-directional shingle
     containment |A∩B| / min(|A|, |B|) ≥ threshold — Broder's containment
@@ -1054,6 +1376,24 @@ def ngram_containment_pairs(
     # sides read ONE explicit Exchange(sh) (ReusedExchange — the shingle
     # pipeline computes once per action, nothing persisted past the
     # caller's action).
+    #
+    # *fuse* (r15): same stats gate and fused integer relation as
+    # ngram_jaccard_pairs (_fused_shingle_inter covers both measures —
+    # any pair with containment > 0 shares a shingle, and the stop-cap
+    # semantics are identical); only the Spark-side tail differs.
+    if fuse is None:
+        fuse = _fuse_text(df, id_col)
+    if fuse:
+        inter = _fused_shingle_inter(df, id_col, text_col, k, max_df)
+        fc = F.round(
+            F.col("n_inter").cast("double")
+            / F.least(F.col("n_a"), F.col("n_b")).cast("double"),
+            6,
+        )
+        return (
+            inter.filter(fc >= threshold)
+            .select("id_a", "id_b", fc.alias("containment"))
+        )
     sh = _distinct_shingles(df, id_col, text_col, k)
     if max_df is not None:
         stop = (

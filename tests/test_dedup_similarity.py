@@ -728,3 +728,218 @@ def test_fused_ngram_pairs_parity_property(spark):
         assert f == d, (texts, k, max_df, thr)
 
     check()
+
+
+def test_fused_minhash_pairs_match_distributed(spark, sf_dir):
+    """minhash_lsh_pairs r15 single-task fast path: signatures, band
+    bucketing and the exact-Jaccard verify must return EXACTLY the
+    distributed banded pipeline's rows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    f = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", k=3, num_hashes=32, bands=8,
+            threshold=0.4, fuse=True,
+        ).collect()
+    )
+    d = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", k=3, num_hashes=32, bands=8,
+            threshold=0.4, fuse=False,
+        ).collect()
+    )
+    assert f == d and f  # identical and non-degenerate on the fixture
+
+
+def test_fused_minhash_pairs_parity_property(spark):
+    """Property parity over arbitrary corpora, including docs below k
+    words (no signature row on either path) and duplicate texts, across
+    band geometries."""
+    from hypothesis import given, settings, strategies as st
+
+    word = st.sampled_from(["alpha", "beta", "gamma", "delta", "x"])
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        texts=st.lists(st.lists(word, min_size=0, max_size=12), min_size=1,
+                       max_size=12),
+        geometry=st.sampled_from([(8, 4), (32, 8), (4, 1)]),
+        thr=st.sampled_from([0.1, 0.5]),
+    )
+    def check(texts, geometry, thr):
+        num_hashes, bands = geometry
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        args = dict(k=2, num_hashes=num_hashes, bands=bands, threshold=thr)
+        f = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.minhash_lsh_pairs(
+                docs, "doc_id", "text", fuse=True, **args
+            ).collect()
+        )
+        d = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.minhash_lsh_pairs(
+                docs, "doc_id", "text", fuse=False, **args
+            ).collect()
+        )
+        assert f == d, (texts, geometry, thr)
+
+    check()
+
+
+def test_fused_incremental_lsh_matches_distributed(spark, sf_dir):
+    """incremental_lsh_dedup r15 fused cross-side path — including the
+    catalog's odd/even split and an OVERLAPPING-id split (sides must
+    stay distinct inside the fused task)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    for n_df, c_df in [(new, corpus), (docs.limit(40), docs)]:
+        f = sorted(
+            (r.new_id, r.corpus_id, r.jaccard)
+            for r in dedup.incremental_lsh_dedup(
+                n_df, c_df, "doc_id", "text", k=3, threshold=0.4, fuse=True
+            ).collect()
+        )
+        d = sorted(
+            (r.new_id, r.corpus_id, r.jaccard)
+            for r in dedup.incremental_lsh_dedup(
+                n_df, c_df, "doc_id", "text", k=3, threshold=0.4, fuse=False
+            ).collect()
+        )
+        assert f == d and f
+
+
+def test_fused_containment_pairs_match_distributed(spark, sf_dir):
+    """ngram_containment_pairs r15 fused path, with and without the
+    stop-shingle cap."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for max_df in (None, 200, 3):
+        f = sorted(
+            (r.id_a, r.id_b, r.containment)
+            for r in dedup.ngram_containment_pairs(
+                docs, "doc_id", "text", k=3, threshold=0.5, max_df=max_df,
+                fuse=True,
+            ).collect()
+        )
+        d = sorted(
+            (r.id_a, r.id_b, r.containment)
+            for r in dedup.ngram_containment_pairs(
+                docs, "doc_id", "text", k=3, threshold=0.5, max_df=max_df,
+                fuse=False,
+            ).collect()
+        )
+        assert f == d, max_df
+        if max_df in (None, 200):
+            assert f, max_df
+
+
+def test_fused_prefix_jaccard_match_distributed(spark, sf_dir):
+    """prefix_filter_jaccard_pairs r15 fused path: the PPJoin prefix
+    filter only prunes candidates, so the fused shared-shingle pair
+    relation + identical integer threshold must give the same rows, at
+    thresholds with exact and inexact rational forms."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for thr in (0.8, 0.5, 1.0 / 3.0):
+        f = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.prefix_filter_jaccard_pairs(
+                docs, "doc_id", "text", k=3, threshold=thr, fuse=True
+            ).collect()
+        )
+        d = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.prefix_filter_jaccard_pairs(
+                docs, "doc_id", "text", k=3, threshold=thr, fuse=False
+            ).collect()
+        )
+        assert f == d, thr
+    assert f  # 1/3 threshold keeps pairs on the fixture corpus
+
+
+def test_fused_simhash_matches_distributed(spark, sf_dir):
+    """simhash + simhash_pairs r15 fused paths: packed hashes and the
+    banded Hamming pairs must be bitwise identical to the distributed
+    explode/aggregate + band-join shapes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    f = sorted(
+        (r.id, r.simhash)
+        for r in dedup.simhash(docs, "doc_id", "text", fuse=True).collect()
+    )
+    d = sorted(
+        (r.id, r.simhash)
+        for r in dedup.simhash(docs, "doc_id", "text", fuse=False).collect()
+    )
+    assert f == d and f
+    fp = sorted(
+        (r.id_a, r.id_b, r.distance)
+        for r in dedup.simhash_pairs(
+            docs, "doc_id", "text", max_distance=3, fuse=True
+        ).collect()
+    )
+    dp = sorted(
+        (r.id_a, r.id_b, r.distance)
+        for r in dedup.simhash_pairs(
+            docs, "doc_id", "text", max_distance=3, fuse=False
+        ).collect()
+    )
+    assert fp == dp and fp
+
+
+def test_fused_simhash_parity_property(spark):
+    """Property parity for simhash/simhash_pairs over arbitrary corpora,
+    including EMPTY token arrays (no row on either path) and duplicate
+    ids (votes accumulate per id)."""
+    from hypothesis import given, settings, strategies as st
+
+    word = st.sampled_from(["alpha", "beta", "gamma", "x", ""])
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        texts=st.lists(st.lists(word, min_size=0, max_size=10), min_size=1,
+                       max_size=10),
+        dup_first=st.booleans(),
+        maxd=st.sampled_from([0, 3, 31]),
+    )
+    def check(texts, dup_first, maxd):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+        if dup_first:
+            rows.append((0, rows[0][1] + " extra"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        f = sorted(
+            (r.id, r.simhash)
+            for r in dedup.simhash(docs, "doc_id", "text", fuse=True).collect()
+        )
+        d = sorted(
+            (r.id, r.simhash)
+            for r in dedup.simhash(docs, "doc_id", "text", fuse=False).collect()
+        )
+        assert f == d, (texts, dup_first)
+        fp = sorted(
+            tuple(r)
+            for r in dedup.simhash_pairs(
+                docs, "doc_id", "text", max_distance=maxd, fuse=True
+            ).collect()
+        )
+        dp = sorted(
+            tuple(r)
+            for r in dedup.simhash_pairs(
+                docs, "doc_id", "text", max_distance=maxd, fuse=False
+            ).collect()
+        )
+        assert fp == dp, (texts, dup_first, maxd)
+
+    check()
+
+
+def test_fuse_text_gate(spark, sf_dir):
+    """The shared stats gate: file-backed small corpora fuse; in-memory
+    frames and non-integral id columns keep the distributed shape."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert dedup._fuse_text(docs, "doc_id")
+    mem = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert not dedup._fuse_text(mem, "doc_id")
+    sdocs = docs.select(F.col("doc_id").cast("string").alias("sid"), "text")
+    assert not dedup._fuse_text(sdocs, "sid")

@@ -1279,6 +1279,111 @@ def semantic_dedup(
     return out
 
 
+def _fused_rerank(
+    qe: DataFrame, ce: DataFrame, cand: DataFrame, k: int
+) -> DataFrame:
+    """Single-task mirror of the two-equi-join + window rerank for the
+    stats-gated small regime: candidates, query vectors and corpus
+    vectors ride ONE tagged union into one task; sims are the identical
+    np.round(dot/(‖q‖·‖c‖), 6) the distributed _score_pairs computes
+    (elementwise — batching does not change any value), and the
+    per-query (sim desc, neighbor asc) rank mirrors the window.
+    Duplicate ids on either vector side replicate their pairs exactly
+    like the distributed equi-joins (the replicated rows are
+    value-identical, so ranks over them are interchangeable)."""
+    tagged = (
+        cand.select(
+            F.lit(0).alias("sd"),
+            F.col("query_id").alias("ia"),
+            F.col("neighbor_id").alias("ib"),
+            F.lit(None).cast("array<double>").alias("v"),
+        )
+        .unionByName(
+            qe.select(
+                F.lit(1).alias("sd"),
+                F.col("query_id").alias("ia"),
+                F.lit(-1).cast("long").alias("ib"),
+                F.col("qv").alias("v"),
+            )
+        )
+        .unionByName(
+            ce.select(
+                F.lit(2).alias("sd"),
+                F.col("neighbor_id").alias("ia"),
+                F.lit(-1).cast("long").alias("ib"),
+                F.col("cv").alias("v"),
+            )
+        )
+        .coalesce(1)
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        pairs = set()
+        qv: dict = {}
+        cv: dict = {}
+        for pdf in batches:
+            sd = pdf["sd"].to_numpy()
+            ia = pdf["ia"].to_numpy(np.int64)
+            ib = pdf["ib"].to_numpy(np.int64)
+            vs = pdf["v"].to_numpy()
+            for i in range(len(pdf)):
+                s = sd[i]
+                if s == 0:
+                    pairs.add((int(ia[i]), int(ib[i])))
+                elif s == 1:
+                    qv.setdefault(int(ia[i]), []).append(
+                        np.asarray(vs[i], dtype=np.float64)
+                    )
+                else:
+                    cv.setdefault(int(ia[i]), []).append(
+                        np.asarray(vs[i], dtype=np.float64)
+                    )
+        if not pairs:
+            return
+        rows_q, rows_n, qm_l, cm_l = [], [], [], []
+        for q, nb in pairs:
+            for x in qv.get(q, ()):            # inner-join semantics:
+                for y in cv.get(nb, ()):       # missing ids drop the pair
+                    rows_q.append(q)
+                    rows_n.append(nb)
+                    qm_l.append(x)
+                    cm_l.append(y)
+        if not rows_q:
+            return
+        qm = np.asarray(qm_l)
+        cm = np.asarray(cm_l)
+        sims = np.round(
+            (qm * cm).sum(axis=1)
+            / (np.sqrt((qm * qm).sum(axis=1)) * np.sqrt((cm * cm).sum(axis=1))),
+            6,
+        )
+        qa = np.asarray(rows_q, dtype=np.int64)
+        na = np.asarray(rows_n, dtype=np.int64)
+        order = np.lexsort((na, -sims, qa))
+        qa, na, sims = qa[order], na[order], sims[order]
+        starts = np.flatnonzero(np.r_[True, qa[1:] != qa[:-1]])
+        ends = np.r_[starts[1:], len(qa)]
+        keep_parts, rank_parts = [], []
+        for s, e in zip(starts, ends):
+            take = min(k, e - s)
+            keep_parts.append(np.arange(s, s + take))
+            rank_parts.append(np.arange(1, take + 1))
+        keep = np.concatenate(keep_parts)
+        yield pd.DataFrame({
+            "query_id": qa[keep],
+            "neighbor_id": na[keep],
+            "sim": sims[keep],
+            "rank": np.concatenate(rank_parts).astype(np.int32),
+        })
+
+    return tagged.mapInPandas(
+        run, "query_id long, neighbor_id long, sim double, rank int"
+    )
+
+
 def exact_rerank(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1286,6 +1391,7 @@ def exact_rerank(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fuse: bool | None = None,
 ) -> DataFrame:
     """Exact-cosine rerank of ANY candidate relation (query_id,
     neighbor_id) → top-k per query by true similarity — the refine step
@@ -1302,6 +1408,24 @@ def exact_rerank(
     ce = _prep(corpus, id_col, vec_col).select(
         F.col("id").alias("neighbor_id"), F.col("v").alias("cv")
     )
+    # *fuse* (r15): None = stats-gated — when queries, corpus AND the
+    # candidate relation's source files each fit one task, the joins +
+    # scoring + window run in one narrow stage (_fused_rerank); any
+    # in-memory or large input keeps the distributed shape below.
+    if fuse is None:
+        from id3c_spark.operators.linalg import _single_task_source
+
+        fuse = (
+            _single_task_source(queries)
+            and _single_task_source(corpus)
+            and _single_task_source(candidates)
+        )
+    if fuse:
+        # no .distinct() here — the fused task's pair SET is the dedup,
+        # keeping the plan exchange-free
+        return _fused_rerank(
+            qe, ce, candidates.select("query_id", "neighbor_id"), k
+        )
     scored = _score_pairs(
         candidates.select("query_id", "neighbor_id").distinct(), qe, ce
     )

@@ -543,6 +543,204 @@ def index_drift_report(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _fused_serve(
+    qp: DataFrame,
+    codes_df: DataFrame,
+    vectors_df: DataFrame | None,
+    coarse,
+    books,
+    assign_n: int,
+    k: int,
+    nprobe: int,
+    rerank_shortlist: int | None,
+) -> DataFrame:
+    """Single-task mirror of the serve path for the stats-gated small
+    regime: query batch, the FULL codes table (small enough for one task
+    by the gate — reading it whole replaces the probed-cells collect, so
+    the query lineage is evaluated exactly once) and, for IVFADC+R, the
+    vectors table ride ONE tagged union into one mapInPandas task that
+    replays normalize → nprobe coarse assign → per-probed-cell residual
+    LUT ADC scoring → (multi-assign min-dist pair dedup) → per-query
+    (dist asc, neighbor asc) rank → optional exact-cosine rerank. Every
+    float op is the identical elementwise numpy op the distributed
+    stages run (the per-cell LUT values do not depend on pack splits —
+    see _adc_topk), int64 LUT micros sum exactly, and the global top-k
+    over ALL candidates equals the partial-top-k-then-window merge, so
+    results are bit-identical (pinned in tests/test_ann_index.py)."""
+    null_d = F.lit(None).cast("array<double>")
+    null_l = F.lit(None).cast("array<bigint>")
+    parts = [
+        qp.select(
+            F.lit(0).alias("sd"), F.col("id"),
+            F.lit(-1).cast("long").alias("cell"),
+            F.col("v"), null_l.alias("codes"),
+        ),
+        codes_df.select(
+            F.lit(1).alias("sd"), F.col("id"),
+            F.col("cell").cast("long").alias("cell"),
+            null_d.alias("v"), F.col("codes").cast("array<bigint>").alias("codes"),
+        ),
+    ]
+    if vectors_df is not None:
+        parts.append(
+            vectors_df.select(
+                F.lit(2).alias("sd"), F.col("id"),
+                F.col("cell").cast("long").alias("cell"),
+                F.col("v"), null_l.alias("codes"),
+            )
+        )
+    src = parts[0]
+    for p in parts[1:]:
+        src = src.unionByName(p)
+    src = src.coalesce(1)
+    m, kc, dsub = books.shape
+    cent0 = coarse[0]
+    shortlist_k = rerank_shortlist or k
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        q_ids, q_vecs = [], []
+        c_ids, c_cells, c_codes = [], [], []
+        v_map: dict = {}
+        for pdf in batches:
+            sd = pdf["sd"].to_numpy()
+            ids = pdf["id"].to_numpy(np.int64)
+            cells = pdf["cell"].to_numpy(np.int64)
+            vs = pdf["v"].to_numpy()
+            cs = pdf["codes"].to_numpy()
+            for i in range(len(pdf)):
+                s = sd[i]
+                if s == 0:
+                    q_ids.append(ids[i])
+                    q_vecs.append(np.asarray(vs[i], dtype=np.float64))
+                elif s == 1:
+                    c_ids.append(ids[i])
+                    c_cells.append(cells[i])
+                    c_codes.append(np.asarray(cs[i], dtype=np.int64))
+                elif ids[i] not in v_map:   # dropDuplicates([id]) mirror
+                    v_map[ids[i]] = np.asarray(vs[i], dtype=np.float64)
+        if not q_ids or not c_ids:
+            return
+        qid = np.asarray(q_ids, dtype=np.int64)
+        qx = np.asarray(q_vecs)
+        qx = qx / np.sqrt((qx * qx).sum(axis=1))[:, None]   # _normalized
+        # _assign_topn(ratio=None): 6-dp squared L2, stable argsort
+        d2 = np.round(((qx[:, None, :] - cent0[None]) ** 2).sum(axis=2), 6)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+        cid = np.asarray(c_ids, dtype=np.int64)
+        ccell = np.asarray(c_cells, dtype=np.int64)
+        cm = np.stack(c_codes)
+        cellq: dict = {}
+        for qi in range(len(qid)):
+            for c in order[qi]:
+                cellq.setdefault(int(c), []).append(qi)
+        dedup = assign_n > 1
+        best: dict = {}
+        acc_q, acc_n, acc_d = [], [], []
+        for c, qis in cellq.items():
+            sel = np.flatnonzero(ccell == c)
+            if not len(sel):
+                continue
+            sub_ids = cid[sel]
+            sub_codes = cm[sel]
+            # identical per-cell residual LUT arithmetic as _adc_topk's
+            # score() — values independent of how cells were packed
+            qs = (qx[qis] - cent0[c]).reshape(len(qis), m, dsub)
+            lut_mi = np.empty((len(qis), m, kc), dtype=np.int64)
+            for s in range(m):
+                lut_s = np.round(
+                    ((qs[:, s, None, :] - books[s][None]) ** 2).sum(axis=2), 6
+                )
+                lut_mi[:, s, :] = np.rint(lut_s * 1e6)
+            dist_all = (
+                lut_mi[:, np.arange(m)[None, :], sub_codes].sum(axis=2) / 1e6
+            )
+            for ii, qi in enumerate(qis):
+                mask = sub_ids != qid[qi]
+                n_sel = sub_ids[mask]
+                d_sel = dist_all[ii][mask]
+                if dedup:
+                    for nb, dv in zip(n_sel.tolist(), d_sel.tolist()):
+                        key = (qi, nb)
+                        prev = best.get(key)
+                        if prev is None or dv < prev:
+                            best[key] = dv
+                else:
+                    acc_q.extend([qi] * len(n_sel))
+                    acc_n.extend(n_sel.tolist())
+                    acc_d.extend(d_sel.tolist())
+        if dedup:
+            for (qi, nb), dv in best.items():
+                acc_q.append(qi)
+                acc_n.append(nb)
+                acc_d.append(dv)
+        if not acc_q:
+            return
+        qa = np.asarray(acc_q, dtype=np.int64)
+        na = np.asarray(acc_n, dtype=np.int64)
+        da = np.asarray(acc_d, dtype=np.float64)
+        # per-query (dist asc, neighbor asc) rank ≤ shortlist_k — the
+        # window mirror (global top-k == partial-top-k merge)
+        o = np.lexsort((na, da, qa))
+        qa, na, da = qa[o], na[o], da[o]
+        starts = np.flatnonzero(np.r_[True, qa[1:] != qa[:-1]])
+        ends = np.r_[starts[1:], len(qa)]
+        keep_p, rank_p = [], []
+        for s, e in zip(starts, ends):
+            take = min(shortlist_k, e - s)
+            keep_p.append(np.arange(s, s + take))
+            rank_p.append(np.arange(1, take + 1))
+        keep = np.concatenate(keep_p)
+        qa, na, da = qa[keep], na[keep], da[keep]
+        ranks = np.concatenate(rank_p).astype(np.int32)
+        if rerank_shortlist is None:
+            yield pd.DataFrame({
+                "query_id": qid[qa], "neighbor_id": na,
+                "dist": da, "rank": ranks,
+            })
+            return
+        # IVFADC+R refine: exact cosine over the shortlist pairs only,
+        # same np.round(dot/(‖q‖·‖c‖), 6) as ann._score_pairs on the
+        # normalized query batch vs the stored normalized vectors
+        keep2 = np.asarray(
+            [i for i in range(len(qa)) if na[i] in v_map], dtype=np.int64
+        )
+        if not len(keep2):
+            return
+        qa, na = qa[keep2], na[keep2]
+        qm = qx[qa]
+        cmv = np.stack([v_map[nb] for nb in na.tolist()])
+        sims = np.round(
+            (qm * cmv).sum(axis=1)
+            / (np.sqrt((qm * qm).sum(axis=1)) * np.sqrt((cmv * cmv).sum(axis=1))),
+            6,
+        )
+        o2 = np.lexsort((na, -sims, qa))
+        qa, na, sims = qa[o2], na[o2], sims[o2]
+        starts = np.flatnonzero(np.r_[True, qa[1:] != qa[:-1]])
+        ends = np.r_[starts[1:], len(qa)]
+        keep_p, rank_p = [], []
+        for s, e in zip(starts, ends):
+            take = min(k, e - s)
+            keep_p.append(np.arange(s, s + take))
+            rank_p.append(np.arange(1, take + 1))
+        keep3 = np.concatenate(keep_p)
+        yield pd.DataFrame({
+            "query_id": qid[qa[keep3]], "neighbor_id": na[keep3],
+            "sim": sims[keep3],
+            "rank": np.concatenate(rank_p).astype(np.int32),
+        })
+
+    schema = (
+        "query_id long, neighbor_id long, dist double, rank int"
+        if rerank_shortlist is None
+        else "query_id long, neighbor_id long, sim double, rank int"
+    )
+    return src.mapInPandas(run, schema)
+
+
 def serve_topk(
     spark: SparkSession,
     path: str,
@@ -552,6 +750,7 @@ def serve_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rerank_shortlist: int | None = None,
+    fuse: bool | None = None,
 ) -> DataFrame:
     """Serve a query batch from the persisted index: broadcast the
     stored models (nlist·d + m·k*·dsub doubles — tiny), assign each
@@ -576,6 +775,34 @@ def serve_topk(
 
     coarse, books, t = _load_models(spark, path)
     assign_n = _read_assign_n(spark, t)
+    # *fuse* (r15): None = stats-gated — when the query batch and the
+    # codes table (plus the vectors table for IVFADC+R) each fit one
+    # task by file-size statistics, the whole serve runs in ONE narrow
+    # mapInPandas stage over a tagged union (_fused_serve). Reading the
+    # small codes table whole replaces the probed-cells collect — the
+    # query lineage is then evaluated exactly once, and the determinism
+    # precondition below is moot in this regime. Large indexes/batches
+    # keep the probed-cell-pruned distributed path.
+    if fuse is None:
+        from id3c_spark.operators.linalg import _single_task_source
+
+        codes_all = t["codes"].read()
+        fuse = _single_task_source(queries) and _single_task_source(codes_all)
+        if fuse and rerank_shortlist is not None:
+            fuse = _single_task_source(t["vectors"].read())
+    if fuse:
+        from id3c_spark.operators.ann import _prep as _prep_f
+
+        return _fused_serve(
+            _prep_f(queries, id_col, vec_col),
+            t["codes"].read().select("id", "cell", "codes"),
+            (
+                t["vectors"].read().select("id", "cell", "v")
+                if rerank_shortlist is not None
+                else None
+            ),
+            coarse, books, assign_n, k, nprobe, rerank_shortlist,
+        )
     bcg = spark.sparkContext.broadcast(coarse)
     # deliberately NO persist on the query-batch relations: a serving
     # session calls this per batch, and leaked storage blocks accumulate

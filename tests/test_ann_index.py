@@ -597,3 +597,58 @@ def test_adaptive_index_drift_clean_and_rebuild_preserves_ratio(spark, tmp_path)
     assert _read_assign_meta(spark, t) == (2, 1.04)
     n = emb.count()
     assert n < t["codes"].read().count() < 2 * n   # still adaptive fan-out
+
+
+def test_fused_serve_matches_distributed_bitwise(spark, tmp_path):
+    """r15 fused single-task serving: fuse=True vs fuse=False must be
+    row-identical across ADC-only, IVFADC+R and multi-assign/adaptive
+    index layouts (the min-dist pair dedup and the rerank refine run
+    inside the fused task)."""
+    emb = _emb(spark)
+    for tag, build_kw, serve_kw in [
+        ("plain", dict(nlist=8, m=8, kcent=8, train_iter=2),
+         dict(k=3, nprobe=3)),
+        ("multi", dict(nlist=8, m=8, kcent=8, train_iter=2, assign_n=2),
+         dict(k=3, nprobe=3)),
+        ("adaptive", dict(nlist=8, m=8, kcent=8, train_iter=2, assign_n=2,
+                          assign_ratio=1.04),
+         dict(k=3, nprobe=3)),
+        ("rerank", dict(nlist=8, m=8, kcent=8, train_iter=2, assign_n=2),
+         dict(k=2, nprobe=3, rerank_shortlist=10)),
+    ]:
+        path = str(tmp_path / f"idx_fsrv_{tag}")
+        build_index(emb, path, **build_kw)
+        fused = serve_topk(spark, path, emb, fuse=True, **serve_kw)
+        dist = serve_topk(spark, path, emb, fuse=False, **serve_kw)
+        f = sorted(map(tuple, fused.collect()))
+        d = sorted(map(tuple, dist.collect()))
+        assert f == d and f, tag
+
+
+def test_fused_serve_plan_is_narrow(spark, tmp_path):
+    emb = _emb(spark)
+    path = str(tmp_path / "idx_fsrv_plan")
+    build_index(emb, path, nlist=8, m=8, kcent=8, train_iter=2)
+    served = serve_topk(spark, path, emb, k=3, nprobe=3)  # gate fires
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_fused_exact_rerank_matches_distributed(spark, tmp_path):
+    """r15 fused exact_rerank: one tagged-union task vs the two
+    equi-joins + window, on a file-backed candidate relation (the
+    catalog's IVFADC+R composition shape)."""
+    from id3c_spark.operators.ann import exact_rerank
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx_frr")
+    build_index(emb, path, nlist=8, m=8, kcent=8, train_iter=2, assign_n=2)
+    shortlist = serve_topk(spark, path, emb, k=10, nprobe=3)
+    f = sorted(
+        map(tuple, exact_rerank(emb, emb, shortlist, k=3, fuse=True).collect())
+    )
+    d = sorted(
+        map(tuple, exact_rerank(emb, emb, shortlist, k=3, fuse=False).collect())
+    )
+    assert f == d and f

@@ -798,31 +798,84 @@ def ivf_topk(
             order = np.argsort(-asims, axis=1, kind="stable")
             cell_of = order[:, 0]                      # corpus side, 1 cell
             probes = order[:, : min(nprobe, len(piv_ids))]
-            # candidates: per probed cell, query × members (a corpus row
-            # lives in exactly one cell → no duplicate pairs)
-            members = [np.flatnonzero(cell_of == c) for c in range(len(piv_ids))]
-            qi_parts, ci_parts = [], []
+            # candidates: per probed cell, one small GEMM of the probing
+            # queries against the cell members — the same
+            # round(GEMM/outer(norms)) formula as _cell_gemm_topk's
+            # score(), so fused and staged sims are the same doubles.
+            # Scoring cell-by-cell in bounded probe chunks (instead of
+            # gathering |pairs|×dim pair-expanded matrices) caps peak
+            # temporaries at O(chunk·cell) however large the single
+            # shard is — on N vectors and nlist cells the gathered
+            # shape allocated ~N²/nlist·dim·8 bytes, which is both the
+            # wrong 100 TB discipline and catastrophically slow on
+            # hosts where fresh large mmaps fault slowly. Per-cell
+            # top-k pruning is exact: a corpus row lives in exactly ONE
+            # cell, so candidates are disjoint across cells and the
+            # global top-k equals the merge of per-cell top-k (the
+            # _cell_gemm_topk partial-top-k argument); the merge input
+            # stays ≤ n·nprobe·k rows.
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            pos_in_cell = np.full(n, -1, dtype=np.int64)
+            qi_parts, ci_parts, s_parts = [], [], []
+            chunk = 1024
             for c in range(len(piv_ids)):
-                mem = members[c]
+                mem = np.flatnonzero(cell_of == c)
                 if not len(mem):
                     continue
                 probing = np.flatnonzero((probes == c).any(axis=1))
                 if not len(probing):
                     continue
-                qi_parts.append(np.repeat(probing, len(mem)))
-                ci_parts.append(np.tile(mem, len(probing)))
+                # columns ordered by (id asc, input position asc): a
+                # STABLE row argsort on -sims then reads out exactly the
+                # (sim desc, id asc) candidate order of the staged
+                # window and the previous per-pair lexsort
+                mem = mem[np.argsort(ids[mem], kind="stable")]
+                kk1 = min(k + 1, len(mem))
+                pos_in_cell[mem] = np.arange(len(mem))
+                for s0 in range(0, len(probing), chunk):
+                    pr = probing[s0:s0 + chunk]
+                    sims_c = np.round(
+                        (mat[pr] @ mat[mem].T) / np.outer(nrm[pr], nrm[mem]),
+                        6,
+                    )
+                    # self-exclusion (same row index, as before): mask
+                    # the probing row's own column to -inf so it sorts
+                    # after every real candidate (and before NaNs, which
+                    # argsort orders last exactly like the previous
+                    # global lexsort did), select k+1 columns, then drop
+                    # the self slot and keep the first k per row — exact
+                    # whether or not the self column made the window
+                    self_col = pos_in_cell[pr]
+                    has_self = np.flatnonzero(self_col >= 0)
+                    if len(has_self):
+                        sims_c[has_self, self_col[has_self]] = -np.inf
+                    order = np.argsort(-sims_c, axis=1, kind="stable")[:, :kk1]
+                    sel = np.take_along_axis(sims_c, order, axis=1)
+                    not_self = (order != self_col[:, None]).ravel()
+                    rq = np.repeat(pr, kk1)[not_self]
+                    rc = mem[order.ravel()[not_self]]
+                    rs = sel.ravel()[not_self]
+                    if not len(rq):
+                        continue
+                    row_new = np.r_[True, rq[1:] != rq[:-1]]
+                    row_start = np.flatnonzero(row_new)
+                    row_sizes = np.diff(np.r_[row_start, len(rq)])
+                    posw = (
+                        np.arange(len(rq))
+                        - np.repeat(row_start, row_sizes)
+                    )
+                    keep_k = posw < k
+                    qi_parts.append(rq[keep_k])
+                    ci_parts.append(rc[keep_k])
+                    s_parts.append(rs[keep_k])
+                pos_in_cell[mem] = -1
             if not qi_parts:
                 return
             qi = np.concatenate(qi_parts)
             ci = np.concatenate(ci_parts)
-            keep = qi != ci
-            qi, ci = qi[keep], ci[keep]
+            sims = np.concatenate(s_parts)
             if not len(qi):
                 return
-            nrm = np.sqrt((mat * mat).sum(axis=1))
-            sims = np.round(
-                (mat[qi] * mat[ci]).sum(axis=1) / (nrm[qi] * nrm[ci]), 6
-            )
             qids, cids = ids[qi], ids[ci]
             o = np.lexsort((cids, -sims, qids))
             qs, cs, ss = qids[o], cids[o], sims[o]
@@ -1027,9 +1080,29 @@ def lsh_bucketed_topk(
             if not len(qi):
                 return
             nrm = np.sqrt((mat * mat).sum(axis=1))
-            sims = np.round(
-                (mat[qi] * mat[ci]).sum(axis=1) / (nrm[qi] * nrm[ci]), 6
-            )
+            # chunked rerank with REUSED buffers: the one-shot
+            # pair-expanded gather (mat[qi], mat[ci], their product —
+            # 3·|pairs|·dim·8 bytes of fresh temporaries) was both the
+            # wrong memory shape for a task and pathological on hosts
+            # where large fresh mmaps fault slowly; fixed-size buffers
+            # bound peak memory at O(chunk·dim) and the per-pair
+            # arithmetic — (q·c row dot) / (‖q‖‖c‖), rounded 6 dp — is
+            # the identical elementwise op, so every sim is unchanged
+            dim = mat.shape[1]
+            chunk = min(len(qi), 32768)
+            qbuf = np.empty((chunk, dim))
+            cbuf = np.empty((chunk, dim))
+            sims = np.empty(len(qi))
+            for s0 in range(0, len(qi), chunk):
+                e0 = min(s0 + chunk, len(qi))
+                m0 = e0 - s0
+                np.take(mat, qi[s0:e0], axis=0, out=qbuf[:m0])
+                np.take(mat, ci[s0:e0], axis=0, out=cbuf[:m0])
+                np.multiply(qbuf[:m0], cbuf[:m0], out=qbuf[:m0])
+                sims[s0:e0] = np.round(
+                    qbuf[:m0].sum(axis=1) / (nrm[qi[s0:e0]] * nrm[ci[s0:e0]]),
+                    6,
+                )
             qids, cids = ids[qi], ids[ci]
             o = np.lexsort((cids, -sims, qids))
             qs, cs, ss = qids[o], cids[o], sims[o]

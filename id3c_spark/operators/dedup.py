@@ -217,17 +217,34 @@ def _fused_shingle_inter(
         sdi, ssi = di[o], si[o]
         starts = np.flatnonzero(np.r_[True, ssi[1:] != ssi[:-1]])
         ends = np.r_[starts[1:], len(ssi)]
-        pair_parts = []
+        # pair-code buffer sized EXACTLY (Σ C(group, 2) from the group
+        # sizes) and filled in place, then sorted in place — one
+        # allocation for the raw pair list instead of a per-group
+        # fragment list + concatenate + np.unique's internal sort copy
+        # (~3× the raw bytes in fresh temporaries, the dominant cost of
+        # this stage on shared hosts where large fresh mmaps fault
+        # slowly). Ascending sort + run-length boundaries produce the
+        # identical (codes, counts) pairs np.unique returned.
+        glen = ends - starts
+        raw_total = int((glen * (glen - 1) // 2).sum())
+        if raw_total == 0:
+            return
+        codes_all = np.empty(raw_total, dtype=np.int64)
+        w = 0
         for s, e in zip(starts, ends):
             if e - s > 1:
                 grp = np.sort(sdi[s:e])
+                m_p = (len(grp) * (len(grp) - 1)) // 2
                 qi = np.repeat(grp, np.arange(len(grp) - 1, -1, -1))
-                ci = np.concatenate([grp[j + 1:] for j in range(len(grp) - 1)]) \
-                    if len(grp) > 1 else np.empty(0, dtype=np.int64)
-                pair_parts.append(qi[: len(ci)] * np.int64(n) + ci)
-        if not pair_parts:
-            return
-        codes, counts = np.unique(np.concatenate(pair_parts), return_counts=True)
+                ci = np.concatenate([grp[j + 1:] for j in range(len(grp) - 1)])
+                np.multiply(qi[: len(ci)], np.int64(n), out=codes_all[w:w + m_p])
+                codes_all[w:w + m_p] += ci
+                w += m_p
+        codes_all.sort()
+        new_code = np.r_[True, codes_all[1:] != codes_all[:-1]]
+        first = np.flatnonzero(new_code)
+        counts = np.diff(np.r_[first, len(codes_all)])
+        codes = codes_all[first]
         ai = codes // n
         bi = codes % n
         yield pd.DataFrame({

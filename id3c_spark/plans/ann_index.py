@@ -632,55 +632,95 @@ def _fused_serve(
         cid = np.asarray(c_ids, dtype=np.int64)
         ccell = np.asarray(c_cells, dtype=np.int64)
         cm = np.stack(c_codes)
-        cellq: dict = {}
-        for qi in range(len(qid)):
-            for c in order[qi]:
-                cellq.setdefault(int(c), []).append(qi)
         dedup = assign_n > 1
-        best: dict = {}
-        acc_q, acc_n, acc_d = [], [], []
-        for c, qis in cellq.items():
+        # Scoring runs cell-by-cell over BOUNDED probe chunks with
+        # per-cell top-(shortlist) pruning and a vectorized min-dist
+        # dedup — replacing the per-candidate Python dict/list loop,
+        # whose O(|candidates|) interpreter work and whose per-cell
+        # (|probing|, m, kc) LUT allocations dominated serve latency in
+        # this regime. Arithmetic is unchanged: the chunked LUT rows are
+        # the identical elementwise ops (LUT values never depended on
+        # how queries were batched — the _adc_topk argument), int64 LUT
+        # micros sum exactly, and per-cell pruning at t = shortlist_k is
+        # lossless: per (query, cell) neighbors are unique, any pair
+        # ahead of a kept pair inside its cell is ahead of it globally
+        # too (its deduped dist is ≤ its in-cell dist), so fewer than t
+        # cell-local pairs can precede a global top-t pair and the merge
+        # of per-cell top-t contains the global top-t exactly — the same
+        # partial-top-k argument the staged window relies on.
+        chunk = 512
+        m_idx = np.arange(m)[None, :]
+        lut_buf = np.empty((chunk, m, kc), dtype=np.int64)
+        qa_parts, na_parts, da_parts = [], [], []
+        for c in range(len(cent0)):
             sel = np.flatnonzero(ccell == c)
             if not len(sel):
                 continue
+            probing = np.flatnonzero((order == c).any(axis=1))
+            if not len(probing):
+                continue
+            # columns in (neighbor id asc, input position asc) order so
+            # a stable row argsort on dist reads out the
+            # (dist asc, neighbor asc) candidate order of the window
+            sel = sel[np.argsort(cid[sel], kind="stable")]
             sub_ids = cid[sel]
             sub_codes = cm[sel]
-            # identical per-cell residual LUT arithmetic as _adc_topk's
-            # score() — values independent of how cells were packed
-            qs = (qx[qis] - cent0[c]).reshape(len(qis), m, dsub)
-            lut_mi = np.empty((len(qis), m, kc), dtype=np.int64)
-            for s in range(m):
-                lut_s = np.round(
-                    ((qs[:, s, None, :] - books[s][None]) ** 2).sum(axis=2), 6
+            t_keep = min(shortlist_k, len(sel))
+            for s0 in range(0, len(probing), chunk):
+                pr = probing[s0:s0 + chunk]
+                nq = len(pr)
+                qs = (qx[pr] - cent0[c]).reshape(nq, m, dsub)
+                lut_mi = lut_buf[:nq]
+                for s in range(m):
+                    lut_s = np.round(
+                        ((qs[:, s, None, :] - books[s][None]) ** 2).sum(axis=2),
+                        6,
+                    )
+                    lut_mi[:, s, :] = np.rint(lut_s * 1e6)
+                dist_all = lut_mi[:, m_idx, sub_codes].sum(axis=2) / 1e6
+                # self-exclusion by id (as before): +inf sorts after
+                # every real distance and before NaNs — select t+1,
+                # drop selves, keep the first t per row
+                self_mask = sub_ids[None, :] == qid[pr, None]
+                dist_all[self_mask] = np.inf
+                # window sized past the worst per-row self count, so
+                # dropping selves can never evict a real candidate
+                # (duplicate corpus ids contribute several self columns)
+                t1 = min(
+                    shortlist_k + int(self_mask.sum(axis=1).max(initial=0)),
+                    len(sel),
                 )
-                lut_mi[:, s, :] = np.rint(lut_s * 1e6)
-            dist_all = (
-                lut_mi[:, np.arange(m)[None, :], sub_codes].sum(axis=2) / 1e6
-            )
-            for ii, qi in enumerate(qis):
-                mask = sub_ids != qid[qi]
-                n_sel = sub_ids[mask]
-                d_sel = dist_all[ii][mask]
-                if dedup:
-                    for nb, dv in zip(n_sel.tolist(), d_sel.tolist()):
-                        key = (qi, nb)
-                        prev = best.get(key)
-                        if prev is None or dv < prev:
-                            best[key] = dv
-                else:
-                    acc_q.extend([qi] * len(n_sel))
-                    acc_n.extend(n_sel.tolist())
-                    acc_d.extend(d_sel.tolist())
-        if dedup:
-            for (qi, nb), dv in best.items():
-                acc_q.append(qi)
-                acc_n.append(nb)
-                acc_d.append(dv)
-        if not acc_q:
+                t1 = max(t1, min(shortlist_k, len(sel)))
+                sub_order = np.argsort(dist_all, axis=1, kind="stable")[:, :t1]
+                sub_d = np.take_along_axis(dist_all, sub_order, axis=1)
+                not_self = np.isfinite(sub_d.ravel()) | np.isnan(sub_d.ravel())
+                rq = np.repeat(pr, t1)[not_self]
+                rn = sub_ids[sub_order.ravel()[not_self]]
+                rd = sub_d.ravel()[not_self]
+                if not len(rq):
+                    continue
+                row_start = np.flatnonzero(np.r_[True, rq[1:] != rq[:-1]])
+                row_sizes = np.diff(np.r_[row_start, len(rq)])
+                posw = np.arange(len(rq)) - np.repeat(row_start, row_sizes)
+                keep_t = posw < t_keep
+                qa_parts.append(rq[keep_t])
+                na_parts.append(rn[keep_t])
+                da_parts.append(rd[keep_t])
+        if not qa_parts:
             return
-        qa = np.asarray(acc_q, dtype=np.int64)
-        na = np.asarray(acc_n, dtype=np.int64)
-        da = np.asarray(acc_d, dtype=np.float64)
+        qa = np.concatenate(qa_parts)
+        na = np.concatenate(na_parts)
+        da = np.concatenate(da_parts)
+        if not len(qa):
+            return
+        if dedup:
+            # min dist per (query, neighbor) across multi-assign cells:
+            # sort by (query, neighbor, dist) and keep each pair's first
+            # row — identical to the dict's strict-< keep-first-minimum
+            o = np.lexsort((da, na, qa))
+            qa, na, da = qa[o], na[o], da[o]
+            first = np.r_[True, (qa[1:] != qa[:-1]) | (na[1:] != na[:-1])]
+            qa, na, da = qa[first], na[first], da[first]
         # per-query (dist asc, neighbor asc) rank ≤ shortlist_k — the
         # window mirror (global top-k == partial-top-k merge)
         o = np.lexsort((na, da, qa))

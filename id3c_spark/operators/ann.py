@@ -248,21 +248,61 @@ def cosine_topk(
             ids = np.concatenate(ids_acc)
             mat = np.vstack(mat_acc)
             norm = np.sqrt((mat * mat).sum(axis=1))
-            sims = np.round((mat @ mat.T) / np.outer(norm, norm), 6)
-            out_q, out_n, out_s, out_r = [], [], [], []
-            for i in range(len(ids)):
-                mask = ids != ids[i]
-                cand_ids = ids[mask]
-                cand_sims = sims[i][mask]
-                order = np.lexsort((cand_ids, -cand_sims))[:k]
-                out_q.extend([ids[i]] * len(order))
-                out_n.extend(cand_ids[order])
-                out_s.extend(cand_sims[order])
-                out_r.extend(range(1, len(order) + 1))
+            # chunked GEMM + vectorized per-row top-k: one (chunk, n)
+            # sims block at a time instead of the full n×n matrix —
+            # bounds peak memory at O(chunk·n) whatever the single
+            # shard holds (the gate admits up to AUTO_SHARD_ROWS rows,
+            # where n² would be tens of GB). Candidate columns are
+            # pre-sorted by (id asc, position asc), so a STABLE row
+            # argsort on -sims reads out the identical
+            # (sim desc, id asc) order the previous per-row lexsort
+            # produced; self-exclusion (by ID, as before) masks to
+            # -inf — which sorts after every real cosine and before
+            # NaNs, exactly where the excluded rows sat — then the
+            # window is sized past the worst per-row self count and
+            # self slots are dropped.
+            n = len(ids)
+            corder = np.argsort(ids, kind="stable")
+            ids_s = ids[corder]
+            mat_s = mat[corder]
+            norm_s = norm[corder]
+            chunk = max(16, (2 << 20) // max(n, 1))
+            q_parts, n_parts, s_parts, r_parts = [], [], [], []
+            for c0 in range(0, n, chunk):
+                c1 = min(c0 + chunk, n)
+                sims_c = np.round(
+                    (mat[c0:c1] @ mat_s.T) / np.outer(norm[c0:c1], norm_s), 6
+                )
+                self_mask = ids_s[None, :] == ids[c0:c1, None]
+                sims_c[self_mask] = -np.inf
+                t1 = min(
+                    k + int(self_mask.sum(axis=1).max(initial=0)), n
+                )
+                order = np.argsort(-sims_c, axis=1, kind="stable")[:, :t1]
+                sel = np.take_along_axis(sims_c, order, axis=1)
+                not_self = sel.ravel() > -np.inf
+                nan_sel = np.isnan(sel.ravel())
+                keep_sel = not_self | nan_sel
+                rq = np.repeat(np.arange(c0, c1), t1)[keep_sel]
+                rn = ids_s[order.ravel()[keep_sel]]
+                rs = sel.ravel()[keep_sel]
+                if not len(rq):
+                    continue
+                row_start = np.flatnonzero(np.r_[True, rq[1:] != rq[:-1]])
+                row_sizes = np.diff(np.r_[row_start, len(rq)])
+                posw = np.arange(len(rq)) - np.repeat(row_start, row_sizes)
+                keep_k = posw < k
+                q_parts.append(ids[rq[keep_k]])
+                n_parts.append(rn[keep_k])
+                s_parts.append(rs[keep_k])
+                r_parts.append((posw[keep_k] + 1).astype(np.int32))
+            if not q_parts:
+                return
             yield pd.DataFrame({
-                "query_id": out_q, "neighbor_id": out_n,
-                "sim": out_s,
-                "rank": pd.array(out_r, dtype="int32"),
+                "query_id": np.concatenate(q_parts),
+                "neighbor_id": np.concatenate(n_parts),
+                "sim": np.concatenate(s_parts),
+                "rank": pd.array(np.concatenate(r_parts), dtype="int32"),
             })
 
         return src.mapInPandas(
@@ -371,14 +411,33 @@ def cosine_pairs_above(
             ids = np.concatenate(ids_acc)
             mat = np.vstack(mat_acc)
             mat = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
-            sims = np.round(mat @ mat.T, 6)
-            out_a, out_b, out_s = [], [], []
-            for i in range(len(ids)):
-                mask = (ids > ids[i]) & (sims[i] >= threshold)
-                out_a.extend([ids[i]] * int(mask.sum()))
-                out_b.extend(ids[mask])
-                out_s.extend(sims[i][mask])
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
+            # chunked GEMM: one (chunk, n) sims block at a time instead
+            # of the full n×n matrix — bounds the task's peak memory at
+            # O(chunk·n) whatever the single shard holds (the gate
+            # admits up to AUTO_SHARD_ROWS rows, where a full n² block
+            # would be tens of GB). Arithmetic per pair is the identical
+            # round(row @ mat.T, 6); the (id_a asc row order,
+            # id_b asc within row) emission order is unchanged.
+            n = len(ids)
+            chunk = max(16, (2 << 20) // max(n, 1))
+            a_parts, b_parts, s_parts = [], [], []
+            for c0 in range(0, n, chunk):
+                c1 = min(c0 + chunk, n)
+                sims_c = np.round(mat[c0:c1] @ mat.T, 6)
+                hit = (ids[None, :] > ids[c0:c1, None]) & (sims_c >= threshold)
+                ri, ci = np.nonzero(hit)
+                if not len(ri):
+                    continue
+                a_parts.append(ids[c0:c1][ri])
+                b_parts.append(ids[ci])
+                s_parts.append(sims_c[ri, ci])
+            if not a_parts:
+                return
+            yield pd.DataFrame({
+                "id_a": np.concatenate(a_parts),
+                "id_b": np.concatenate(b_parts),
+                "sim": np.concatenate(s_parts),
+            })
 
         return src.mapInPandas(
             fused_pairs, schema="id_a long, id_b long, sim double"

@@ -777,6 +777,99 @@ def _ivf_assign(df: DataFrame, bp, n_cells: int) -> DataFrame:
     return df.mapInPandas(gen, "id long, cell long")
 
 
+def _self_cell_topk_np(ids, mat, cell_of, probes, n_cells, k):
+    """Task-side IVF self-search scorer shared by the fused ivf_topk and
+    ivf_trained_topk paths: per probed cell, one small GEMM of the
+    probing queries against the cell members — the same
+    round(GEMM/outer(norms)) formula as _cell_gemm_topk's score(), so
+    fused and staged sims are the same doubles. Scoring cell-by-cell in
+    bounded probe chunks (instead of gathering |pairs|×dim pair-expanded
+    matrices) caps peak temporaries at O(chunk·cell) however large the
+    single shard is. Per-cell top-k pruning is exact: a corpus row lives
+    in exactly ONE cell, so candidates are disjoint across cells and the
+    global top-k equals the merge of per-cell top-k (the _cell_gemm_topk
+    partial-top-k argument); the merge input stays ≤ n·nprobe·k rows.
+    Returns the ranked pandas DataFrame, or None when nothing scored."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(ids)
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    pos_in_cell = np.full(n, -1, dtype=np.int64)
+    qi_parts, ci_parts, s_parts = [], [], []
+    chunk = 1024
+    for c in range(n_cells):
+        mem = np.flatnonzero(cell_of == c)
+        if not len(mem):
+            continue
+        probing = np.flatnonzero((probes == c).any(axis=1))
+        if not len(probing):
+            continue
+        # columns ordered by (id asc, input position asc): a
+        # STABLE row argsort on -sims then reads out exactly the
+        # (sim desc, id asc) candidate order of the staged
+        # window and the previous per-pair lexsort
+        mem = mem[np.argsort(ids[mem], kind="stable")]
+        kk1 = min(k + 1, len(mem))
+        pos_in_cell[mem] = np.arange(len(mem))
+        for s0 in range(0, len(probing), chunk):
+            pr = probing[s0:s0 + chunk]
+            sims_c = np.round(
+                (mat[pr] @ mat[mem].T) / np.outer(nrm[pr], nrm[mem]),
+                6,
+            )
+            # self-exclusion (same row index, as before): mask
+            # the probing row's own column to -inf so it sorts
+            # after every real candidate (and before NaNs, which
+            # argsort orders last exactly like the previous
+            # global lexsort did), select k+1 columns, then drop
+            # the self slot and keep the first k per row — exact
+            # whether or not the self column made the window
+            self_col = pos_in_cell[pr]
+            has_self = np.flatnonzero(self_col >= 0)
+            if len(has_self):
+                sims_c[has_self, self_col[has_self]] = -np.inf
+            order = np.argsort(-sims_c, axis=1, kind="stable")[:, :kk1]
+            sel = np.take_along_axis(sims_c, order, axis=1)
+            not_self = (order != self_col[:, None]).ravel()
+            rq = np.repeat(pr, kk1)[not_self]
+            rc = mem[order.ravel()[not_self]]
+            rs = sel.ravel()[not_self]
+            if not len(rq):
+                continue
+            row_new = np.r_[True, rq[1:] != rq[:-1]]
+            row_start = np.flatnonzero(row_new)
+            row_sizes = np.diff(np.r_[row_start, len(rq)])
+            posw = (
+                np.arange(len(rq))
+                - np.repeat(row_start, row_sizes)
+            )
+            keep_k = posw < k
+            qi_parts.append(rq[keep_k])
+            ci_parts.append(rc[keep_k])
+            s_parts.append(rs[keep_k])
+        pos_in_cell[mem] = -1
+    if not qi_parts:
+        return None
+    qi = np.concatenate(qi_parts)
+    ci = np.concatenate(ci_parts)
+    sims = np.concatenate(s_parts)
+    if not len(qi):
+        return None
+    qids, cids = ids[qi], ids[ci]
+    o = np.lexsort((cids, -sims, qids))
+    qs, cs, ss = qids[o], cids[o], sims[o]
+    grp_start = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+    sizes = np.diff(np.r_[grp_start, len(qs)])
+    rank = np.arange(len(qs)) - np.repeat(grp_start, sizes) + 1
+    top = rank <= k
+    return pd.DataFrame({
+        "query_id": qs[top], "neighbor_id": cs[top],
+        "sim": ss[top],
+        "rank": pd.array(rank[top], dtype="int32"),
+    })
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -857,96 +950,9 @@ def ivf_topk(
             order = np.argsort(-asims, axis=1, kind="stable")
             cell_of = order[:, 0]                      # corpus side, 1 cell
             probes = order[:, : min(nprobe, len(piv_ids))]
-            # candidates: per probed cell, one small GEMM of the probing
-            # queries against the cell members — the same
-            # round(GEMM/outer(norms)) formula as _cell_gemm_topk's
-            # score(), so fused and staged sims are the same doubles.
-            # Scoring cell-by-cell in bounded probe chunks (instead of
-            # gathering |pairs|×dim pair-expanded matrices) caps peak
-            # temporaries at O(chunk·cell) however large the single
-            # shard is — on N vectors and nlist cells the gathered
-            # shape allocated ~N²/nlist·dim·8 bytes, which is both the
-            # wrong 100 TB discipline and catastrophically slow on
-            # hosts where fresh large mmaps fault slowly. Per-cell
-            # top-k pruning is exact: a corpus row lives in exactly ONE
-            # cell, so candidates are disjoint across cells and the
-            # global top-k equals the merge of per-cell top-k (the
-            # _cell_gemm_topk partial-top-k argument); the merge input
-            # stays ≤ n·nprobe·k rows.
-            nrm = np.sqrt((mat * mat).sum(axis=1))
-            pos_in_cell = np.full(n, -1, dtype=np.int64)
-            qi_parts, ci_parts, s_parts = [], [], []
-            chunk = 1024
-            for c in range(len(piv_ids)):
-                mem = np.flatnonzero(cell_of == c)
-                if not len(mem):
-                    continue
-                probing = np.flatnonzero((probes == c).any(axis=1))
-                if not len(probing):
-                    continue
-                # columns ordered by (id asc, input position asc): a
-                # STABLE row argsort on -sims then reads out exactly the
-                # (sim desc, id asc) candidate order of the staged
-                # window and the previous per-pair lexsort
-                mem = mem[np.argsort(ids[mem], kind="stable")]
-                kk1 = min(k + 1, len(mem))
-                pos_in_cell[mem] = np.arange(len(mem))
-                for s0 in range(0, len(probing), chunk):
-                    pr = probing[s0:s0 + chunk]
-                    sims_c = np.round(
-                        (mat[pr] @ mat[mem].T) / np.outer(nrm[pr], nrm[mem]),
-                        6,
-                    )
-                    # self-exclusion (same row index, as before): mask
-                    # the probing row's own column to -inf so it sorts
-                    # after every real candidate (and before NaNs, which
-                    # argsort orders last exactly like the previous
-                    # global lexsort did), select k+1 columns, then drop
-                    # the self slot and keep the first k per row — exact
-                    # whether or not the self column made the window
-                    self_col = pos_in_cell[pr]
-                    has_self = np.flatnonzero(self_col >= 0)
-                    if len(has_self):
-                        sims_c[has_self, self_col[has_self]] = -np.inf
-                    order = np.argsort(-sims_c, axis=1, kind="stable")[:, :kk1]
-                    sel = np.take_along_axis(sims_c, order, axis=1)
-                    not_self = (order != self_col[:, None]).ravel()
-                    rq = np.repeat(pr, kk1)[not_self]
-                    rc = mem[order.ravel()[not_self]]
-                    rs = sel.ravel()[not_self]
-                    if not len(rq):
-                        continue
-                    row_new = np.r_[True, rq[1:] != rq[:-1]]
-                    row_start = np.flatnonzero(row_new)
-                    row_sizes = np.diff(np.r_[row_start, len(rq)])
-                    posw = (
-                        np.arange(len(rq))
-                        - np.repeat(row_start, row_sizes)
-                    )
-                    keep_k = posw < k
-                    qi_parts.append(rq[keep_k])
-                    ci_parts.append(rc[keep_k])
-                    s_parts.append(rs[keep_k])
-                pos_in_cell[mem] = -1
-            if not qi_parts:
-                return
-            qi = np.concatenate(qi_parts)
-            ci = np.concatenate(ci_parts)
-            sims = np.concatenate(s_parts)
-            if not len(qi):
-                return
-            qids, cids = ids[qi], ids[ci]
-            o = np.lexsort((cids, -sims, qids))
-            qs, cs, ss = qids[o], cids[o], sims[o]
-            grp_start = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
-            sizes = np.diff(np.r_[grp_start, len(qs)])
-            rank = np.arange(len(qs)) - np.repeat(grp_start, sizes) + 1
-            top = rank <= k
-            yield pd.DataFrame({
-                "query_id": qs[top], "neighbor_id": cs[top],
-                "sim": ss[top],
-                "rank": pd.array(rank[top], dtype="int32"),
-            })
+            out = _self_cell_topk_np(ids, mat, cell_of, probes, len(piv_ids), k)
+            if out is not None:
+                yield out
 
         return src.mapInPandas(
             fused,
@@ -976,6 +982,7 @@ def ivf_trained_topk(
     vec_col: str = "embedding",
     train_iter: int = 2,
     coarse=None,
+    fuse: bool | None = None,
 ) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer — ``ivf_topk`` with Lloyd
     k-means cells instead of md5-pivot cells (reusing pq_train's m=1
@@ -997,6 +1004,65 @@ def ivf_trained_topk(
     same = queries is corpus
     train_here = coarse is None
     cp = _prep(corpus, id_col, vec_col)
+
+    # *fuse* (self-search only): None = stats-gated — when the corpus
+    # fits one task (clustering._fuse_vectors, the shared
+    # statistics-before-strategy step), the Lloyd training collects, both
+    # normalize/assign passes, the cell-keyed pack join and the rank
+    # window collapse into ONE lazy narrow mapInPandas stage with zero
+    # plan-build driver jobs. Normalization, lloyd_np training, 6-dp L2
+    # assignment with index tiebreak and the per-cell exact-cosine rerank
+    # replay the staged path's np ops elementwise (parity-tested); larger
+    # corpora keep the broadcast-centroid distributed shape untouched.
+    if fuse is None:
+        from id3c_spark.operators.clustering import _fuse_vectors
+
+        fuse = same and _fuse_vectors(cp)
+    if fuse and same:
+        import numpy as np
+        import pandas as pd
+
+        from id3c_spark.operators.clustering import lloyd_np
+
+        bc_pre = (
+            None
+            if train_here
+            else cp.sparkSession.sparkContext.broadcast(coarse)
+        )
+        src = cp.coalesce(1)
+
+        def fused(batches):
+            ids_acc, mat_acc = [], []
+            for pdf in batches:
+                if len(pdf):
+                    ids_acc.append(pdf["id"].to_numpy(dtype=np.int64))
+                    mat_acc.append(np.asarray(
+                        [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+                    ))
+            if not ids_acc:
+                return
+            ids = np.concatenate(ids_acc)
+            mat = np.vstack(mat_acc)
+            # _normalized's exact op
+            vm = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
+            cent = (
+                lloyd_np(ids, vm, 1, nlist, train_iter)[0]
+                if bc_pre is None
+                else bc_pre.value[0]
+            )  # (nlist', dim)
+            # _assign_topn's exact ops: 6-dp squared L2, index tiebreak
+            d2 = np.round(((vm[:, None, :] - cent[None]) ** 2).sum(axis=2), 6)
+            order = np.argsort(d2, axis=1, kind="stable")
+            cell_of = order[:, 0]
+            probes = order[:, : min(nprobe, cent.shape[0])]
+            out = _self_cell_topk_np(ids, mat, cell_of, probes, cent.shape[0], k)
+            if out is not None:
+                yield out
+
+        return src.mapInPandas(
+            fused,
+            schema="query_id long, neighbor_id long, sim double, rank int",
+        )
     # persists span ONLY the training action (the pq.py discipline):
     # after pq_train's Lloyd passes the caches are released, and the lazy
     # tail recomputes the prep/normalize Arrow passes at most once each —

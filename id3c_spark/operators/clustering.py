@@ -61,6 +61,99 @@ MEAN6_EXPR = (
 )
 
 
+def micros6(x):
+    """Vectorized EXACT mirror of ``round(x, 6)::decimal(20,6)`` as int64
+    micros — the per-component value mean6_aggs sums. Spark's round on a
+    double is BigDecimal(shortest-repr).setScale(6, HALF_UP), and the
+    decimal cast of the rounded double recovers that 6-dp value exactly,
+    so the composite is one half-up rounding of the double's shortest
+    decimal repr at the 6th place. Numerically floor(|x|*1e6 + 0.5) with
+    the sign restored equals that everywhere except within float error
+    of a .5 tie, so elements whose fractional part lands near .5 (and
+    only those — essentially none in real data) replay the exact
+    BigDecimal arithmetic via Decimal(repr): same shortest-repr input,
+    same HALF_UP rule, bit-identical output (the graph.py weighted-degree
+    replay, generalized)."""
+    import numpy as np
+
+    fa = np.abs(x) * 1e6
+    frac = fa - np.floor(fa)
+    out = np.floor(fa + 0.5)
+    unsafe = np.flatnonzero(np.abs(frac - 0.5) < 1e-8)
+    if len(unsafe):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        one = Decimal(1)
+        flat_x = np.asarray(x, dtype=np.float64).ravel()
+        flat_out = out.ravel()
+        for j in unsafe:
+            flat_out[j] = abs(
+                int(
+                    Decimal(repr(float(flat_x[j])))
+                    .scaleb(6)
+                    .quantize(one, ROUND_HALF_UP)
+                )
+            )
+        out = flat_out.reshape(out.shape)
+    return (np.sign(x) * out).astype(np.int64)
+
+
+def mean6_int(smi, n):
+    """Vectorized MEAN6_EXPR: half-up integer-micro division → double.
+    *smi* int64 micro sums, *n* int64 positive counts."""
+    import numpy as np
+
+    smi = np.asarray(smi, dtype=np.int64)
+    n = np.asarray(n, dtype=np.int64)
+    pos = (2 * smi + n) // (2 * n)
+    neg = -((2 * (-smi) + n) // (2 * n))
+    return np.where(smi >= 0, pos, neg) / 1e6
+
+
+def lloyd_np(ids, mat, m, k, max_iter, seed_salt=""):
+    """Task-side mirror of pq_train's Lloyd loop (kmeans is the m=1
+    instance): md5-smallest seeds (id tiebreak), per-subspace 6-dp
+    squared-L2 argmin assignment, exact integer-micro half-up mean,
+    empty clusters keep their centroid. Returns (m, min(k, N), d/m)
+    centroids bit-identical to the collect-per-iteration path: seeds are
+    np.round'd like pq_train's driver code, assignment replays
+    _assign_components' np ops, and the mean replays
+    mean6_aggs + MEAN6_EXPR through micros6/mean6_int."""
+    import hashlib
+
+    import numpy as np
+
+    n = len(ids)
+    md5s = [
+        hashlib.md5((str(int(i)) + seed_salt).encode()).hexdigest() for i in ids
+    ]
+    seed_rows = sorted(range(n), key=lambda j: (md5s[j], ids[j]))[:k]
+    k = min(k, len(seed_rows))
+    dim = mat.shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible into {m} subspaces"
+    dsub = dim // m
+    cent = (
+        np.round(mat[seed_rows], 6).reshape(k, m, dsub).transpose(1, 0, 2).copy()
+    )  # (m, k, dsub)
+    if max_iter > 0:
+        xs = mat.reshape(n, m, dsub)
+        mic = micros6(mat).reshape(n, m, dsub)
+        for _ in range(max_iter):
+            new = cent.copy()  # empty subspace clusters keep their centroid
+            for s in range(m):
+                d2 = np.round(
+                    ((xs[:, s, None, :] - cent[s][None, :, :]) ** 2).sum(axis=2), 6
+                )
+                code = d2.argmin(axis=1)
+                smi = np.zeros((k, dsub), dtype=np.int64)
+                np.add.at(smi, code, mic[:, s, :])
+                cnt = np.bincount(code, minlength=k).astype(np.int64)
+                filled = cnt > 0
+                new[s][filled] = mean6_int(smi[filled], cnt[filled, None])
+            cent = new
+    return cent
+
+
 def _assign(vp: DataFrame, bc, with_dist: bool = False) -> DataFrame:
     """(id, cluster[, dist]) — nearest centroid by 6-dp squared L2,
     centroid-index tiebreak (np.argmin picks the first minimum, matching
@@ -90,20 +183,81 @@ def _assign(vp: DataFrame, bc, with_dist: bool = False) -> DataFrame:
     return vp.mapInPandas(gen, schema)
 
 
+def _fuse_vectors(vp: DataFrame) -> bool:
+    """Stats gate for the fused single-task Lloyd paths: integral id
+    (the numpy mirror is int64/str(int)) and a file-backed source small
+    enough for one task — the same statistics-before-strategy step as
+    ann._auto_shards, driver-side listing only."""
+    from pyspark.sql import types as T
+
+    from id3c_spark.operators.linalg import _single_task_source
+
+    if not isinstance(
+        vp.schema["id"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        return False
+    return _single_task_source(vp)
+
+
 def kmeans(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 8,
     max_iter: int = 2,
+    fuse: bool | None = None,
 ) -> DataFrame:
     """Lloyd k-means: *max_iter* assign/update rounds from the
     deterministic md5 seed, then a final assignment. Returns
     ``(id_col, cluster, dist)`` where cluster is the 0-based index of the
-    seed ordering and dist the 6-dp squared L2 to the final centroid."""
+    seed ordering and dist the 6-dp squared L2 to the final centroid.
+
+    *fuse*: None = stats-gated (_fuse_vectors) — when the corpus fits
+    one task, the seed-collect job, every per-iteration centroid
+    collect, and the final assignment collapse into ONE lazy narrow
+    mapInPandas stage (zero driver jobs at plan-build time); training
+    arithmetic is bit-identical by the lloyd_np contract. Larger
+    corpora keep the broadcast-centroid distributed iteration."""
     import numpy as np
 
-    vp = _prep(df, id_col, vec_col).persist()
+    vp = _prep(df, id_col, vec_col)
+    if fuse is None:
+        fuse = _fuse_vectors(vp)
+    if fuse:
+        import pandas as pd
+
+        src = vp.coalesce(1)
+
+        def run(batches):
+            ids_acc, mat_acc = [], []
+            for pdf in batches:
+                if len(pdf):
+                    ids_acc.append(pdf["id"].to_numpy(dtype=np.int64))
+                    mat_acc.append(np.asarray(
+                        [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+                    ))
+            if not ids_acc:
+                return
+            ids = np.concatenate(ids_acc)
+            mat = np.vstack(mat_acc)
+            cent = lloyd_np(ids, mat, 1, k, max_iter)[0]  # (k', dim)
+            # final assignment with dist — _assign's exact np ops
+            d2 = np.round(
+                ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2), 6
+            )
+            cl = d2.argmin(axis=1)
+            yield pd.DataFrame({
+                "id": ids,
+                "cluster": cl.astype("int64"),
+                "dist": d2[np.arange(len(cl)), cl],
+            })
+
+        return src.mapInPandas(run, "id long, cluster long, dist double").select(
+            F.col("id").alias(id_col), "cluster", "dist"
+        )
+
+    vp = vp.persist()
     sc = vp.sparkSession.sparkContext
     seed = (
         vp.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))

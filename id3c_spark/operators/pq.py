@@ -68,6 +68,7 @@ def pq_train(
     k: int = 16,
     max_iter: int = 2,
     seed_salt: str = "",
+    fuse: bool | None = None,
 ):
     """Train the m per-subspace codebooks (Lloyd iterations). Returns a
     numpy array (m, k, d/m) of 6-dp centroids — broadcast-sized model
@@ -86,7 +87,56 @@ def pq_train(
     quantizer so both quantizers share one oracle-mirrored discipline."""
     import numpy as np
 
-    vp = _prep(df, id_col, vec_col).persist()
+    vp = _prep(df, id_col, vec_col)
+    # *fuse*: None = stats-gated (clustering._fuse_vectors) — a corpus
+    # that fits one task trains in ONE narrow job (scan → lloyd_np →
+    # m·k·dsub centroid rows collected) instead of the seed collect plus
+    # one assignment-scan + aggregate collect PER Lloyd iteration;
+    # centroids are bit-identical by the lloyd_np contract. Larger
+    # corpora keep the broadcast-centroid distributed iterations.
+    if fuse is None:
+        from id3c_spark.operators.clustering import _fuse_vectors
+
+        fuse = _fuse_vectors(vp)
+    if fuse:
+        import pandas as pd
+
+        from id3c_spark.operators.clustering import lloyd_np
+
+        def train(batches):
+            ids_acc, mat_acc = [], []
+            for pdf in batches:
+                if len(pdf):
+                    ids_acc.append(pdf["id"].to_numpy(dtype=np.int64))
+                    mat_acc.append(np.asarray(
+                        [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+                    ))
+            if not ids_acc:
+                return
+            cent = lloyd_np(
+                np.concatenate(ids_acc), np.vstack(mat_acc), m, k, max_iter,
+                seed_salt,
+            )
+            mm, kk, dsub = cent.shape
+            idx = np.indices((mm, kk, dsub)).reshape(3, -1)
+            yield pd.DataFrame({
+                "sub": idx[0], "code": idx[1], "dim": idx[2],
+                "c": cent.reshape(-1),
+            })
+
+        rows = vp.coalesce(1).mapInPandas(
+            train, "sub int, code int, dim int, c double"
+        ).collect()
+        if not rows:
+            raise ValueError("pq_train: empty corpus")
+        kk = 1 + max(r.code for r in rows)
+        dsub = 1 + max(r.dim for r in rows)
+        cent = np.empty((m, kk, dsub), dtype=np.float64)
+        for r in rows:
+            cent[r.sub][r.code][r.dim] = r.c
+        return cent
+
+    vp = vp.persist()
     sc = vp.sparkSession.sparkContext
     seeds = (
         vp.orderBy(
@@ -268,6 +318,7 @@ def pq_topk(
     vec_col: str = "embedding",
     corpus_shards: int = 8,
     query_blocks: int = 8,
+    fuse: bool | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k: exact query vectors scored against
     the COMPRESSED corpus. Same blocked shape as ann.cosine_topk — query
@@ -286,6 +337,107 @@ def pq_topk(
     m, kcent, dsub = mdl.shape
 
     qp = _prep(queries, id_col, vec_col)
+
+    # *fuse* (self-search only): None = stats-gated — when the corpus
+    # fits one task (clustering._fuse_vectors, the shared
+    # statistics-before-strategy step), the two pack aggregates, the
+    # crossJoin exchange and the rank window collapse into ONE narrow
+    # mapInPandas stage that encodes and ADC-scores in place. LUT values,
+    # exact integer-micro sums and the (dist asc, id asc) rank replay
+    # partial_topk's np ops elementwise (single shard ⇒ partial top-k IS
+    # the global top-k), so rows are bit-identical; multi-shard corpora
+    # keep the blocked codes layout — the 100 TB shape — untouched.
+    if fuse is None:
+        from id3c_spark.operators.clustering import _fuse_vectors
+
+        fuse = queries is corpus and _fuse_vectors(qp)
+    if fuse and queries is corpus:
+        bcm = qp.sparkSession.sparkContext.broadcast(mdl)
+        src = qp.coalesce(1)
+
+        def fused(batches):
+            cent = bcm.value  # (m, kcent, dsub)
+            ids_acc, mat_acc = [], []
+            for pdf in batches:
+                if len(pdf):
+                    ids_acc.append(pdf["id"].to_numpy(dtype=np.int64))
+                    mat_acc.append(np.asarray(
+                        [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+                    ))
+            if not ids_acc:
+                return
+            ids = np.concatenate(ids_acc)
+            mat = np.vstack(mat_acc)
+            n = len(ids)
+            xs = mat.reshape(n, m, dsub)
+            # encode: per-subspace 6-dp argmin — _subspace_assign's ops
+            ccodes = np.empty((n, m), dtype=np.int64)
+            for s in range(m):
+                d2 = np.round(
+                    ((xs[:, s, None, :] - cent[s][None, :, :]) ** 2).sum(axis=2),
+                    6,
+                )
+                ccodes[:, s] = d2.argmin(axis=1)
+            # candidate columns ordered (id asc, position asc): a stable
+            # row argsort on dist then reads out exactly partial_topk's
+            # per-query lexsort((cand_ids, cand_d)) = (dist asc, id asc)
+            # order; self-exclusion (by id, as there) masks to +inf, the
+            # window is sized past the worst per-row self count, and
+            # self slots are dropped after selection.
+            corder = np.argsort(ids, kind="stable")
+            ids_s = ids[corder]
+            codes_s = ccodes[corder]
+            chunk = max(16, (2 << 20) // max(n, 1))
+            q_parts, n_parts, d_parts, r_parts = [], [], [], []
+            for c0 in range(0, n, chunk):
+                c1 = min(c0 + chunk, n)
+                b = c1 - c0
+                # per-query LUT, batched: identical elementwise ops and
+                # the same contiguous dsub-axis sum as partial_topk's
+                # per-i loop, then exact int64 micro gather-sums
+                lut = np.round(
+                    ((xs[c0:c1, :, None, :] - cent[None]) ** 2).sum(axis=3), 6
+                )  # (b, m, kcent)
+                lut_mi = np.rint(lut * 1e6).astype(np.int64)
+                dist_mi = np.zeros((b, n), dtype=np.int64)
+                for s in range(m):
+                    dist_mi += lut_mi[:, s, :][:, codes_s[:, s]]
+                dist = dist_mi / 1e6
+                self_mask = ids_s[None, :] == ids[c0:c1, None]
+                dist[self_mask] = np.inf
+                t1 = min(
+                    k + int(self_mask.sum(axis=1).max(initial=0)), n
+                )
+                order = np.argsort(dist, axis=1, kind="stable")[:, :t1]
+                sel = np.take_along_axis(dist, order, axis=1)
+                keep_sel = sel.ravel() < np.inf
+                rq = np.repeat(np.arange(c0, c1), t1)[keep_sel]
+                rn = ids_s[order.ravel()[keep_sel]]
+                rd = sel.ravel()[keep_sel]
+                if not len(rq):
+                    continue
+                row_start = np.flatnonzero(np.r_[True, rq[1:] != rq[:-1]])
+                row_sizes = np.diff(np.r_[row_start, len(rq)])
+                posw = np.arange(len(rq)) - np.repeat(row_start, row_sizes)
+                keep_k = posw < k
+                q_parts.append(ids[rq[keep_k]])
+                n_parts.append(rn[keep_k])
+                d_parts.append(rd[keep_k])
+                r_parts.append((posw[keep_k] + 1).astype(np.int32))
+            if not q_parts:
+                return
+            yield pd.DataFrame({
+                "query_id": np.concatenate(q_parts),
+                "neighbor_id": np.concatenate(n_parts),
+                "dist": np.concatenate(d_parts),
+                "rank": pd.array(np.concatenate(r_parts), dtype="int32"),
+            })
+
+        return src.mapInPandas(
+            fused,
+            schema="query_id long, neighbor_id long, dist double, rank int",
+        )
+
     qpacked = (
         qp.select(
             F.pmod(F.hash(F.col("id")), F.lit(query_blocks)).alias("qb"),

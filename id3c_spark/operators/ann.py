@@ -1387,6 +1387,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cell_rows: int = 4096,
+    fuse: bool | None = None,
 ) -> DataFrame:
     """Semantic (embedding-space) deduplication: cluster near-identical
     embeddings and keep one canonical document per cluster — the
@@ -1422,7 +1423,109 @@ def semantic_dedup(
 
     from id3c_spark.operators.dedup import dedup_clusters
 
-    cp = _prep(corpus, id_col, vec_col).persist()
+    cp = _prep(corpus, id_col, vec_col)
+
+    # *fuse*: None = stats-gated (clustering._fuse_vectors, the shared
+    # statistics-before-strategy step) — when the corpus fits one task,
+    # the nlist count job, the pivot collect, the persist/join/pack
+    # machinery, the block self-join and dedup_clusters' regime probe all
+    # collapse into ONE lazy narrow mapInPandas stage. Pivot selection,
+    # 6-dp cosine assignment and pair scoring replay the staged np ops
+    # elementwise; the components are min-root union-find — the identical
+    # min-label components both dedup_clusters regimes produce. The
+    # max_cell_rows sub-block split only bounds task matmuls (the hit
+    # set is the union over blocks either way), and rows sharing an id
+    # hash to the same sub-block, so the strict id triangle applies to
+    # them in both paths. Larger corpora keep the packed-cell layout —
+    # the 100 TB shape — untouched.
+    if fuse is None:
+        from id3c_spark.operators.clustering import _fuse_vectors
+
+        fuse = _fuse_vectors(cp)
+    if fuse:
+        import hashlib
+
+        fixed_nlist = nlist
+        src = cp.coalesce(1)
+
+        def run(batches):
+            ids_acc, mat_acc = [], []
+            for pdf in batches:
+                if len(pdf):
+                    ids_acc.append(pdf["id"].to_numpy(dtype=np.int64))
+                    mat_acc.append(np.asarray(
+                        [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+                    ))
+            if not ids_acc:
+                return
+            ids = np.concatenate(ids_acc)
+            mat = np.vstack(mat_acc)
+            n = len(ids)
+            nl = fixed_nlist if fixed_nlist is not None else _auto_nlist(n)
+            # pivots + assignment: the fused ivf_topk prologue verbatim
+            md5s = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+            by_md5 = sorted(range(n), key=lambda j: (md5s[j], ids[j]))[:nl]
+            piv_rows = sorted(by_md5, key=lambda j: ids[j])
+            raw = mat[piv_rows]
+            pmat = raw / np.sqrt((raw * raw).sum(axis=1))[:, None]
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            vm = mat / nrm[:, None]
+            asims = np.round(vm @ pmat.T, 6)
+            cell_of = np.argsort(-asims, axis=1, kind="stable")[:, 0]
+            # within-cell pairs ≥ threshold, strict id triangle, chunked
+            ea_parts, eb_parts = [], []
+            for c in range(len(piv_rows)):
+                mem = np.flatnonzero(cell_of == c)
+                if len(mem) < 2:
+                    continue
+                chunk = max(16, (2 << 20) // len(mem))
+                for s0 in range(0, len(mem), chunk):
+                    pr = mem[s0:s0 + chunk]
+                    sims = np.round(
+                        (mat[pr] @ mat[mem].T) / np.outer(nrm[pr], nrm[mem]),
+                        6,
+                    )
+                    hit = (sims >= threshold) & (
+                        ids[mem][None, :] > ids[pr][:, None]
+                    )
+                    ai, bj = np.nonzero(hit)
+                    if len(ai):
+                        ea_parts.append(ids[pr][ai])
+                        eb_parts.append(ids[mem][bj])
+            # min-root union-find — dedup_clusters' label contract
+            cluster = dict(zip(ids.tolist(), ids.tolist()))
+            if ea_parts:
+                ea = np.concatenate(ea_parts)
+                eb = np.concatenate(eb_parts)
+                uniq = np.unique(np.concatenate([ea, eb]))
+                idx = {int(v): i for i, v in enumerate(uniq)}
+                parent = np.arange(len(uniq), dtype=np.int64)
+
+                def find(a):
+                    while parent[a] != a:
+                        parent[a] = parent[parent[a]]
+                        a = parent[a]
+                    return a
+
+                for x, y in zip(ea.tolist(), eb.tolist()):
+                    ra, rb = find(idx[int(x)]), find(idx[int(y)])
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+                roots = np.asarray([find(i) for i in range(len(uniq))])
+                minid = np.full(len(uniq), np.iinfo(np.int64).max)
+                np.minimum.at(minid, roots, uniq)
+                for v, r in zip(uniq.tolist(), roots.tolist()):
+                    cluster[int(v)] = int(minid[r])
+            cl = np.asarray([cluster[int(i)] for i in ids], dtype=np.int64)
+            yield pd.DataFrame({
+                "id": ids, "cluster": cl, "keep": ids == cl
+            })
+
+        return src.mapInPandas(
+            run, "id long, cluster long, keep boolean"
+        ).select(F.col("id").alias(id_col), "cluster", "keep")
+
+    cp = cp.persist()
     if nlist is None:
         nlist = _auto_nlist(cp.count())
     cells = _ivf_assign(cp, _ivf_pivots(cp, nlist), 1)

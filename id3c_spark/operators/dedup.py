@@ -1276,31 +1276,47 @@ def _fused_simhash_band_pairs(
         hv = np.concatenate(h_parts)
         order = np.argsort(ids, kind="stable")
         ids, hv = ids[order], hv[order]
-        buckets: dict = {}
+        n = len(ids)
+        # candidate pair codes per byte band, vectorized: bucket members
+        # share a band value, emit the C(m,2) position pairs per bucket
+        # (positions ascend in the id-sorted layout, so i<j IS the old
+        # id_a < id_b orientation), dedup across bands with one sort —
+        # the same candidate set the per-bucket Python set produced,
+        # without 10^6 tuple allocations on a skewed corpus (near-dup
+        # corpora concentrate whole buckets by construction).
+        code_parts = []
         for b in range(4):
             bv = (hv >> (8 * b)) & 255
-            for idx, v in enumerate(bv.tolist()):
-                buckets.setdefault((b, v), []).append(idx)
-        cand = set()
-        for members in buckets.values():
-            if len(members) > 1:
-                cand.update(
-                    (members[i], members[j])
-                    for i in range(len(members) - 1)
-                    for j in range(i + 1, len(members))
-                )
-        out = [
-            (ids[i], ids[j], d)
-            for i, j in cand
-            if (d := int(hv[i] ^ hv[j]).bit_count()) <= max_distance
-        ]
-        if not out:
+            o = np.argsort(bv, kind="stable")
+            sb = bv[o]
+            starts = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
+            ends = np.r_[starts[1:], n]
+            for s, e in zip(starts, ends):
+                g = e - s
+                if g < 2:
+                    continue
+                mem = np.sort(o[s:e])
+                gi = np.repeat(mem[:-1], np.arange(g - 1, 0, -1))
+                gj = np.concatenate([mem[j + 1:] for j in range(g - 1)])
+                code_parts.append(gi * np.int64(n) + gj)
+        if not code_parts:
             return
-        a, b, d = zip(*out)
+        codes = np.unique(np.concatenate(code_parts))
+        pi, pj = codes // n, codes % n
+        # Hamming refine: 16-bit popcount LUT over the 32-bit xor —
+        # exact, like int.bit_count
+        lut = np.unpackbits(
+            np.arange(65536, dtype=np.uint16).view(np.uint8)
+        ).reshape(65536, 16).sum(axis=1).astype(np.int64)
+        x = hv[pi] ^ hv[pj]
+        dist = lut[x & 0xFFFF] + lut[(x >> 16) & 0xFFFF]
+        keep = dist <= max_distance
+        if not keep.any():
+            return
         yield pd.DataFrame({
-            "id_a": np.asarray(a, dtype=np.int64),
-            "id_b": np.asarray(b, dtype=np.int64),
-            "distance": np.asarray(d, dtype=np.int64),
+            "id_a": ids[pi[keep]],
+            "id_b": ids[pj[keep]],
+            "distance": dist[keep],
         })
 
     return src.mapInPandas(run, "id_a long, id_b long, distance long")

@@ -1583,65 +1583,48 @@ def semantic_dedup(
 def _fused_rerank(
     qe: DataFrame, ce: DataFrame, cand: DataFrame, k: int
 ) -> DataFrame:
-    """Single-task mirror of the two-equi-join + window rerank for the
-    stats-gated small regime: candidates, query vectors and corpus
-    vectors ride ONE tagged union into one task; sims are the identical
+    """Sharded mirror of the two-equi-join + window rerank for the
+    stats-gated small regime: the query and corpus vector relations are
+    gate-bounded, so they collect ONCE into broadcast id→[vectors] maps
+    (lists — duplicate ids replicate their pairs exactly like the
+    distributed equi-joins; the replicated rows are value-identical, so
+    ranks over them are interchangeable), and the candidate relation
+    shards across tasks on query_id — every rerank decision keys on the
+    query alone, and hash partitioning lands a query's whole candidate
+    set in one task, so the per-task pair-set dedup and the per-query
+    (sim desc, neighbor asc) rank are complete. Sims are the identical
     np.round(dot/(‖q‖·‖c‖), 6) the distributed _score_pairs computes
-    (elementwise — batching does not change any value), and the
-    per-query (sim desc, neighbor asc) rank mirrors the window.
-    Duplicate ids on either vector side replicate their pairs exactly
-    like the distributed equi-joins (the replicated rows are
-    value-identical, so ranks over them are interchangeable)."""
-    tagged = (
-        cand.select(
-            F.lit(0).alias("sd"),
-            F.col("query_id").alias("ia"),
-            F.col("neighbor_id").alias("ib"),
-            F.lit(None).cast("array<double>").alias("v"),
+    (elementwise — batching does not change any value). The former
+    single-task tagged union serialized the whole shortlist through one
+    core; the candidate exchange ships only (query_id, neighbor_id)
+    pairs and the scoring uses the cluster."""
+    import numpy as np
+
+    qv: dict = {}
+    for r in qe.collect():
+        qv.setdefault(int(r["query_id"]), []).append(
+            np.asarray(r["qv"], dtype=np.float64)
         )
-        .unionByName(
-            qe.select(
-                F.lit(1).alias("sd"),
-                F.col("query_id").alias("ia"),
-                F.lit(-1).cast("long").alias("ib"),
-                F.col("qv").alias("v"),
-            )
+    cv: dict = {}
+    for r in ce.collect():
+        cv.setdefault(int(r["neighbor_id"]), []).append(
+            np.asarray(r["cv"], dtype=np.float64)
         )
-        .unionByName(
-            ce.select(
-                F.lit(2).alias("sd"),
-                F.col("neighbor_id").alias("ia"),
-                F.lit(-1).cast("long").alias("ib"),
-                F.col("cv").alias("v"),
-            )
-        )
-        .coalesce(1)
-    )
+    bc = cand.sparkSession.sparkContext.broadcast((qv, cv))
+    tagged = cand.select("query_id", "neighbor_id").repartition("query_id")
 
     def run(batches):
         import numpy as np
         import pandas as pd
 
+        qv, cv = bc.value
         pairs = set()
-        qv: dict = {}
-        cv: dict = {}
         for pdf in batches:
-            sd = pdf["sd"].to_numpy()
-            ia = pdf["ia"].to_numpy(np.int64)
-            ib = pdf["ib"].to_numpy(np.int64)
-            vs = pdf["v"].to_numpy()
-            for i in range(len(pdf)):
-                s = sd[i]
-                if s == 0:
-                    pairs.add((int(ia[i]), int(ib[i])))
-                elif s == 1:
-                    qv.setdefault(int(ia[i]), []).append(
-                        np.asarray(vs[i], dtype=np.float64)
-                    )
-                else:
-                    cv.setdefault(int(ia[i]), []).append(
-                        np.asarray(vs[i], dtype=np.float64)
-                    )
+            for q, nb in zip(
+                pdf["query_id"].to_numpy(np.int64),
+                pdf["neighbor_id"].to_numpy(np.int64),
+            ):
+                pairs.add((int(q), int(nb)))
         if not pairs:
             return
         rows_q, rows_n, qm_l, cm_l = [], [], [], []

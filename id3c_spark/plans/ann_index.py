@@ -567,32 +567,37 @@ def _fused_serve(
     see _adc_topk), int64 LUT micros sum exactly, and the global top-k
     over ALL candidates equals the partial-top-k-then-window merge, so
     results are bit-identical (pinned in tests/test_ann_index.py)."""
-    null_d = F.lit(None).cast("array<double>")
-    null_l = F.lit(None).cast("array<bigint>")
-    parts = [
-        qp.select(
-            F.lit(0).alias("sd"), F.col("id"),
-            F.lit(-1).cast("long").alias("cell"),
-            F.col("v"), null_l.alias("codes"),
-        ),
-        codes_df.select(
-            F.lit(1).alias("sd"), F.col("id"),
-            F.col("cell").cast("long").alias("cell"),
-            null_d.alias("v"), F.col("codes").cast("array<bigint>").alias("codes"),
-        ),
-    ]
+    import numpy as np
+
+    # The codes table (and, for IVFADC+R, the vectors table) is gate-
+    # bounded to single-task bytes — collect it ONCE here and broadcast,
+    # then shard the QUERY batch across defaultParallelism tasks: every
+    # serve decision is per-query (normalize, assign, per-cell LUT,
+    # dedup, rank, rerank all key on the query row alone), so splitting
+    # the batch is result-identical while the scoring — the serve's
+    # entire latency in this regime — uses the whole machine instead of
+    # one core (same-session A/B at sf0.1: ~6.6 s → ~1.3 s per serve).
+    # The collect is one small job at plan-build time, the same bytes
+    # the former single task read; the query-side exchange ships only
+    # the batch rows. Parallelism follows the scheduler's
+    # defaultParallelism, not a local constant.
+    sc = qp.sparkSession.sparkContext
+    code_rows = codes_df.select("id", "cell", "codes").collect()
+    cid_g = np.asarray([r["id"] for r in code_rows], dtype=np.int64)
+    ccell_g = np.asarray([r["cell"] for r in code_rows], dtype=np.int64)
+    cm_g = (
+        np.asarray([r["codes"] for r in code_rows], dtype=np.int64)
+        if code_rows else np.empty((0, books.shape[0]), dtype=np.int64)
+    )
+    v_items = None
     if vectors_df is not None:
-        parts.append(
-            vectors_df.select(
-                F.lit(2).alias("sd"), F.col("id"),
-                F.col("cell").cast("long").alias("cell"),
-                F.col("v"), null_l.alias("codes"),
-            )
-        )
-    src = parts[0]
-    for p in parts[1:]:
-        src = src.unionByName(p)
-    src = src.coalesce(1)
+        v_map_d: dict = {}
+        for r in vectors_df.select("id", "v").collect():
+            if r["id"] not in v_map_d:   # dropDuplicates([id]) mirror
+                v_map_d[r["id"]] = np.asarray(r["v"], dtype=np.float64)
+        v_items = v_map_d
+    bc = sc.broadcast((cid_g, ccell_g, cm_g, v_items))
+    src = qp.repartition(max(2, sc.defaultParallelism))
     m, kc, dsub = books.shape
     cent0 = coarse[0]
     shortlist_k = rerank_shortlist or k
@@ -602,36 +607,22 @@ def _fused_serve(
         import pandas as pd
 
         q_ids, q_vecs = [], []
-        c_ids, c_cells, c_codes = [], [], []
-        v_map: dict = {}
         for pdf in batches:
-            sd = pdf["sd"].to_numpy()
-            ids = pdf["id"].to_numpy(np.int64)
-            cells = pdf["cell"].to_numpy(np.int64)
-            vs = pdf["v"].to_numpy()
-            cs = pdf["codes"].to_numpy()
-            for i in range(len(pdf)):
-                s = sd[i]
-                if s == 0:
-                    q_ids.append(ids[i])
-                    q_vecs.append(np.asarray(vs[i], dtype=np.float64))
-                elif s == 1:
-                    c_ids.append(ids[i])
-                    c_cells.append(cells[i])
-                    c_codes.append(np.asarray(cs[i], dtype=np.int64))
-                elif ids[i] not in v_map:   # dropDuplicates([id]) mirror
-                    v_map[ids[i]] = np.asarray(vs[i], dtype=np.float64)
-        if not q_ids or not c_ids:
+            if len(pdf):
+                q_ids.append(pdf["id"].to_numpy(np.int64))
+                q_vecs.append(np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+                ))
+        c_ids, c_cells, cm, v_map = bc.value
+        if not q_ids or not len(c_ids):
             return
-        qid = np.asarray(q_ids, dtype=np.int64)
-        qx = np.asarray(q_vecs)
+        qid = np.concatenate(q_ids)
+        qx = np.vstack(q_vecs)
         qx = qx / np.sqrt((qx * qx).sum(axis=1))[:, None]   # _normalized
         # _assign_topn(ratio=None): 6-dp squared L2, stable argsort
         d2 = np.round(((qx[:, None, :] - cent0[None]) ** 2).sum(axis=2), 6)
         order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
-        cid = np.asarray(c_ids, dtype=np.int64)
-        ccell = np.asarray(c_cells, dtype=np.int64)
-        cm = np.stack(c_codes)
+        cid, ccell = c_ids, c_cells
         dedup = assign_n > 1
         # Scoring runs cell-by-cell over BOUNDED probe chunks with
         # per-cell top-(shortlist) pruning and a vectorized min-dist

@@ -631,8 +631,14 @@ def test_fused_serve_plan_is_narrow(spark, tmp_path):
     build_index(emb, path, nlist=8, m=8, kcent=8, train_iter=2)
     served = serve_topk(spark, path, emb, k=3, nprobe=3)  # gate fires
     plan = served._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    # the sharded fused serve: codes/vectors ride a broadcast variable,
+    # the only exchange is the tiny query-batch round-robin split that
+    # spreads per-query scoring across the cluster, and scoring is one
+    # MapInPandas stage (no joins, no window, no codes-side scan)
+    assert plan.count("Exchange") == 1
+    assert "RoundRobinPartitioning" in plan
     assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan
 
 
 def test_fused_exact_rerank_matches_distributed(spark, tmp_path):

@@ -212,34 +212,33 @@ def _fused_shingle_inter(
             if not len(di):
                 return
         sizes = np.bincount(di, minlength=n)
-        # bucket by shingle, emit ordered index pairs per bucket
-        o = np.argsort(si, kind="stable")
+        # bucket by shingle with members doc-sorted IN the one sort
+        # (lexsort (di, si) == the old per-group np.sort), then emit
+        # every group's ordered index pairs in ONE vectorized expansion:
+        # element at in-group position p pairs as the left side with the
+        # g−1−p members after it, so lefts are a repeat() and rights are
+        # a global position arithmetic gather — no per-group Python loop
+        # (tens of thousands of groups paid ~20 µs of interpreter each).
+        # The pair-code buffer stays exactly Σ C(group, 2); ascending
+        # sort + run-length boundaries produce the identical
+        # (codes, counts) pairs the per-group loop emitted.
+        o = np.lexsort((di, si))
         sdi, ssi = di[o], si[o]
         starts = np.flatnonzero(np.r_[True, ssi[1:] != ssi[:-1]])
         ends = np.r_[starts[1:], len(ssi)]
-        # pair-code buffer sized EXACTLY (Σ C(group, 2) from the group
-        # sizes) and filled in place, then sorted in place — one
-        # allocation for the raw pair list instead of a per-group
-        # fragment list + concatenate + np.unique's internal sort copy
-        # (~3× the raw bytes in fresh temporaries, the dominant cost of
-        # this stage on shared hosts where large fresh mmaps fault
-        # slowly). Ascending sort + run-length boundaries produce the
-        # identical (codes, counts) pairs np.unique returned.
         glen = ends - starts
         raw_total = int((glen * (glen - 1) // 2).sum())
         if raw_total == 0:
             return
-        codes_all = np.empty(raw_total, dtype=np.int64)
-        w = 0
-        for s, e in zip(starts, ends):
-            if e - s > 1:
-                grp = np.sort(sdi[s:e])
-                m_p = (len(grp) * (len(grp) - 1)) // 2
-                qi = np.repeat(grp, np.arange(len(grp) - 1, -1, -1))
-                ci = np.concatenate([grp[j + 1:] for j in range(len(grp) - 1)])
-                np.multiply(qi[: len(ci)], np.int64(n), out=codes_all[w:w + m_p])
-                codes_all[w:w + m_p] += ci
-                w += m_p
+        g_per_elem = np.repeat(glen, glen)
+        pos = np.arange(len(sdi)) - np.repeat(starts, glen)
+        nright = g_per_elem - 1 - pos          # pairs led by each element
+        qi_all = np.repeat(sdi, nright)
+        block0 = np.zeros(len(sdi) + 1, dtype=np.int64)
+        np.cumsum(nright, out=block0[1:])
+        within = np.arange(raw_total) - np.repeat(block0[:-1], nright)
+        ci_all = sdi[np.repeat(np.arange(len(sdi)), nright) + 1 + within]
+        codes_all = qi_all * np.int64(n) + ci_all
         codes_all.sort()
         new_code = np.r_[True, codes_all[1:] != codes_all[:-1]]
         first = np.flatnonzero(new_code)

@@ -38,7 +38,11 @@ ALLOWED_CROSS = {
     # the broadcast query vector rides as a literal, not a join
     "hybrid_search_docs": 2,
     "bm25_search_docs": 2,
-    "pq_topk_embeddings": 1,
+    # r15: the self-search single-shard pq_topk takes the fused one-stage
+    # path at this scale (no pack, no crossJoin) — the multi-shard ADC
+    # blocked crossJoin shape stays exercised by the pq parity tests'
+    # fuse=False runs
+    "pq_topk_embeddings": 0,
     # single-row aggregate scalars cross-joined onto a relation (the same
     # shape as bm25's stats): corpus doc count, unigram vocabulary size,
     # and the DSIR token totals — each side is exactly one row

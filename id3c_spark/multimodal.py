@@ -528,6 +528,54 @@ def _ahash(gray, grid: int = 8) -> int:
     return bits
 
 
+def _ahash_batch(stack, grid: int = 8):
+    """Vectorized _ahash over an (n, H, W) float64 stack of same-shape
+    frames with H, W divisible by *grid* and grid² ≤ 64 bits: one
+    reshape-mean + one comparison + one bit-pack for the whole batch
+    replaces n Python-loop hashes (guide §4.2). Bit-identical to
+    per-frame _ahash: each block mean reduces the same contiguous
+    elements in the same C order whether or not a leading batch axis
+    exists (pinned by test_image_phash's batch-parity case, including
+    non-dyadic channel-mean grays), the threshold mean reduces the same
+    grid² block means, and >=/two's-complement packing are exact."""
+    import numpy as np
+
+    n, h, w = stack.shape
+    means = stack.reshape(n, grid, h // grid, grid, w // grid).mean(axis=(2, 4))
+    flat = means.reshape(n, grid * grid)
+    thresh = flat.mean(axis=1)
+    bits = flat >= thresh[:, None]
+    weights = np.left_shift(
+        np.uint64(1), np.arange(grid * grid, dtype=np.uint64)
+    )
+    return (bits.astype(np.uint64) * weights).sum(
+        axis=1, dtype=np.uint64
+    ).view(np.int64)
+
+
+def _ahash_many(frames: list, grid: int = 8) -> list:
+    """aHash of many grayscale matrices: frames whose shape divides the
+    grid batch through one _ahash_batch call per distinct shape; odd
+    shapes (or grids past 64 bits) keep the scalar path. Output order
+    matches the input order; values are Python ints identical to
+    per-frame _ahash."""
+    import numpy as np
+
+    out: list = [None] * len(frames)
+    groups: dict = {}
+    for i, f in enumerate(frames):
+        h, w = f.shape
+        if grid * grid <= 64 and h % grid == 0 and w % grid == 0:
+            groups.setdefault((h, w), []).append(i)
+        else:
+            out[i] = _ahash(f, grid)
+    for idxs in groups.values():
+        stack = np.stack([frames[i] for i in idxs])
+        for i, v in zip(idxs, _ahash_batch(stack, grid).tolist()):
+            out[i] = v
+    return out
+
+
 def image_phash(media: DataFrame, grid: int = 8) -> DataFrame:
     """Perceptual hash (aHash) per image row → (media_id, phash). The
     hash survives re-encoding (PNG vs BMP of the same pixels agree —
@@ -547,13 +595,20 @@ def image_phash(media: DataFrame, grid: int = 8) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hashes = []
-            for content in pdf["content"]:
+            # decode per image (variable formats), hash the whole batch
+            # vectorized (same-shape frames share one numpy pass — §4.2)
+            grays, slots = [], []
+            hashes: list = [None] * len(pdf)
+            for i, content in enumerate(pdf["content"]):
                 gray = _gray_matrix(
                     bytes(content) if content is not None else None,
                     decoders=decoders,
                 )
-                hashes.append(_ahash(gray, grid) if gray is not None else None)
+                if gray is not None:
+                    grays.append(gray)
+                    slots.append(i)
+            for i, v in zip(slots, _ahash_many(grays, grid)):
+                hashes[i] = v
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "phash": pd.array(hashes, dtype="Int64")}
             )
@@ -1283,7 +1338,10 @@ def video_frame_phashes(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, hashes = [], [], []
+            # decode per video (container walk), hash every frame of the
+            # batch in one vectorized pass (same-shape frames share one
+            # numpy reshape-mean — §4.2) instead of a Python loop per frame
+            ids, idxs, acc = [], [], []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 frames = _video_frames(
                     bytes(content) if content is not None else None, decoders
@@ -1294,11 +1352,11 @@ def video_frame_phashes(
                 for i, gray in enumerate(frames):
                     ids.append(media_id)
                     idxs.append(i)
-                    hashes.append(_ahash(gray, grid))
+                    acc.append(gray)
             yield pd.DataFrame({
                 "media_id": pd.array(ids, dtype="int64"),
                 "frame_idx": pd.array(idxs, dtype="int32"),
-                "phash": pd.array(hashes, dtype="Int64"),
+                "phash": pd.array(_ahash_many(acc, grid), dtype="Int64"),
             })
 
     return videos.select("media_id", "content").mapInPandas(
@@ -1314,30 +1372,64 @@ def video_signature(
     up) — the SimHash-style majority vote that makes the signature
     stable under frame re-sampling, dropped frames, and re-encoding,
     while XOR distance between signatures stays the video-level
-    near-duplicate signal. The vote is 64 shift-and-sum aggregate
-    expressions over the 8-byte frame hashes — whole-stage codegen,
-    one shuffle on media_id, no Python past the frame decode."""
-    from functools import reduce
+    near-duplicate signal. The vote is LOCAL by construction — a
+    video's frames all live in its single content row — so it runs
+    inside the same Arrow task as the frame hash, vectorized across the
+    batch (r16: this replaced a media_id shuffle feeding 64
+    shift-and-sum aggregate expressions, an exchange plus a
+    64-aggregate codegen unit paid for a reduction that never crosses
+    rows; bit-identical majority, pinned by the streaming-parity and
+    oracle tests). At 100 TB the same holds: zero exchanges per video,
+    8 output bytes each."""
+    _check_max_frames(max_frames)
+    videos = media.filter(F.col("kind") == "video")
+    decoders = dict(_VIDEO_DECODERS)  # closure snapshot (see image_phash)
 
-    ph = video_frame_phashes(media, grid, max_frames=max_frames)
-    aggs = [
-        F.sum(
-            F.shiftrightunsigned("phash", i).bitwiseAND(F.lit(1))
-        ).alias(f"b{i}")
-        for i in range(64)
-    ] + [F.count(F.lit(1)).alias("n")]
-    g = ph.groupBy("media_id").agg(*aggs)
-    sig = reduce(
-        lambda acc, i: acc.bitwiseOR(
-            F.when(
-                F.col(f"b{i}") * 2 >= F.col("n"),
-                F.shiftleft(F.lit(1).cast("long"), i),
-            ).otherwise(F.lit(0).cast("long"))
-        ),
-        range(64),
-        F.lit(0).cast("long"),
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        shifts = np.arange(64, dtype=np.uint64)
+        weights = np.left_shift(np.uint64(1), shifts)
+        for pdf in batches:
+            vids, counts, acc = [], [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                frames = _video_frames(
+                    bytes(content) if content is not None else None, decoders
+                )
+                if frames is None:
+                    continue
+                frames = _sample_frames(frames, max_frames)
+                vids.append(media_id)
+                counts.append(len(frames))
+                acc.extend(frames)
+            if not vids:
+                continue
+            hs = np.asarray(
+                _ahash_many(acc, grid), dtype=np.int64
+            ).view(np.uint64)
+            # per-bit ones per video: one reduceat over the frame-hash
+            # bit matrix; bit set where 2*ones >= n (ties round up —
+            # identical to the former b_i*2 >= n aggregate expression)
+            bitmat = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                np.int64
+            )
+            nf = np.asarray(counts, dtype=np.int64)
+            starts = np.zeros(len(nf), dtype=np.int64)
+            np.cumsum(nf[:-1], out=starts[1:])
+            ones = np.add.reduceat(bitmat, starts, axis=0)
+            sig = (
+                ((2 * ones >= nf[:, None]).astype(np.uint64) * weights)
+                .sum(axis=1, dtype=np.uint64)
+                .view(np.int64)
+            )
+            yield pd.DataFrame({
+                "media_id": pd.array(vids, dtype="int64"),
+                "signature": sig,
+            })
+
+    return videos.select("media_id", "content").mapInPandas(
+        run, "media_id long, signature long"
     )
-    return g.select("media_id", sig.alias("signature"))
 
 
 def video_signature_pairs(
@@ -1445,30 +1537,63 @@ def synthetic_video_corpus(
         import numpy as np
 
         yy, xx = np.mgrid[0:height, 0:width]
-        flat = yy * width + xx
+        flatmod = (yy * width + xx) % 97
+        coord = 5 * yy + 3 * xx
+        # Every doc shares (width, height, n_frames), so the RIFF/AVI
+        # container bytes are identical except the DIB pixel payloads:
+        # build ONE container template per task (via encode_avi itself,
+        # so the layout can never drift from the scalar writer), locate
+        # each frame's payload bytes once with per-frame sentinel fills,
+        # and patch all docs' pixels in a single vectorized write —
+        # replacing a per-doc Python encode loop (guide §4.2).
+        stride = ((width * 3 + 3) // 4) * 4
+        fills = [bytes([1]) * (width * height * 3)] + [
+            bytes(width * height * 3)
+        ] * (n_frames - 1)
+        template = encode_avi(width, height, fills[:n_frames])
+        tarr = np.frombuffer(template, dtype=np.uint8).copy()
+        if n_frames > 0:
+            # frame 0's payload located by its sentinel fill; each later
+            # frame sits one '00db' chunk (8-byte header + even payload)
+            # further along — encode_avi's own layout, so no drift possible
+            start0 = template.index(bytes([1]) * (width * 3))
+            chunk_step = 8 + stride * height
+            pos = (
+                start0
+                + np.arange(n_frames)[:, None, None, None] * chunk_step
+                + np.arange(height)[None, :, None, None] * stride
+                + np.arange(width)[None, None, :, None] * 3
+                + np.arange(3)[None, None, None, :]
+            ).reshape(-1)
+        else:
+            pos = np.empty(0, dtype=np.int64)
         for pdf in batches:
-            outs = []
-            for did in pdf[id_col]:
-                did = int(did)
-                base = did // group
-                bump = (flat % 97) == ((did % group) * 7 % 97)
-                frames = []
-                for f in range(n_frames):
-                    # vectorized _synthetic_pixel (bit-identical: same
-                    # integer formula the oracle mirror replays scalar)
-                    v = ((37 * base + 7) * (5 * yy + 3 * xx + 11 * f + 13)) % 200
-                    v = np.where(bump, (v + 90) % 256, v)
-                    # DIB rows are bottom-up: emit y reversed so the
-                    # DECODED matrix reads _synthetic_pixel(y, x) at [y, x]
-                    bgr = np.repeat(
-                        v[::-1].astype(np.uint8)[:, :, None], 3, axis=2
-                    )
-                    frames.append(bgr.tobytes())
-                outs.append(encode_avi(width, height, frames))
+            dids = pdf[id_col].to_numpy(np.int64)
+            if not len(dids):
+                continue
+            base = dids // group
+            # vectorized _synthetic_pixel across (doc, frame, y, x) —
+            # bit-identical: same integer formula the oracle replays
+            # scalar, evaluated once for the whole batch
+            mult = (37 * base + 7)[:, None, None, None]
+            f_ax = np.arange(n_frames)[None, :, None, None]
+            v = (mult * (coord[None, None] + 11 * f_ax + 13)) % 200
+            bump = (
+                flatmod[None, None]
+                == ((dids % group) * 7 % 97)[:, None, None, None]
+            )
+            v = np.where(bump, (v + 90) % 256, v)
+            # DIB rows are bottom-up: flip y so the DECODED matrix reads
+            # _synthetic_pixel(y, x) at [y, x]; equal BGR channels
+            pix = np.repeat(
+                v[:, :, ::-1, :].astype(np.uint8)[..., None], 3, axis=-1
+            ).reshape(len(dids), -1)
+            out = np.tile(tarr, (len(dids), 1))
+            out[:, pos] = pix
             yield pd.DataFrame({
-                "media_id": pdf[id_col].astype("int64"),
-                "kind": ["video"] * len(pdf),
-                "content": outs,
+                "media_id": dids,
+                "kind": ["video"] * len(dids),
+                "content": [out[i].tobytes() for i in range(len(dids))],
             })
 
     # spread the generate+encode pass: the id source is often a 1-4 file
@@ -1552,25 +1677,42 @@ def synthetic_still_corpus(
         import numpy as np
 
         yy, xx = np.mgrid[0:height, 0:width]
-        flat = yy * width + xx
+        flatmod = (yy * width + xx) % 97
+        coord = 5 * yy + 3 * xx + 11 * frame + 13
+        # one BMP container template per task, pixel payload patched per
+        # doc in one vectorized write — the still twin of the
+        # synthetic_video_corpus template (guide §4.2); encode_bmp
+        # itself builds the template, so the layout cannot drift
+        stride = ((width * 3 + 3) // 4) * 4
+        template = encode_bmp(width, height, bytes([1]) * (width * height * 3))
+        tarr = np.frombuffer(template, dtype=np.uint8).copy()
+        start0 = template.index(bytes([1]) * (width * 3))
+        pos = (
+            start0
+            + np.arange(height)[:, None, None] * stride
+            + np.arange(width)[None, :, None] * 3
+            + np.arange(3)[None, None, :]
+        ).reshape(-1)
         for pdf in batches:
-            outs = []
-            for did in pdf[id_col]:
-                did = int(did)
-                base = did // group
-                bump = (flat % 97) == ((did % group) * 7 % 97)
-                v = (
-                    (37 * base + 7) * (5 * yy + 3 * xx + 11 * frame + 13)
-                ) % 200
-                v = np.where(bump, (v + 90) % 256, v)
-                bgr = np.repeat(
-                    v[::-1].astype(np.uint8)[:, :, None], 3, axis=2
-                )
-                outs.append(encode_bmp(width, height, bgr.tobytes()))
+            dids = pdf[id_col].to_numpy(np.int64)
+            if not len(dids):
+                continue
+            base = dids // group
+            mult = (37 * base + 7)[:, None, None]
+            v = (mult * coord[None]) % 200
+            bump = (
+                flatmod[None] == ((dids % group) * 7 % 97)[:, None, None]
+            )
+            v = np.where(bump, (v + 90) % 256, v)
+            pix = np.repeat(
+                v[:, ::-1, :].astype(np.uint8)[..., None], 3, axis=-1
+            ).reshape(len(dids), -1)
+            out = np.tile(tarr, (len(dids), 1))
+            out[:, pos] = pix
             yield pd.DataFrame({
-                "media_id": pdf[id_col].astype("int64"),
-                "kind": ["image"] * len(pdf),
-                "content": outs,
+                "media_id": dids,
+                "kind": ["image"] * len(dids),
+                "content": [out[i].tobytes() for i in range(len(dids))],
             })
 
     spread = ids.select(id_col).repartition(

@@ -557,11 +557,113 @@ def srp_sketch(
     return src.mapInPandas(gen, "id long, sketch long")
 
 
+def _fuse_sketch(sk: DataFrame) -> bool:
+    """Stats gate for the fused small-regime sketch-pair paths: integral
+    id column (the numpy mirror carries ids as int64) AND a file-backed
+    source whose listed bytes fit one task — the same
+    statistics-before-strategy step as _auto_shards. Sketches are 8
+    bytes/row, so a source under AUTO_SHARD_BYTES bounds the gathered
+    relation far below one task's memory; a 100 TB corpus gates false
+    and keeps the banded distributed join."""
+    from pyspark.sql import types as T
+
+    from id3c_spark.operators.linalg import _single_task_source
+
+    return isinstance(
+        sk.schema["id"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ) and _single_task_source(sk)
+
+
+def _fused_sketch_pairs(
+    sk: DataFrame, bits: int, bands: int, max_hamming: int
+) -> DataFrame:
+    """Single-task mirror of the banded hamming self-join for the
+    stats-gated small regime: ONE small exchange (repartition(1) — the
+    upstream sketch pass keeps its parallelism) gathers the 8-byte
+    (id, sketch) rows, then band-bucket candidate generation + a 16-bit
+    popcount-LUT refine replay the band equi-join + bit_count(xor) +
+    distinct tail (4 exchanges) in numpy. Identical pairs: candidates
+    are exactly the row pairs agreeing on >= 1 band slice (the same
+    slices, via the same unsigned shifts), id_a < id_b and the triple
+    distinct are applied the same way, and the popcount equals
+    bit_count on the 64-bit xor."""
+    import numpy as np
+    import pandas as pd
+
+    width = bits // bands
+    src = sk.repartition(1)
+
+    def run(batches):
+        id_parts, sk_parts = [], []
+        for pdf in batches:
+            if len(pdf):
+                id_parts.append(pdf["id"].to_numpy(np.int64))
+                sk_parts.append(pdf["sketch"].to_numpy(np.int64))
+        if not id_parts:
+            return
+        ids = np.concatenate(id_parts)
+        u = np.concatenate(sk_parts).view(np.uint64)
+        # id-sorted layout: in-bucket position pairs i<j then give
+        # ids[i] <= ids[j] directly (id_a < id_b after dropping equals)
+        order = np.argsort(ids, kind="stable")
+        ids, u = ids[order], u[order]
+        n = len(ids)
+        mask = np.uint64((1 << width) - 1)
+        code_parts = []
+        for b in range(bands):
+            bv = (u >> np.uint64(b * width)) & mask
+            o = np.argsort(bv, kind="stable")
+            sb = bv[o]
+            starts = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
+            ends = np.r_[starts[1:], n]
+            for s, e in zip(starts, ends):
+                g = e - s
+                if g < 2:
+                    continue
+                mem = np.sort(o[s:e])
+                gi = np.repeat(mem[:-1], np.arange(g - 1, 0, -1))
+                gj = np.concatenate([mem[j + 1:] for j in range(g - 1)])
+                code_parts.append(gi * np.int64(n) + gj)
+        if not code_parts:
+            return
+        codes = np.unique(np.concatenate(code_parts))
+        pi, pj = codes // n, codes % n
+        x = u[pi] ^ u[pj]
+        lut = np.unpackbits(
+            np.arange(65536, dtype=np.uint16).view(np.uint8)
+        ).reshape(65536, 16).sum(axis=1).astype(np.int64)
+        m16 = np.uint64(0xFFFF)
+        ham = (
+            lut[(x & m16).astype(np.int64)]
+            + lut[((x >> np.uint64(16)) & m16).astype(np.int64)]
+            + lut[((x >> np.uint64(32)) & m16).astype(np.int64)]
+            + lut[((x >> np.uint64(48)) & m16).astype(np.int64)]
+        )
+        keep = (ham <= max_hamming) & (ids[pi] != ids[pj])
+        if not keep.any():
+            return
+        # triple distinct (duplicate-id rows can repeat a triple, like
+        # the distributed .distinct())
+        triples = np.unique(
+            np.stack([ids[pi[keep]], ids[pj[keep]], ham[keep]], axis=1),
+            axis=0,
+        )
+        yield pd.DataFrame({
+            "id_a": triples[:, 0],
+            "id_b": triples[:, 1],
+            "hamming": triples[:, 2].astype(np.int32),
+        })
+
+    return src.mapInPandas(run, "id_a long, id_b long, hamming int")
+
+
 def sketch_hamming_pairs(
     sk: DataFrame,
     bits: int,
     bands: int,
     max_hamming: int,
+    fuse: bool | None = None,
 ) -> DataFrame:
     """All pairs of int64 bit-sketches (columns: id, sketch) within
     *max_hamming* — the shared banded-join core behind srp_pairs and
@@ -582,6 +684,14 @@ def sketch_hamming_pairs(
         )
     if bits % bands:
         raise ValueError("bits must divide evenly into bands")
+    # *fuse* (r16): stats-gated — a small file-backed sketch source runs
+    # the band-bucket + popcount refine as one narrow task after one
+    # tiny exchange (see _fused_sketch_pairs); large or in-memory
+    # sources keep the banded distributed self-join below.
+    if fuse is None:
+        fuse = _fuse_sketch(sk)
+    if fuse:
+        return _fused_sketch_pairs(sk, bits, bands, max_hamming)
     width = bits // bands
     mask = (1 << width) - 1
     banded = sk.select(
@@ -626,12 +736,103 @@ def sketch_hamming_pairs(
     )
 
 
+def _fused_sketch_join(
+    left: DataFrame, right: DataFrame, bits: int, bands: int, max_hamming: int
+) -> DataFrame:
+    """Single-task mirror of the bipartite banded hamming join for the
+    stats-gated small regime: a constant-key cogroup gathers both
+    8-byte sketch relations into one task (two tiny exchanges replace
+    two band exchanges + join + distinct), band-bucket candidates pair
+    left rows against right rows only, and the popcount refine +
+    triple distinct replay the distributed tail. Ids stay opaque pandas
+    values (struct ids ride through Arrow as dicts), so the id schema
+    is whatever the caller's relations carry — identical to the
+    distributed output schema."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    width = bits // bands
+    out_schema = T.StructType([
+        T.StructField("id_a", left.schema["id"].dataType),
+        T.StructField("id_b", right.schema["id"].dataType),
+        T.StructField("hamming", T.IntegerType()),
+    ])
+
+    def run(key: tuple, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        if not len(lpdf) or not len(rpdf):
+            return empty
+        ua = lpdf["sketch"].to_numpy(np.int64).view(np.uint64)
+        ub = rpdf["sketch"].to_numpy(np.int64).view(np.uint64)
+        na, nb = len(ua), len(ub)
+        mask = np.uint64((1 << width) - 1)
+        code_parts = []
+        for b in range(bands):
+            va = (ua >> np.uint64(b * width)) & mask
+            vb = (ub >> np.uint64(b * width)) & mask
+            oa, ob = np.argsort(va, kind="stable"), np.argsort(vb, kind="stable")
+            sa, sbv = va[oa], vb[ob]
+            common = np.intersect1d(sa, sbv)
+            for val in common:
+                ia = oa[np.searchsorted(sa, val): np.searchsorted(sa, val, "right")]
+                ib = ob[np.searchsorted(sbv, val): np.searchsorted(sbv, val, "right")]
+                code_parts.append(
+                    (ia[:, None] * np.int64(nb) + ib[None, :]).reshape(-1)
+                )
+        if not code_parts:
+            return empty
+        codes = np.unique(np.concatenate(code_parts))
+        pi, pj = codes // nb, codes % nb
+        x = ua[pi] ^ ub[pj]
+        lut = np.unpackbits(
+            np.arange(65536, dtype=np.uint16).view(np.uint8)
+        ).reshape(65536, 16).sum(axis=1).astype(np.int64)
+        m16 = np.uint64(0xFFFF)
+        ham = (
+            lut[(x & m16).astype(np.int64)]
+            + lut[((x >> np.uint64(16)) & m16).astype(np.int64)]
+            + lut[((x >> np.uint64(32)) & m16).astype(np.int64)]
+            + lut[((x >> np.uint64(48)) & m16).astype(np.int64)]
+        )
+        keep = ham <= max_hamming
+        if not keep.any():
+            return empty
+        pi, pj, ham = pi[keep], pj[keep], ham[keep]
+        # triple distinct over (id value, id value, hamming): map each
+        # side's id VALUES to codes (dict ids hash by canonical items)
+        def id_codes(series):
+            seen: dict = {}
+            out = np.empty(len(series), dtype=np.int64)
+            for i, v in enumerate(series):
+                k = tuple(sorted(v.items())) if isinstance(v, dict) else v
+                out[i] = seen.setdefault(k, len(seen))
+            return out
+
+        ca = id_codes(lpdf["id"])[pi]
+        cb = id_codes(rpdf["id"])[pj]
+        _, first = np.unique(
+            np.stack([ca, cb, ham], axis=1), axis=0, return_index=True
+        )
+        first.sort()
+        return pd.DataFrame({
+            "id_a": lpdf["id"].to_numpy(object)[pi[first]],
+            "id_b": rpdf["id"].to_numpy(object)[pj[first]],
+            "hamming": ham[first].astype(np.int32),
+        })
+
+    lg = left.groupBy(F.lit(0).alias("__g"))
+    rg = right.groupBy(F.lit(0).alias("__g"))
+    return lg.cogroup(rg).applyInPandas(run, out_schema)
+
+
 def sketch_hamming_join(
     left: DataFrame,
     right: DataFrame,
     bits: int,
     bands: int,
     max_hamming: int,
+    fuse: bool | None = None,
 ) -> DataFrame:
     """Bipartite variant of sketch_hamming_pairs: all (left.id, right.id)
     pairs whose int64 bit-sketches differ in <= *max_hamming* bits —
@@ -646,6 +847,16 @@ def sketch_hamming_join(
         )
     if bits % bands:
         raise ValueError("bits must divide evenly into bands")
+    # *fuse* (r16): stats-gated — when BOTH sketch sources are
+    # file-backed and fit one task, the band join + distinct collapse
+    # into one narrow cogroup task (see _fused_sketch_join); any big or
+    # in-memory side keeps the distributed banded join below.
+    if fuse is None:
+        from id3c_spark.operators.linalg import _single_task_source
+
+        fuse = _single_task_source(left) and _single_task_source(right)
+    if fuse:
+        return _fused_sketch_join(left, right, bits, bands, max_hamming)
     width = bits // bands
     mask = (1 << width) - 1
 

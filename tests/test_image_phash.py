@@ -868,3 +868,170 @@ def test_frame_sampling_deterministic_and_signature_stable(spark):
     n_rows = (mm.video_frame_phashes(df, max_frames=6)
               .groupBy("media_id").count().collect())
     assert all(r["count"] <= 6 for r in n_rows)
+
+
+# ---------------------------------------------------------------------------
+# r16 vectorization / fusion parity (guide §4.2, §2.4): the batched numpy
+# paths must be BIT-identical to the scalar paths they replaced, and the
+# stats-gated fused sketch joins must reproduce the distributed banded
+# join exactly (including duplicate-id triple dedup).
+# ---------------------------------------------------------------------------
+
+
+def test_ahash_batch_parity_with_scalar():
+    from id3c_spark import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    for h, w in [(16, 16), (32, 48), (8, 8), (24, 40)]:
+        stacks = [
+            # integer grays, non-dyadic channel-mean grays (k/3 — the BGR
+            # mean of real decodes), and arbitrary floats
+            rng.integers(0, 256, (64, h, w)).astype(np.float64),
+            rng.integers(0, 3 * 256, (64, h, w)).astype(np.float64) / 3.0,
+            rng.random((64, h, w)) * 255.0,
+        ]
+        for st in stacks:
+            ref = [mm._ahash(f, 8) for f in st]
+            got = mm._ahash_batch(st, 8).tolist()
+            assert got == ref
+            assert mm._ahash_many(list(st), 8) == ref
+    # odd shapes fall back to the scalar path inside _ahash_many
+    odd = [rng.random((10, 13)) * 255, rng.random((16, 16)) * 255]
+    assert mm._ahash_many(odd, 8) == [mm._ahash(f, 8) for f in odd]
+
+
+def test_synthetic_corpus_vectorized_bytes_match_scalar_reference(spark):
+    from id3c_spark import multimodal as mm
+
+    ids = [0, 1, 5, 11, 12, 23, 24, 97, 500, 10**6 + 3, 10**7 + 11]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+    def ref_avi(did, n_frames=4, w=16, h=16, group=12):
+        frames = []
+        for f in range(n_frames):
+            rows = [
+                bytes(
+                    b
+                    for x in range(w)
+                    for b in [mm._synthetic_pixel(did, f, y, x, w, group)] * 3
+                )
+                for y in range(h)
+            ]
+            frames.append(b"".join(reversed(rows)))
+        return mm.encode_avi(w, h, frames)
+
+    def ref_bmp(did, frame=0, w=16, h=16, group=12):
+        rows = [
+            bytes(
+                b
+                for x in range(w)
+                for b in [mm._synthetic_pixel(did, frame, y, x, w, group)] * 3
+            )
+            for y in range(h)
+        ]
+        return mm.encode_bmp(w, h, b"".join(reversed(rows)))
+
+    vids = {r.media_id: bytes(r.content)
+            for r in mm.synthetic_video_corpus(df).collect()}
+    stills = {r.media_id: bytes(r.content)
+              for r in mm.synthetic_still_corpus(df).collect()}
+    assert set(vids) == set(ids) and set(stills) == set(ids)
+    for i in ids:
+        assert vids[i] == ref_avi(i)
+        assert stills[i] == ref_bmp(i)
+
+
+def test_video_signature_in_task_matches_per_frame_majority(spark):
+    from id3c_spark import multimodal as mm
+
+    ids = list(range(30))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    media = mm.synthetic_video_corpus(df)
+    rows = {r.media_id: bytes(r.content) for r in media.collect()}
+    sigs = {r.media_id: r.signature for r in mm.video_signature(media).collect()}
+    assert set(sigs) == set(ids)
+    for did, content in rows.items():
+        hs = [mm._ahash(g) & (2**64 - 1) for g in mm.decode_avi_frames(content)]
+        ref, n = 0, len(hs)
+        for i in range(64):
+            if 2 * sum((h >> i) & 1 for h in hs) >= n:
+                ref |= 1 << i
+        if ref >= 1 << 63:
+            ref -= 1 << 64
+        assert sigs[did] == ref
+
+
+def _pairs_key(rows):
+    return sorted((r["id_a"], r["id_b"], r["hamming"]) for r in rows)
+
+
+def test_fused_sketch_pairs_parity_with_banded_join(spark):
+    from id3c_spark.operators.ann import sketch_hamming_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(-(2**63), 2**63, size=40, dtype=np.int64)
+    rows = []
+    for i, s in enumerate(base):
+        rows.append((int(i), int(s)))
+        if i % 7 == 0:  # near twins → real candidates
+            rows.append((int(i) + 1000, int(s ^ (1 << (i % 64)))))
+    # duplicate ids: same sketch (triple dedup) and different sketches
+    rows.append((3, int(base[3])))
+    rows.append((4, int(base[4] ^ 7)))
+    sk = spark.createDataFrame(rows, "id long, sketch long")
+    for bits, bands, mh in [(64, 8, 7), (64, 4, 3)]:
+        fused = _pairs_key(
+            sketch_hamming_pairs(sk, bits, bands, mh, fuse=True).collect()
+        )
+        dist = _pairs_key(
+            sketch_hamming_pairs(sk, bits, bands, mh, fuse=False).collect()
+        )
+        assert fused == dist and fused  # non-empty: twins survive
+
+
+def test_fused_sketch_join_parity_with_banded_join(spark):
+    from pyspark.sql import functions as F
+
+    from id3c_spark.operators.ann import sketch_hamming_join
+
+    rng = np.random.default_rng(13)
+    ls = rng.integers(-(2**63), 2**63, size=25, dtype=np.int64)
+    left = spark.createDataFrame(
+        [(int(i), int(s)) for i, s in enumerate(ls)], "id long, sketch long"
+    )
+    right_rows = [(int(i) + 100, int(s ^ (1 << (i % 64))))
+                  for i, s in enumerate(ls) if i % 3 == 0]
+    right_rows += [(999, int(rng.integers(-(2**63), 2**63))) for _ in range(5)]
+    right_rows.append(right_rows[0])  # duplicate row → triple dedup
+    right = spark.createDataFrame(right_rows, "id long, sketch long")
+    fused = _pairs_key(
+        sketch_hamming_join(left, right, 64, 8, 7, fuse=True).collect()
+    )
+    dist = _pairs_key(
+        sketch_hamming_join(left, right, 64, 8, 7, fuse=False).collect()
+    )
+    assert fused == dist and fused
+
+
+def test_fused_sketch_join_struct_ids(spark):
+    from pyspark.sql import functions as F
+
+    from id3c_spark.operators.ann import sketch_hamming_join
+
+    rng = np.random.default_rng(17)
+    sks = rng.integers(-(2**63), 2**63, size=10, dtype=np.int64)
+    left = spark.createDataFrame(
+        [(int(i), int(s)) for i, s in enumerate(sks)], "id long, sketch long"
+    )
+    right = spark.createDataFrame(
+        [(int(i), int(f), int(s))
+         for i, s in enumerate(sks) for f in range(2)],
+        "v long, f long, sketch long",
+    ).select(F.struct("v", "f").alias("id"), "sketch")
+    fused = sketch_hamming_join(left, right, 64, 8, 7, fuse=True).collect()
+    dist = sketch_hamming_join(left, right, 64, 8, 7, fuse=False).collect()
+    key = lambda rows: sorted(
+        (r["id_a"], (r["id_b"]["v"], r["id_b"]["f"]), r["hamming"])
+        for r in rows
+    )
+    assert key(fused) == key(dist) and fused

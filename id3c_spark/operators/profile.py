@@ -34,8 +34,110 @@ _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
             T.FloatType, T.DoubleType, T.DecimalType)
 
 
+#: atomic types the fused profile's pandas mirror can hash/compare
+#: exactly (complex types keep the distributed Expand aggregation)
+_FUSABLE = _NUMERIC + (
+    T.StringType, T.BooleanType, T.DateType, T.TimestampType,
+    T.TimestampNTZType,
+)
+
+
+def _fused_profile(df: DataFrame, cols: list[str], dtypes: dict) -> DataFrame:
+    """Single-task profile for the stats-gated small regime: ONE narrow
+    mapInPandas task computes every column's counts / exact distinct /
+    min-max, replacing the Expand-based multi-count_distinct aggregation
+    (which duplicates each input row once per distinct aggregate before
+    its exchange). Exactness mirrors: nullness is decided by JVM-side
+    isnull companion columns (a float NULL and a float NaN both arrive
+    as NaN through Arrow — the indicator keeps them distinct, NaN
+    staying a value like Spark treats it: one distinct, sorts largest);
+    string order is code-point order == Spark's UTF-8 byte order;
+    numeric casts widen exactly (int/float) or round half-even
+    (Decimal.doubleValue == float(Decimal)); the output crosses back as
+    Arrow (mapInArrow), where NaN stays a VALUE — the pandas output
+    boundary would fold a NaN max back into NULL."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    src = df.select(
+        *[F.col(c) for c in cols],
+        *[F.isnull(F.col(c)).alias(f"__nul_{i}") for i, c in enumerate(cols)],
+    ).coalesce(1)
+    numeric = {c: isinstance(dtypes[c], _NUMERIC) for c in cols}
+    stringy = {c: isinstance(dtypes[c], T.StringType) for c in cols}
+
+    def run(batches):
+        import pyarrow as pa
+
+        parts = [b.to_pandas() for b in batches]
+        pdf = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame(columns=[c for c in cols] + [
+                f"__nul_{i}" for i in range(len(cols))
+            ])
+        )
+        n = len(pdf)
+        out = {k: [] for k in (
+            "col_name", "n_rows", "n_nulls", "n_distinct",
+            "min_num", "max_num", "min_str", "max_str",
+        )}
+        for i, c in enumerate(cols):
+            nulls = pdf[f"__nul_{i}"].to_numpy(bool) if n else np.zeros(0, bool)
+            vals = pdf[c][~nulls]
+            nn = int(len(vals))
+            # nunique(dropna=False): nulls are already masked out, so
+            # any remaining NaN is a real value — one distinct, exactly
+            # like Spark's NaN normalization in count_distinct
+            nd = int(vals.nunique(dropna=False))
+            mn = mx = mns = mxs = None
+            if nn and numeric[c]:
+                arr = vals.to_numpy()
+                if arr.dtype == object:          # decimals
+                    mn, mx = float(min(arr)), float(max(arr))
+                else:
+                    arr = arr.astype(np.float64)
+                    nanmask = np.isnan(arr)
+                    if nanmask.all():
+                        mn = mx = math.nan
+                    else:
+                        # Spark's total order puts NaN largest: min skips
+                        # it unless all-NaN, max is NaN when any present
+                        mn = float(np.nanmin(arr))
+                        mx = math.nan if nanmask.any() else float(np.nanmax(arr))
+            elif nn and stringy[c]:
+                mns, mxs = min(vals), max(vals)
+            out["col_name"].append(c)
+            out["n_rows"].append(n)
+            out["n_nulls"].append(int(nulls.sum()))
+            out["n_distinct"].append(nd)
+            out["min_num"].append(mn)
+            out["max_num"].append(mx)
+            out["min_str"].append(mns)
+            out["max_str"].append(mxs)
+        yield pa.RecordBatch.from_pydict({
+            "col_name": pa.array(out["col_name"], pa.string()),
+            "n_rows": pa.array(out["n_rows"], pa.int64()),
+            "n_nulls": pa.array(out["n_nulls"], pa.int64()),
+            "n_distinct": pa.array(out["n_distinct"], pa.int64()),
+            "min_num": pa.array(out["min_num"], pa.float64()),
+            "max_num": pa.array(out["max_num"], pa.float64()),
+            "min_str": pa.array(out["min_str"], pa.string()),
+            "max_str": pa.array(out["max_str"], pa.string()),
+        })
+
+    return src.mapInArrow(
+        run,
+        "col_name string, n_rows long, n_nulls long, n_distinct long, "
+        "min_num double, max_num double, min_str string, max_str string",
+    )
+
+
 def profile_table(
-    df: DataFrame, columns: list[str] | None = None, exact: bool = True
+    df: DataFrame, columns: list[str] | None = None, exact: bool = True,
+    fuse: bool | None = None,
 ) -> DataFrame:
     """Per-column profile: (col_name, n_rows, n_nulls, n_distinct,
     min_num, max_num, min_str, max_str).
@@ -47,6 +149,22 @@ def profile_table(
     """
     cols = columns or df.columns
     dtypes = dict((f.name, f.dataType) for f in df.schema.fields)
+    # *fuse* (r16): stats-gated — an exact profile over a file-backed
+    # source that fits one task runs as one narrow mapInPandas pass
+    # (see _fused_profile) instead of the Expand shape, which multiplies
+    # every input row by the number of distinct aggregates before the
+    # exchange; bigger or in-memory sources (and approx mode / complex
+    # column types) keep the distributed aggregation below.
+    if fuse is None:
+        from id3c_spark.operators.linalg import _single_task_source
+
+        fuse = (
+            exact
+            and all(isinstance(dtypes[c], _FUSABLE) for c in cols)
+            and _single_task_source(df)
+        )
+    if fuse:
+        return _fused_profile(df, cols, dtypes)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))

@@ -151,3 +151,65 @@ def test_kmv_sketch_map_side_topk_plan(spark):
         .executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan.split("WindowGroupLimit")[-1].split("\n")[0]
+
+
+def test_profile_table_fused_parity_with_distributed(spark, tmp_path):
+    """r16 fused single-task profile (guide §2.4): fuse=True must equal
+    the Expand-based distributed aggregation value-for-value on every
+    supported type, including the nasty cases — float NULL vs float NaN
+    (the isnull companion keeps them apart through Arrow), NaN min/max
+    order (NaN sorts largest in Spark), decimals' half-even double
+    cast, unicode string order, timestamps/dates/bools (counts only),
+    and the empty table."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from id3c_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.5, True, "2024-01-02 03:04:05", "1.25"),
+            (2, "é", float("nan"), None, None, "2.50"),
+            (2, None, None, False, "2024-01-02 03:04:05", None),
+            (None, "Z", -0.0, True, "2023-12-31 23:59:59", "999999.99"),
+            (7, "zz", 0.0, True, "2024-06-01 00:00:00", "0.01"),
+        ],
+        "k long, s string, x double, b boolean, ts string, d string",
+    ).select(
+        "k", "s", "x", "b",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("d").cast("decimal(10,2)").alias("d"),
+    )
+    path = str(tmp_path / "prof")
+    df.coalesce(1).write.parquet(path)
+    src = spark.read.parquet(path)
+
+    def key(rows):
+        out = []
+        for r in sorted(rows, key=lambda r: r.col_name):
+            vals = []
+            for v in (r.n_rows, r.n_nulls, r.n_distinct, r.min_num,
+                      r.max_num, r.min_str, r.max_str):
+                if isinstance(v, float) and math.isnan(v):
+                    v = "nan"
+                vals.append(v)
+            out.append((r.col_name, tuple(vals)))
+        return out
+
+    fused = profile_table(src, fuse=True).collect()
+    dist = profile_table(src, fuse=False).collect()
+    assert key(fused) == key(dist)
+    # the gate itself: file-backed small source fuses, in-memory doesn't
+    assert profile_table(src)._jdf.queryExecution().executedPlan() \
+        .toString().count("Expand") == 0
+    assert "Expand" in profile_table(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+
+    # empty table: same six rows of zeros both ways
+    empty = str(tmp_path / "prof_empty")
+    src.limit(0).coalesce(1).write.parquet(empty)
+    esrc = spark.read.parquet(empty)
+    assert key(profile_table(esrc, fuse=True).collect()) == key(
+        profile_table(esrc, fuse=False).collect()
+    )

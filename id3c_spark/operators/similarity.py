@@ -182,3 +182,249 @@ def edit_distance_pairs(
         .filter(dist >= 0)
         .select("id_a", "id_b", dist.alias("dist"))
     )
+
+
+def _np_levenshtein(a_names: list, b_names: list, k: int):
+    """Exact numpy mirror of Spark's levenshtein over name PAIRS
+    (a_names[i] vs b_names[i]), vectorized across the pair axis:
+    unit-cost DP over CODE POINTS (UTF8String.levenshteinDistance
+    compares code points, as does Python ord — pinned on unicode edge
+    cases in tests). Returns the exact distance; values > k are only
+    guaranteed to be > k (callers threshold at k, like the -1 of
+    Spark's thresholded form)."""
+    import numpy as np
+
+    p = len(a_names)
+    la = np.asarray([len(s) for s in a_names], dtype=np.int32)
+    lb = np.asarray([len(s) for s in b_names], dtype=np.int32)
+    maxa, maxb = (int(la.max()), int(lb.max())) if p else (0, 0)
+    # code-point matrices with DISTINCT pads (-1/-2): padded cells only
+    # feed DP cells right of / below the (la, lb) gather point
+    A = np.full((p, maxa), -1, dtype=np.int32)
+    B = np.full((p, maxb), -2, dtype=np.int32)
+    for i, s in enumerate(a_names):
+        A[i, : len(s)] = [ord(ch) for ch in s]
+    for i, s in enumerate(b_names):
+        B[i, : len(s)] = [ord(ch) for ch in s]
+    prev = np.tile(np.arange(maxb + 1, dtype=np.int32), (p, 1))
+    res = np.where(la == 0, lb, 0).astype(np.int32)
+    rows = np.arange(p)
+    for i in range(1, maxa + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ai = A[:, i - 1]
+        for j in range(1, maxb + 1):
+            cost = (ai != B[:, j - 1]).astype(np.int32)
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + cost,
+            )
+        hit = la == i
+        if hit.any():
+            res[hit] = cur[rows[hit], lb[hit]]
+        prev = cur
+    return res
+
+
+def _fused_entity_resolution(
+    df: DataFrame, id_col: str, text_col: str, block_col: str,
+    max_distance: int,
+) -> DataFrame:
+    """Single-task mirror of the full MDM composition for the
+    stats-gated small regime: (exact-name ∪ Levenshtein ≤ k) pairs
+    within blocks → min-id connected components → canonical record +
+    member count — all in ONE narrow mapInPandas task, replacing the
+    blocked self-joins + union distinct + the components probe's eager
+    pair-pipeline job + count/attach aggregates.
+
+    The trick making the task cheap: pairing semantics only depend on
+    DISTINCT (block, name) groups. Name-level candidates are prefiltered
+    per block by |len diff| <= k and a code-point-count GEMM bound
+    (each edit moves the count vector by L2 <= sqrt(2), so ED <= k
+    implies squared-L2 <= 2k² — a pure necessary condition, results
+    unchanged), surviving name pairs get the exact _np_levenshtein DP,
+    and components run over group super-nodes: ids in one (block, name)
+    group are pairwise connected (size >= 2), near name pairs connect
+    whole groups, and a singleton group with no incident edge has no
+    pairs — exactly the id-level graph the distributed path feeds to
+    dedup_clusters."""
+    import numpy as np
+    import pandas as pd
+
+    src = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("nm"),
+    ).coalesce(1)
+
+    def run(batches):
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        pdf = pdf[pdf["blk"].notna() & pdf["nm"].notna()]
+        if not len(pdf):
+            return
+        ids = pdf["id"].to_numpy(np.int64)
+        bcode, _ = pd.factorize(pdf["blk"], sort=True)
+        ncode, names = pd.factorize(pdf["nm"], sort=True)
+        names = list(names)
+        nn = len(names)
+        # (block, name) groups
+        gkey = bcode.astype(np.int64) * nn + ncode
+        gvals, ginv = np.unique(gkey, return_inverse=True)
+        g_blk, g_nm = gvals // nn, gvals % nn
+        gsize = np.bincount(ginv, minlength=len(gvals))
+        # name-level candidates per block: len filter + count-GEMM bound
+        lens = np.asarray([len(s) for s in names], dtype=np.int64)
+        cps, cpi = pd.factorize(
+            np.concatenate([[ord(ch) for ch in s] for s in names])
+            if nn else np.empty(0, dtype=np.int64)
+        )
+        counts = np.zeros((nn, len(cpi)), dtype=np.float64)
+        if nn:
+            row = np.repeat(np.arange(nn), lens)
+            np.add.at(counts, (row, cps), 1.0)
+        sq = (counts * counts).sum(axis=1)
+        block_cands = []                  # (block code, name-pair codes)
+        order = np.argsort(g_blk, kind="stable")
+        bstarts = np.flatnonzero(
+            np.r_[True, g_blk[order][1:] != g_blk[order][:-1]]
+        )
+        bends = np.r_[bstarts[1:], len(order)]
+        for s, e in zip(bstarts, bends):
+            mem = np.unique(g_nm[order[s:e]])
+            m = len(mem)
+            if m < 2:
+                continue
+            iu, ju = np.triu_indices(m, k=1)
+            ok = np.abs(lens[mem[iu]] - lens[mem[ju]]) <= max_distance
+            iu, ju = iu[ok], ju[ok]
+            if not len(iu):
+                continue
+            gram = counts[mem] @ counts[mem].T
+            d2 = sq[mem[iu]] + sq[mem[ju]] - 2 * gram[iu, ju]
+            ok = d2 <= 2.0 * max_distance * max_distance
+            if ok.any():
+                block_cands.append(
+                    (g_blk[order[s]],
+                     mem[iu[ok]] * np.int64(nn) + mem[ju[ok]])
+                )
+        kept = np.empty(0, dtype=np.int64)
+        if block_cands:
+            # each distinct NAME pair's distance computes once, whatever
+            # the number of blocks it recurs in
+            upairs = np.unique(np.concatenate([c for _, c in block_cands]))
+            ua, ub = upairs // nn, upairs % nn
+            dist = _np_levenshtein(
+                [names[i] for i in ua], [names[i] for i in ub], max_distance
+            )
+            kept = upairs[(dist >= 1) & (dist <= max_distance)]
+        # group-graph components (union-find over super-nodes)
+        parent = list(range(len(gvals)))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        active = gsize >= 2
+        for blk, codes in block_cands:
+            sel = codes[
+                np.isin(codes, kept, assume_unique=False)
+            ]
+            if not len(sel):
+                continue
+            ga = np.searchsorted(gvals, blk * np.int64(nn) + sel // nn)
+            gb = np.searchsorted(gvals, blk * np.int64(nn) + sel % nn)
+            active[ga] = True
+            active[gb] = True
+            for a, b in zip(ga.tolist(), gb.tolist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        roots = np.asarray([find(g) for g in range(len(gvals))])
+        keep_rows = active[ginv]
+        if not keep_rows.any():
+            return
+        rid = ids[keep_rows]
+        rroot = roots[ginv[keep_rows]]
+        o = np.lexsort((rid, rroot))
+        rid, rroot = rid[o], rroot[o]
+        starts = np.flatnonzero(np.r_[True, rroot[1:] != rroot[:-1]])
+        sizes = np.diff(np.r_[starts, len(rroot)])
+        canon = rid[starts]  # min id per component (id-sorted runs)
+        name_of = pd.Series(
+            pdf["nm"].to_numpy(object), index=ids
+        ).groupby(level=0).first()
+        yield pd.DataFrame({
+            "canonical_id": canon,
+            "canonical_name": name_of.reindex(canon).to_numpy(object),
+            "n_members": sizes.astype(np.int64),
+        })
+
+    return src.mapInPandas(
+        run, "canonical_id long, canonical_name string, n_members long"
+    )
+
+
+def entity_resolution(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    max_distance: int = 2,
+    fuse: bool | None = None,
+) -> DataFrame:
+    """Entity resolution end-to-end (the classic MDM composition):
+    blocked candidate pairs — exact-name plus Levenshtein <= k — feed
+    connected components, and each entity resolves to its canonical
+    min-id record with a member count → (canonical_id, canonical_name,
+    n_members).
+
+    *fuse* (r16): stats-gated — a file-backed source that fits one task
+    runs the whole composition as one narrow stage (_fused_entity_
+    resolution); otherwise every stage keeps its already-scale-shaped
+    distributed operator: block-keyed joins, pointer-jumping components
+    past the driver cutoff, broadcast dim attach."""
+    from id3c_spark.operators import dedup
+    from id3c_spark.operators.linalg import _single_task_source
+    from pyspark.sql import types as T
+
+    if fuse is None:
+        fuse = isinstance(
+            df.schema[id_col].dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        ) and _single_task_source(df)
+    if fuse:
+        return _fused_entity_resolution(
+            df, id_col, text_col, block_col, max_distance
+        )
+    near = edit_distance_pairs(
+        df, id_col, text_col, block_col, max_distance=max_distance
+    ).select("id_a", "id_b")
+    keyed = df.select(block_col, text_col, id_col)
+    exact = (
+        keyed.withColumnRenamed(id_col, "id_a")
+        .join(keyed.withColumnRenamed(id_col, "id_b"), [block_col, text_col])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    clusters = dedup.dedup_clusters(near.unionByName(exact).distinct())
+    return (
+        clusters.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(
+            F.broadcast(
+                df.select(
+                    F.col(id_col).alias("cluster"),
+                    F.col(text_col).alias("canonical_name"),
+                )
+            ),
+            "cluster",
+        )
+        .select(
+            F.col("cluster").alias("canonical_id"), "canonical_name", "n_members"
+        )
+    )

@@ -3840,40 +3840,18 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity resolution end-to-end (the classic MDM composition):
-    blocked candidate pairs — exact-name plus Levenshtein ≤ 2 — feed
-    connected components (dedup.dedup_clusters), and each entity
-    resolves to its canonical min-id record with a member count. Every
-    stage is the already-scale-shaped operator: block-keyed joins,
-    pointer-jumping components past the driver cutoff, broadcast dim
-    attach."""
+    """Entity resolution end-to-end (the classic MDM composition, now
+    operators/similarity.py entity_resolution): blocked candidate pairs
+    — exact-name plus Levenshtein ≤ 2 — feed connected components, and
+    each entity resolves to its canonical min-id record with a member
+    count. Past the fuse gate every stage keeps the already-scale-shaped
+    operator: block-keyed joins, pointer-jumping components past the
+    driver cutoff, broadcast dim attach; inside it (r16) the whole
+    composition runs as one narrow task over distinct (brand, name)
+    groups with an exact numpy Levenshtein mirror."""
     part = t(spark, sf_dir, "part")
-    near = similarity.edit_distance_pairs(
+    return similarity.entity_resolution(
         part, "p_partkey", "p_name", "p_brand", max_distance=2
-    ).select("id_a", "id_b")
-    keyed = part.select("p_brand", "p_name", "p_partkey")
-    exact = (
-        keyed.withColumnRenamed("p_partkey", "id_a")
-        .join(keyed.withColumnRenamed("p_partkey", "id_b"), ["p_brand", "p_name"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    clusters = dedup.dedup_clusters(near.unionByName(exact).distinct())
-    return (
-        clusters.groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("n_members"))
-        .join(
-            F.broadcast(
-                part.select(
-                    F.col("p_partkey").alias("cluster"),
-                    F.col("p_name").alias("canonical_name"),
-                )
-            ),
-            "cluster",
-        )
-        .select(
-            F.col("cluster").alias("canonical_id"), "canonical_name", "n_members"
-        )
     )
 
 

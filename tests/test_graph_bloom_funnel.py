@@ -277,3 +277,68 @@ def test_weighted_pagerank_favors_strong_edges(spark):
            pagerank(pairs, iters=8, weight_col="w").collect()}
     assert out[1] > out[2]
     assert abs(sum(out.values()) - 1.0) < 1e-3
+
+
+def test_np_levenshtein_matches_spark_levenshtein(spark):
+    """r16 fused entity resolution: the numpy Levenshtein mirror must
+    equal Spark's levenshtein on code points, including unicode edge
+    cases (combining marks, CJK, astral-plane emoji — UTF8String counts
+    code points, not bytes or grapheme clusters)."""
+    from pyspark.sql import functions as F
+
+    from id3c_spark.operators.similarity import _np_levenshtein
+
+    pairs = [
+        ("kitten", "sitting"), ("", ""), ("", "abc"), ("abc", ""),
+        ("same", "same"), ("ab", "ba"), ("abcd", "abdc"),
+        ("café", "cafe"), ("café", "café"),   # é vs e+combining
+        ("日本語", "日本誤"), ("naïve", "naive"),
+        ("a😀b", "ab"), ("😀😀", "😀x😀"),               # astral plane
+        ("hot bolt", "hot bol"), ("blue ring", "blues ring"),
+    ]
+    sdf = spark.createDataFrame(pairs, "a string, b string").select(
+        F.levenshtein("a", "b").alias("d")
+    )
+    ref = [r["d"] for r in sdf.collect()]
+    got = _np_levenshtein([a for a, _ in pairs], [b for _, b in pairs], 99)
+    assert got.tolist() == ref
+
+
+def test_entity_resolution_fused_parity(spark, tmp_path):
+    """Fused single-task entity resolution == the distributed
+    composition, value-for-value: exact-name groups, Levenshtein<=2
+    edges, min-id components, member counts — including null
+    blocks/names (never pair), the same name recurring across blocks
+    (blocks stay separate components), singleton-with-no-edge exclusion,
+    and unicode names through the count-GEMM prefilter."""
+    from id3c_spark.operators.similarity import entity_resolution
+
+    rows = [
+        (1, "B1", "hot bolt"), (2, "B1", "hot bolt"),    # exact pair
+        (3, "B1", "hot bol"),                             # lev 1 to both
+        (4, "B1", "cold plate"),                          # singleton: out
+        (5, "B2", "hot bolt"),                            # other block: out
+        (6, "B2", "hot volt"), (7, "B2", "hot bolt"),     # lev 1 pair
+        (8, None, "hot bolt"),                            # null block: out
+        (9, "B2", None),                                  # null name: out
+        (10, "B3", "café"), (11, "B3", "café"),  # unicode lev 2
+        (12, "B3", "café"),                               # dup of 10's name
+        (13, "B1", "zzz"), (14, "B1", "zz"),              # lev 1 pair
+    ]
+    df = spark.createDataFrame(rows, "id long, blk string, nm string")
+    path = str(tmp_path / "er")
+    df.coalesce(1).write.parquet(path)
+    src = spark.read.parquet(path)
+
+    def key(rows):
+        return sorted(
+            (r.canonical_id, r.canonical_name, r.n_members) for r in rows
+        )
+
+    fused = entity_resolution(src, "id", "nm", "blk", 2, fuse=True).collect()
+    dist = entity_resolution(src, "id", "nm", "blk", 2, fuse=False).collect()
+    assert key(fused) == key(dist) and fused
+    # the small file-backed source must gate into the single-task plan
+    plan = entity_resolution(src, "id", "nm", "blk", 2)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "Exchange" not in plan

@@ -167,7 +167,11 @@ def _fused_shingle_inter(
     windows + stop aggregate + shingle-keyed self-join + pair aggregate
     (6 exchanges). Everything in the task is string/integer work; the
     jaccard division + rounding + threshold stay the caller's Spark
-    expressions, so the visible arithmetic is unchanged."""
+    expressions, so the visible arithmetic is unchanged. (A
+    spread-tokenize-then-gather variant — repartition out, split, one
+    exchange back — was A/B'd cold in r16 and lost to noise while
+    sometimes regressing the graph consumers; the one-task chain
+    stays.)"""
     from id3c_spark.functions.text import words_array
 
     src = df.select(
@@ -178,35 +182,55 @@ def _fused_shingle_inter(
         import numpy as np
         import pandas as pd
 
-        by_id: dict = {}
+        id_rows, ws_rows = [], []
         for pdf in batches:
-            for rid, ws in zip(pdf["id"], pdf["ws"]):
-                ws = list(ws)
-                by_id.setdefault(int(rid), set()).update(
-                    " ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)
-                )
-        if not by_id:
+            if len(pdf):
+                id_rows.append(pdf["id"].to_numpy(np.int64))
+                ws_rows.extend(pdf["ws"].tolist())
+        if not id_rows:
             return
+        row_ids = np.concatenate(id_rows)
         # index order == id order (mirrors the distributed a.id < b.id);
-        # duplicate-id rows merged above exactly like the distinct over
-        # (id, shingle)
-        ids = np.asarray(sorted(by_id), dtype=np.int64)
-        doc_sets = [by_id[i] for i in ids.tolist()]
+        # duplicate-id rows merge through the distinct (doc, shingle)
+        # key below, exactly like the old per-id set union
+        ids = np.unique(row_ids)
         n = len(ids)
-        # vocabulary + occurrence arrays over distinct (doc, shingle)
-        vocab: dict = {}
-        di_parts, si_parts = [], []
-        for i, s in enumerate(doc_sets):
-            for sh in s:
-                code = vocab.setdefault(sh, len(vocab))
-                di_parts.append(i)
-                si_parts.append(code)
-        if not vocab:
+        # factorize-flattened shingling (r16, guide §4.2): one global
+        # word factorize + k-1 pairing-recode rounds replace the
+        # per-shingle Python " ".join/set ops — words are [a-z]+ only,
+        # so word-code k-tuples and joined strings identify shingles
+        # interchangeably; codes only ever act as grouping keys
+        lens = np.asarray([len(w) for w in ws_rows], dtype=np.int64)
+        total = int(lens.sum())
+        m = total - k + 1
+        if m <= 0:
             return
-        di = np.asarray(di_parts, dtype=np.int64)
-        si = np.asarray(si_parts, dtype=np.int64)
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for w in ws_rows:
+            flat[pos:pos + len(w)] = w
+            pos += len(w)
+        wcodes, uniq = pd.factorize(flat)
+        wcodes = wcodes.astype(np.int64)
+        nv = np.int64(len(uniq))
+        rowi = np.repeat(np.arange(len(ws_rows), dtype=np.int64), lens)
+        valid = rowi[:m] == rowi[k - 1:]
+        c = wcodes[:m]
+        for j in range(1, k):
+            # pairing + recode keeps magnitudes < (#windows)·(#words)
+            c = c * nv + wcodes[j:j + m]
+            _, c = np.unique(c, return_inverse=True)
+        sc = c[valid]
+        if not len(sc):
+            return
+        di0 = np.searchsorted(ids, row_ids[rowi[:m][valid]])
+        # distinct (doc, shingle)
+        s_span = np.int64(sc.max()) + 1
+        ukey = np.unique(di0 * s_span + sc)
+        di = ukey // s_span
+        si = ukey % s_span
         if max_df is not None:
-            freq = np.bincount(si, minlength=len(vocab))
+            freq = np.bincount(si)
             keep = freq[si] <= max_df
             di, si = di[keep], si[keep]
             if not len(di):

@@ -321,7 +321,20 @@ def cosine_topk(
         qpacked = qpacked.repartition("qb")
         cpacked = qpacked
     else:
-        cpacked = _packed_blocks(corpus, id_col, vec_col, corpus_shards, "cb")
+        # materialize BOTH pack stages behind an exchange before the
+        # crossJoin (r16): a cartesian recomputes its un-materialized
+        # child lineage once per partition PAIR, so the bare packed
+        # sides re-ran their Python pack passes O(P_q x P_c) times —
+        # at scale that is O(S) redundant passes over the query side,
+        # and on a many-partition in-memory frame it re-paid Python
+        # runner setup per sub-pair (measured 300+ s for a 6-row corpus
+        # on local[32]; 0.7 s with the exchanges). The exchange bytes
+        # are the packed blocks themselves — the S·|Q| + B·|C| bound the
+        # layout already pays.
+        qpacked = qpacked.repartition("qb")
+        cpacked = _packed_blocks(
+            corpus, id_col, vec_col, corpus_shards, "cb"
+        ).repartition("cb")
     q = qpacked.toDF("qb", "q_ids", "q_mat")
     c = cpacked.toDF("cb", "c_ids", "c_mat")
     n_pairs = query_blocks * corpus_shards

@@ -1013,13 +1013,18 @@ def _self_cell_topk_np(ids, mat, cell_of, probes, n_cells, k):
     in exactly ONE cell, so candidates are disjoint across cells and the
     global top-k equals the merge of per-cell top-k (the _cell_gemm_topk
     partial-top-k argument); the merge input stays ≤ n·nprobe·k rows.
-    Returns the ranked pandas DataFrame, or None when nothing scored."""
+    Returns the ranked pandas DataFrame, or None when nothing scored.
+
+    Self-exclusion is BY ID (the staged cids != qids[i] rule — ADVICE
+    r15). Bit-parity with the staged path assumes UNIQUE corpus ids:
+    duplicate ids leave the md5 pivot choice and the staged window's
+    duplicate-row crowding ill-defined, though the exclusion rule
+    itself still holds (pinned in test_dedup_similarity)."""
     import numpy as np
     import pandas as pd
 
     n = len(ids)
     nrm = np.sqrt((mat * mat).sum(axis=1))
-    pos_in_cell = np.full(n, -1, dtype=np.int64)
     qi_parts, ci_parts, s_parts = [], [], []
     chunk = 1024
     for c in range(n_cells):
@@ -1034,31 +1039,32 @@ def _self_cell_topk_np(ids, mat, cell_of, probes, n_cells, k):
         # (sim desc, id asc) candidate order of the staged
         # window and the previous per-pair lexsort
         mem = mem[np.argsort(ids[mem], kind="stable")]
-        kk1 = min(k + 1, len(mem))
-        pos_in_cell[mem] = np.arange(len(mem))
         for s0 in range(0, len(probing), chunk):
             pr = probing[s0:s0 + chunk]
             sims_c = np.round(
                 (mat[pr] @ mat[mem].T) / np.outer(nrm[pr], nrm[mem]),
                 6,
             )
-            # self-exclusion (same row index, as before): mask
-            # the probing row's own column to -inf so it sorts
-            # after every real candidate (and before NaNs, which
-            # argsort orders last exactly like the previous
-            # global lexsort did), select k+1 columns, then drop
-            # the self slot and keep the first k per row — exact
-            # whether or not the self column made the window
-            self_col = pos_in_cell[pr]
-            has_self = np.flatnonzero(self_col >= 0)
-            if len(has_self):
-                sims_c[has_self, self_col[has_self]] = -np.inf
+            # self-exclusion BY ID (r16, ADVICE): the staged
+            # _cell_gemm_topk drops every candidate whose id equals
+            # the query's id (cids != qids[i]), so with duplicate
+            # corpus ids all self-id columns mask to -inf — they sort
+            # after every real cosine and before NaNs, which argsort
+            # orders last exactly like the staged lexsort; the window
+            # widens past the worst per-row self count, then self
+            # slots drop and the first k real candidates remain
+            self_mask = ids[mem][None, :] == ids[pr][:, None]
+            sims_c[self_mask] = -np.inf
+            kk1 = min(
+                k + int(self_mask.sum(axis=1).max(initial=0)), len(mem)
+            )
             order = np.argsort(-sims_c, axis=1, kind="stable")[:, :kk1]
             sel = np.take_along_axis(sims_c, order, axis=1)
-            not_self = (order != self_col[:, None]).ravel()
+            flat = sel.ravel()
+            not_self = (flat > -np.inf) | np.isnan(flat)
             rq = np.repeat(pr, kk1)[not_self]
             rc = mem[order.ravel()[not_self]]
-            rs = sel.ravel()[not_self]
+            rs = flat[not_self]
             if not len(rq):
                 continue
             row_new = np.r_[True, rq[1:] != rq[:-1]]
@@ -1072,7 +1078,6 @@ def _self_cell_topk_np(ids, mat, cell_of, probes, n_cells, k):
             qi_parts.append(rq[keep_k])
             ci_parts.append(rc[keep_k])
             s_parts.append(rs[keep_k])
-        pos_in_cell[mem] = -1
     if not qi_parts:
         return None
     qi = np.concatenate(qi_parts)
@@ -1909,7 +1914,13 @@ def exact_rerank(
     the per-query window; the corpus never re-scans.
 
     Compose: exact_rerank(q, c, pq_topk(q, c, books, k=4*k), k) — the
-    standard recall restorer for compressed indexes."""
+    standard recall restorer for compressed indexes.
+
+    Laziness note (ADVICE r15): inside the fuse gate, building the
+    returned DataFrame eagerly collects the gate-bounded query and
+    corpus vector relations (one small job each) — callers that build
+    plans speculatively and never execute them still pay that; pass
+    fuse=False to keep a fully lazy plan."""
     qe = _prep(queries, id_col, vec_col).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv")
     )

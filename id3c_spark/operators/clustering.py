@@ -76,10 +76,26 @@ def micros6(x):
     replay, generalized)."""
     import numpy as np
 
+    if not np.isfinite(x).all():
+        # the staged path turns non-finite components into decimal-cast
+        # NULLs (skipped by sum, counted by n) — semantics an int64
+        # micro pipeline cannot represent; fail loudly rather than
+        # emit an undefined int64 (ADVICE r15)
+        raise ValueError(
+            "micros6: non-finite component; route this corpus through "
+            "the staged (fuse=False) path, whose decimal cast NULLs it"
+        )
     fa = np.abs(x) * 1e6
     frac = fa - np.floor(fa)
     out = np.floor(fa + 0.5)
-    unsafe = np.flatnonzero(np.abs(frac - 0.5) < 1e-8)
+    # tie window scales with ulp of fa (float error of |x|*1e6 is
+    # relative, so a fixed 1e-8 missed true ties past |x| ~ 100 —
+    # ADVICE r15); the absolute floor keeps the old coverage for small
+    # magnitudes. A wider window only sends MORE elements to the exact
+    # BigDecimal replay, so it can only improve agreement.
+    unsafe = np.flatnonzero(
+        np.abs(frac - 0.5) < np.maximum(1e-8, 8 * np.spacing(fa))
+    )
     if len(unsafe):
         from decimal import ROUND_HALF_UP, Decimal
 

@@ -581,6 +581,14 @@ def _fused_serve(
     # the former single task read; the query-side exchange ships only
     # the batch rows. Parallelism follows the scheduler's
     # defaultParallelism, not a local constant.
+    #
+    # Eagerness + broadcast lifetime (ADVICE r15): building the serve
+    # DataFrame is therefore NOT lazy (the collect jobs run per serve
+    # call), and the broadcast lives until the Python object is GC'd —
+    # a long-lived serve loop that builds many serve plans accumulates
+    # gate-bounded (≤ single-task-bytes) broadcast blocks until then.
+    # Destroying it eagerly is unsafe from here: the returned plan is
+    # lazy and may execute (or re-execute) after this function returns.
     sc = qp.sparkSession.sparkContext
     code_rows = codes_df.select("id", "cell", "codes").collect()
     cid_g = np.asarray([r["id"] for r in code_rows], dtype=np.int64)

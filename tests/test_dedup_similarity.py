@@ -943,3 +943,34 @@ def test_fuse_text_gate(spark, sf_dir):
     assert not dedup._fuse_text(mem, "doc_id")
     sdocs = docs.select(F.col("doc_id").cast("string").alias("sid"), "text")
     assert not dedup._fuse_text(sdocs, "sid")
+
+
+def test_fused_ivf_duplicate_ids_self_exclusion_by_id(spark):
+    """r16 (ADVICE r15): the fused self-search cell top-k excludes
+    candidates BY ID like the staged _cell_gemm_topk (cids != qids[i]),
+    not by row index — the old row-index mask returned a duplicate-id
+    row as its twin's neighbor. Full result parity under duplicate ids
+    is NOT the contract (duplicate ids also make the md5 pivot choice
+    and the staged rank window's duplicate-row crowding ill-defined);
+    the pinned property is the staged exclusion rule itself: no emitted
+    neighbor ever carries its query's id."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    mat = rng.normal(size=(12, 8))
+    rows = [(i, mat[i].tolist()) for i in range(12)]
+    rows.append((3, mat[3].tolist()))
+    rows.append((3, mat[3].tolist()))
+    rows.append((7, mat[7].tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for fn, kw in [
+        (ann.ivf_topk, dict(k=4, nlist=4, nprobe=4)),
+        (ann.ivf_trained_topk, dict(k=4, nlist=4, nprobe=4, train_iter=1)),
+    ]:
+        f = [(r.query_id, r.neighbor_id)
+             for r in fn(emb, emb, fuse=True, **kw).collect()]
+        s = [(r.query_id, r.neighbor_id)
+             for r in fn(emb, emb, fuse=False, **kw).collect()]
+        assert f and s
+        assert all(q != nbr for q, nbr in f)   # fused: by-id exclusion
+        assert all(q != nbr for q, nbr in s)   # staged reference rule

@@ -773,7 +773,13 @@ def _fused_sketch_join(
     ])
 
     def run(key: tuple, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        # object-dtype empties: a default float64 empty column cannot
+        # Arrow-cast to a struct id type (struct ids ride as dicts)
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype=object),
+            "id_b": pd.Series([], dtype=object),
+            "hamming": pd.Series([], dtype="int32"),
+        })
         if not len(lpdf) or not len(rpdf):
             return empty
         ua = lpdf["sketch"].to_numpy(np.int64).view(np.uint64)

@@ -1035,3 +1035,30 @@ def test_fused_sketch_join_struct_ids(spark):
         for r in rows
     )
     assert key(fused) == key(dist) and fused
+
+
+def test_fused_sketch_join_empty_and_no_match_cases(spark):
+    """No-candidate / no-match / empty-side fused joins must return
+    empty frames of the declared schema — including struct ids, where a
+    default float64 empty pandas column cannot Arrow-cast to the struct
+    type (regression: r16 first cut crashed there)."""
+    from pyspark.sql import functions as F
+
+    from id3c_spark.operators.ann import (
+        sketch_hamming_join,
+        sketch_hamming_pairs,
+    )
+
+    left = spark.createDataFrame([(1, 0)], "id long, sketch long")
+    right = spark.createDataFrame([(2, -1)], "id long, sketch long")
+    rs = spark.createDataFrame(
+        [(2, 0, -1)], "v long, f long, sketch long"
+    ).select(F.struct("v", "f").alias("id"), "sketch")
+    empty = spark.createDataFrame([], "id long, sketch long")
+    assert sketch_hamming_join(left, right, 64, 8, 7, fuse=True).count() == 0
+    assert sketch_hamming_join(left, rs, 64, 8, 7, fuse=True).count() == 0
+    assert sketch_hamming_join(left, empty, 64, 8, 7, fuse=True).count() == 0
+    assert sketch_hamming_join(empty, rs, 64, 8, 7, fuse=True).count() == 0
+    two = spark.createDataFrame([(1, 0), (2, -1)], "id long, sketch long")
+    assert sketch_hamming_pairs(two, 64, 8, 7, fuse=True).count() == 0
+    assert sketch_hamming_pairs(empty, 64, 8, 7, fuse=True).count() == 0

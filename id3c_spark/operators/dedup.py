@@ -156,6 +156,86 @@ def _distinct_shingles(
     return _exploded_shingles(df, id_col, text_col, k, words=words).distinct()
 
 
+def _np_shingle_occurrences(ws_rows: list, k: int):
+    """(rowi, codes) — one entry per k-word-shingle OCCURRENCE across
+    *ws_rows* (a list of per-row word lists): one global word factorize
+    + k−1 pairing-recode rounds (guide §4.2). Words are the caller's
+    tokens ([a-z]+ only in every call site), so word-code k-tuples and
+    joined shingle strings identify shingles interchangeably; the codes
+    only ever act as grouping keys. Returns (None, None) when no row
+    holds a full k-window. Shared by _fused_shingle_inter and the fused
+    curation composition (plans/curation.py)."""
+    import numpy as np
+    import pandas as pd
+
+    lens = np.asarray([len(w) for w in ws_rows], dtype=np.int64)
+    total = int(lens.sum())
+    m = total - k + 1
+    if m <= 0:
+        return None, None
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for w in ws_rows:
+        flat[pos:pos + len(w)] = w
+        pos += len(w)
+    wcodes, uniq = pd.factorize(flat)
+    wcodes = wcodes.astype(np.int64)
+    nv = np.int64(len(uniq))
+    rowi = np.repeat(np.arange(len(ws_rows), dtype=np.int64), lens)
+    valid = rowi[:m] == rowi[k - 1:]
+    c = wcodes[:m]
+    for j in range(1, k):
+        # pairing + recode keeps magnitudes < (#windows)·(#words)
+        c = c * nv + wcodes[j:j + m]
+        _, c = np.unique(c, return_inverse=True)
+        c = c.astype(np.int64)
+    sc = c[valid]
+    if not len(sc):
+        return None, None
+    return rowi[:m][valid], sc
+
+
+def _np_pair_intersections(di, si, n: int):
+    """(ai, bi, n_inter) — ordered doc-index pairs (ai < bi, indices in
+    [0, n)) with distinct-shingle intersection counts, from a DISTINCT
+    (doc-index, shingle-code) relation. Buckets by shingle with members
+    doc-sorted IN the one sort (lexsort (di, si) == per-group np.sort),
+    then emits every group's ordered index pairs in ONE vectorized
+    expansion: element at in-group position p pairs as the left side
+    with the g−1−p members after it, so lefts are a repeat() and rights
+    a global position-arithmetic gather — no per-group Python loop (tens
+    of thousands of groups paid ~20 µs of interpreter each). The
+    pair-code buffer stays exactly Σ C(group, 2); ascending sort +
+    run-length boundaries produce the identical (codes, counts) pairs
+    the per-group loop emitted. Returns (None, None, None) when no
+    shingle group has ≥ 2 members."""
+    import numpy as np
+
+    o = np.lexsort((di, si))
+    sdi, ssi = di[o], si[o]
+    starts = np.flatnonzero(np.r_[True, ssi[1:] != ssi[:-1]])
+    ends = np.r_[starts[1:], len(ssi)]
+    glen = ends - starts
+    raw_total = int((glen * (glen - 1) // 2).sum())
+    if raw_total == 0:
+        return None, None, None
+    g_per_elem = np.repeat(glen, glen)
+    pos = np.arange(len(sdi)) - np.repeat(starts, glen)
+    nright = g_per_elem - 1 - pos          # pairs led by each element
+    qi_all = np.repeat(sdi, nright)
+    block0 = np.zeros(len(sdi) + 1, dtype=np.int64)
+    np.cumsum(nright, out=block0[1:])
+    within = np.arange(raw_total) - np.repeat(block0[:-1], nright)
+    ci_all = sdi[np.repeat(np.arange(len(sdi)), nright) + 1 + within]
+    codes_all = qi_all * np.int64(n) + ci_all
+    codes_all.sort()
+    new_code = np.r_[True, codes_all[1:] != codes_all[:-1]]
+    first = np.flatnonzero(new_code)
+    counts = np.diff(np.r_[first, len(codes_all)])
+    codes = codes_all[first]
+    return codes // n, codes % n, counts.astype(np.int64)
+
+
 def _fused_shingle_inter(
     df: DataFrame, id_col: str, text_col: str, k: int, max_df: int | None
 ) -> DataFrame:
@@ -195,35 +275,12 @@ def _fused_shingle_inter(
         # key below, exactly like the old per-id set union
         ids = np.unique(row_ids)
         n = len(ids)
-        # factorize-flattened shingling (r16, guide §4.2): one global
-        # word factorize + k-1 pairing-recode rounds replace the
-        # per-shingle Python " ".join/set ops — words are [a-z]+ only,
-        # so word-code k-tuples and joined strings identify shingles
-        # interchangeably; codes only ever act as grouping keys
-        lens = np.asarray([len(w) for w in ws_rows], dtype=np.int64)
-        total = int(lens.sum())
-        m = total - k + 1
-        if m <= 0:
+        # factorize-flattened shingling (r16, guide §4.2) — see
+        # _np_shingle_occurrences
+        rowi, sc = _np_shingle_occurrences(ws_rows, k)
+        if rowi is None:
             return
-        flat = np.empty(total, dtype=object)
-        pos = 0
-        for w in ws_rows:
-            flat[pos:pos + len(w)] = w
-            pos += len(w)
-        wcodes, uniq = pd.factorize(flat)
-        wcodes = wcodes.astype(np.int64)
-        nv = np.int64(len(uniq))
-        rowi = np.repeat(np.arange(len(ws_rows), dtype=np.int64), lens)
-        valid = rowi[:m] == rowi[k - 1:]
-        c = wcodes[:m]
-        for j in range(1, k):
-            # pairing + recode keeps magnitudes < (#windows)·(#words)
-            c = c * nv + wcodes[j:j + m]
-            _, c = np.unique(c, return_inverse=True)
-        sc = c[valid]
-        if not len(sc):
-            return
-        di0 = np.searchsorted(ids, row_ids[rowi[:m][valid]])
+        di0 = np.searchsorted(ids, row_ids[rowi])
         # distinct (doc, shingle)
         s_span = np.int64(sc.max()) + 1
         ukey = np.unique(di0 * s_span + sc)
@@ -236,40 +293,9 @@ def _fused_shingle_inter(
             if not len(di):
                 return
         sizes = np.bincount(di, minlength=n)
-        # bucket by shingle with members doc-sorted IN the one sort
-        # (lexsort (di, si) == the old per-group np.sort), then emit
-        # every group's ordered index pairs in ONE vectorized expansion:
-        # element at in-group position p pairs as the left side with the
-        # g−1−p members after it, so lefts are a repeat() and rights are
-        # a global position arithmetic gather — no per-group Python loop
-        # (tens of thousands of groups paid ~20 µs of interpreter each).
-        # The pair-code buffer stays exactly Σ C(group, 2); ascending
-        # sort + run-length boundaries produce the identical
-        # (codes, counts) pairs the per-group loop emitted.
-        o = np.lexsort((di, si))
-        sdi, ssi = di[o], si[o]
-        starts = np.flatnonzero(np.r_[True, ssi[1:] != ssi[:-1]])
-        ends = np.r_[starts[1:], len(ssi)]
-        glen = ends - starts
-        raw_total = int((glen * (glen - 1) // 2).sum())
-        if raw_total == 0:
+        ai, bi, counts = _np_pair_intersections(di, si, n)
+        if ai is None:
             return
-        g_per_elem = np.repeat(glen, glen)
-        pos = np.arange(len(sdi)) - np.repeat(starts, glen)
-        nright = g_per_elem - 1 - pos          # pairs led by each element
-        qi_all = np.repeat(sdi, nright)
-        block0 = np.zeros(len(sdi) + 1, dtype=np.int64)
-        np.cumsum(nright, out=block0[1:])
-        within = np.arange(raw_total) - np.repeat(block0[:-1], nright)
-        ci_all = sdi[np.repeat(np.arange(len(sdi)), nright) + 1 + within]
-        codes_all = qi_all * np.int64(n) + ci_all
-        codes_all.sort()
-        new_code = np.r_[True, codes_all[1:] != codes_all[:-1]]
-        first = np.flatnonzero(new_code)
-        counts = np.diff(np.r_[first, len(codes_all)])
-        codes = codes_all[first]
-        ai = codes // n
-        bi = codes % n
         yield pd.DataFrame({
             "id_a": ids[ai], "id_b": ids[bi],
             "n_a": sizes[ai], "n_b": sizes[bi],

@@ -204,3 +204,284 @@ def curate(
         },
         cached=[words_all, quality, exact],
     )
+
+
+def curate_sampled_exact(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stratum_col: str = "source",
+    sample_rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    jaccard_threshold: float = 0.8,
+    k: int = 3,
+    max_df: int | None = 200,
+    fuse: bool | None = None,
+) -> DataFrame:
+    """The curation composition's SAMPLED stage with the exact n-gram
+    Jaccard pair strategy (full-recall verification — the oracle-backed
+    composition query's configuration), with a stats-gated fused
+    small-regime path (r16, guide §2.4/§4.2).
+
+    Distributed regime (the default at scale): exactly ``curate()`` with
+    ``pair_fn = ngram_jaccard_pairs(k, threshold, max_df, words=shared)``
+    — one shared tokenize pass feeding every word-grain stage, unchanged
+    from the adjudicated r12/r13 shape.
+
+    Fused regime (``fuse=None`` → gated on ``dedup._fuse_text`` for BOTH
+    inputs — integral ids + a file-backed source whose listed bytes fit
+    one task): the whole quality → decontaminate → exact-dedup →
+    near-dup-components → keep-canonical tail runs as ONE mapInPandas
+    task over (id, stratum, md5(text), words_array(text)) rows —
+    tokenization and the content hash stay Spark expressions, identical
+    to the distributed path by construction; the final stratified-sample
+    filter stays the SAME ``corpus.stratified_sample`` operator over the
+    task's output. Per-doc ids are assumed unique (the pipeline's input
+    contract — duplicate ids make the staged flow's semi-join grains
+    ill-defined too). Parity with the staged path is pinned in
+    tests/test_corpus_asof_multimodal.py."""
+    from id3c_spark.operators.dedup import _fuse_text
+
+    if fuse is None:
+        from pyspark.sql import types as T
+
+        fuse = (
+            isinstance(docs.schema[stratum_col].dataType, T.StringType)
+            and _fuse_text(docs, id_col)
+            and _fuse_text(benchmark, id_col)
+        )
+    if fuse:
+        unique = _fused_curation_unique(
+            docs, benchmark, id_col, text_col, stratum_col,
+            jaccard_threshold, k, max_df,
+        )
+        return corpus.stratified_sample(
+            unique, id_col, stratum_col, sample_rates or {}, default_rate
+        )
+    stages = curate(
+        docs,
+        benchmark,
+        id_col=id_col,
+        text_col=text_col,
+        stratum_col=stratum_col,
+        sample_rates=sample_rates,
+        default_rate=default_rate,
+        pair_fn=lambda exact, words: dedup.ngram_jaccard_pairs(
+            exact, id_col, text_col, k=k, threshold=jaccard_threshold,
+            max_df=max_df, words=words,
+        ),
+    )
+    return stages["sampled"]
+
+
+def _fused_curation_unique(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    stratum_col: str,
+    jaccard_threshold: float,
+    k: int,
+    max_df: int | None,
+    max_top_word_frac: float = 0.2,
+    min_distinct_ratio: float = 0.3,
+    k_decontam: int = 5,
+) -> DataFrame:
+    """Single-task (id, stratum) relation of the curation UNIQUE stage —
+    the numpy mirror of quality → decontaminate → exact dedup → near-dup
+    components keep-canonical, over corpus+benchmark rows gathered into
+    one narrow Arrow task. Exactness notes:
+
+    - tokenize (words_array) and md5(text) are the SAME Spark
+      expressions the staged operators evaluate; only word/integer work
+      and the two round(x, 6) comparisons run in the task;
+    - round(x, 6) replays Spark's BigDecimal(Double.toString) HALF_UP
+      (repr(float) is the identical shortest round-trip decimal — the
+      clustering.micros6/graph replay discipline), with a vectorized
+      fast path: values farther than 2e-6 from the comparison threshold
+      cannot change side under a ±5e-7 rounding perturbation, so only
+      the near-tie band pays the Decimal replay;
+    - empty/null-text docs have no word rows in the staged metrics
+      aggregate and drop out of `quality` via the inner semi-join —
+      mirrored by the n_words > 0 requirement;
+    - decontamination shingles ALL corpus docs (the staged flow passes
+      the unfiltered words relation; non-quality contaminated ids are
+      nullified by the later intersection, identically);
+    - the stop-shingle cap and pair intersections run over exact-winner
+      docs only, exactly like ngram_jaccard_pairs(exact, words_exact);
+    - components are min-root union-find over the surviving pairs — the
+      same labels dedup_clusters' small regime produces."""
+    from id3c_spark.functions.text import words_array
+    from id3c_spark.operators.dedup import (
+        _np_pair_intersections,
+        _np_shingle_occurrences,
+    )
+
+    st_type = docs.schema[stratum_col].dataType.simpleString()
+    src = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.col(stratum_col).alias("stratum"),
+            F.md5(F.col(text_col)).alias("h"),
+            words_array(F.col(text_col)).alias("ws"),
+            F.lit(False).alias("is_bench"),
+        )
+        .unionByName(
+            benchmark.select(
+                F.col(id_col).alias("id"),
+                F.lit(None).cast(st_type).alias("stratum"),
+                F.lit(None).cast("string").alias("h"),
+                words_array(F.col(text_col)).alias("ws"),
+                F.lit(True).alias("is_bench"),
+            )
+        )
+        .coalesce(1)
+    )
+    thr = float(jaccard_threshold)
+    top_frac = float(max_top_word_frac)
+    min_ratio = float(min_distinct_ratio)
+
+    def run(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        ids_l, strat_l, h_l, ws_l, bench_l = [], [], [], [], []
+        for pdf in batches:
+            if len(pdf):
+                ids_l.append(pdf["id"].to_numpy(np.int64))
+                strat_l.append(pdf["stratum"].to_numpy(object))
+                h_l.append(pdf["h"].to_numpy(object))
+                ws_l.extend(pdf["ws"].tolist())
+                bench_l.append(pdf["is_bench"].to_numpy(bool))
+        if not ids_l:
+            return
+        ids = np.concatenate(ids_l)
+        strat = np.concatenate(strat_l)
+        hh = np.concatenate(h_l)
+        isb = np.concatenate(bench_l)
+        ws_rows = [list(w) if w is not None else [] for w in ws_l]
+        nrows = len(ids)
+        six = Decimal("0.000001")
+
+        def r6(x: float) -> float:
+            # Spark Round(double, 6): BigDecimal.valueOf == repr replay
+            return float(Decimal(repr(float(x))).quantize(six, ROUND_HALF_UP))
+
+        def r6_cmp(x, t, ge: bool):
+            """Vector round6(x) >= t (ge) / <= t (not ge): direct float
+            compare outside the ±2e-6 tie band (round6 moves x by at
+            most 5e-7), Decimal replay inside it."""
+            x = np.asarray(x, dtype=np.float64)
+            out = (x >= t) if ge else (x <= t)
+            near = np.abs(x - t) <= 2e-6
+            for i in np.flatnonzero(near):
+                rx = r6(x[i])
+                out[i] = (rx >= t) if ge else (rx <= t)
+            return out
+
+        corp = ~isb
+        lens = np.asarray([len(w) for w in ws_rows], dtype=np.int64)
+        # ---- quality gate: per-doc word stats (k=1 occurrences) ----
+        quality = np.zeros(nrows, dtype=bool)
+        rowi1, wcodes = _np_shingle_occurrences(ws_rows, 1)
+        if rowi1 is not None:
+            nv = np.int64(wcodes.max()) + 1
+            ukey, ucnt = np.unique(rowi1 * nv + wcodes, return_counts=True)
+            urow = (ukey // nv).astype(np.int64)
+            n_distinct = np.bincount(urow, minlength=nrows)
+            top_c = np.zeros(nrows, dtype=np.int64)
+            np.maximum.at(top_c, urow, ucnt)
+            hasw = corp & (lens > 0)
+            nw = np.where(lens > 0, lens, 1).astype(np.float64)
+            quality = (
+                hasw
+                & r6_cmp(top_c / nw, top_frac, ge=False)
+                & r6_cmp(n_distinct / nw, min_ratio, ge=True)
+            )
+        # ---- decontamination: k_decontam-shingle overlap with bench ----
+        contaminated = np.zeros(nrows, dtype=bool)
+        rowd, coded = _np_shingle_occurrences(ws_rows, k_decontam)
+        if rowd is not None:
+            occ_b = isb[rowd]
+            bcodes = np.unique(coded[occ_b])
+            if len(bcodes):
+                occ_c = ~occ_b
+                hit = np.isin(coded[occ_c], bcodes)
+                contaminated[np.unique(rowd[occ_c][hit])] = True
+        clean = quality & ~contaminated
+        # ---- exact dedup on md5(text): keep min id per hash ----
+        exact = np.zeros(nrows, dtype=bool)
+        ci = np.flatnonzero(clean)
+        if len(ci):
+            hcode, _ = pd.factorize(hh[ci])
+            gmin = np.full(
+                int(hcode.max()) + 1, np.iinfo(np.int64).max, dtype=np.int64
+            )
+            np.minimum.at(gmin, hcode, ids[ci])
+            exact[ci[ids[ci] == gmin[hcode]]] = True
+        # ---- near-dup pairs among exact winners → min-root components ----
+        ex_idx = np.flatnonzero(exact)
+        removed: set = set()
+        if len(ex_idx) >= 2:
+            rowe, codee = _np_shingle_occurrences(
+                [ws_rows[i] for i in ex_idx], k
+            )
+            if rowe is not None:
+                span = np.int64(codee.max()) + 1
+                ukey2 = np.unique(rowe * span + codee)
+                di = (ukey2 // span).astype(np.int64)
+                si = ukey2 % span
+                if max_df is not None:
+                    freq = np.bincount(si)
+                    keepm = freq[si] <= max_df
+                    di, si = di[keepm], si[keepm]
+                if len(di):
+                    nex = len(ex_idx)
+                    sizes = np.bincount(di, minlength=nex)
+                    ai, bi, ninter = _np_pair_intersections(di, si, nex)
+                    if ai is not None:
+                        na = sizes[ai].astype(np.float64)
+                        nb = sizes[bi].astype(np.float64)
+                        jr = ninter.astype(np.float64) / (na + nb - ninter)
+                        keep_pair = r6_cmp(jr, thr, ge=True)
+                        exact_ids = ids[ex_idx]
+                        parent: dict = {}
+
+                        def find(x):
+                            root = x
+                            while parent.get(root, root) != root:
+                                root = parent[root]
+                            while parent.get(x, x) != x:
+                                parent[x], x = root, parent[x]
+                            return root
+
+                        nodes = set()
+                        for a_i, b_i in zip(
+                            ai[keep_pair], bi[keep_pair]
+                        ):
+                            a_id = int(exact_ids[a_i])
+                            b_id = int(exact_ids[b_i])
+                            nodes.add(a_id)
+                            nodes.add(b_id)
+                            ra, rb = find(a_id), find(b_id)
+                            if ra != rb:
+                                if rb < ra:
+                                    ra, rb = rb, ra
+                                parent[rb] = ra
+                        removed = {x for x in nodes if find(x) != x}
+        keep_rows = [
+            i for i in np.flatnonzero(exact) if int(ids[i]) not in removed
+        ]
+        if not keep_rows:
+            return
+        yield pd.DataFrame(
+            {
+                id_col: ids[keep_rows],
+                stratum_col: [strat[i] for i in keep_rows],
+            }
+        )
+
+    return src.mapInPandas(run, f"{id_col} long, {stratum_col} string")

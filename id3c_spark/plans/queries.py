@@ -4480,27 +4480,30 @@ def hashed_doc_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def curation_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The END-TO-END curation pipeline (plans/curation.curate) as one
+    """The END-TO-END curation pipeline (plans/curation) as one
     oracle-verified composition: Gopher quality gate → benchmark
     decontamination → exact dedup → jaccard ≥ 0.8 near-dup components
-    (keep canonical) → deterministic stratified sample. Each stage is
-    the already-scale-shaped catalog operator; the composition stays one
-    lazy DataFrame flow."""
-    from id3c_spark.plans.curation import curate
+    (keep canonical) → deterministic stratified sample. Distributed
+    regime = curate()'s shared-tokenize staged flow (the adjudicated
+    scale shape); below the single-task file-bytes gate the whole tail
+    fuses into one narrow Arrow task (r16 — see
+    curation.curate_sampled_exact), stratified-sample filter unchanged
+    either way."""
+    from id3c_spark.plans.curation import curate_sampled_exact
 
     docs = t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     rest = docs.filter(F.col("doc_id") % 97 != 0)
-    stages = curate(
+    sampled = curate_sampled_exact(
         rest,
         bench,
         sample_rates={"src1": 0.5, "src2": 0.25, "src3": 0.125},
         default_rate=0.0625,
-        pair_fn=lambda exact, words: dedup.ngram_jaccard_pairs(
-            exact, "doc_id", "text", k=3, threshold=0.8, max_df=200, words=words
-        ),
+        jaccard_threshold=0.8,
+        k=3,
+        max_df=200,
     )
-    return stages["sampled"].select("doc_id", "source")
+    return sampled.select("doc_id", "source")
 
 
 @query(

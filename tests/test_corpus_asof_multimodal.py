@@ -362,6 +362,74 @@ def test_curation_pipeline_end_to_end(spark):
     assert sorted(shards["id"]) == [2, 6]
 
 
+def test_curate_sampled_exact_fused_parity(spark):
+    """r16 fused curation composition: the single-task mirror of
+    quality → decontaminate → exact dedup → near-dup components →
+    keep-canonical → stratified sample must return EXACTLY the staged
+    curate() rows — including repetition-gated docs, contaminated docs,
+    exact/near dup clusters, empty and single-word texts, null source,
+    and per-stratum sampling."""
+    from id3c_spark.plans.curation import curate_sampled_exact
+
+    good = "the quick brown fox jumps over a lazy dog near the quiet river tonight"
+    rows = [
+        (1, "spam " * 30, "src1"),                       # repetition-filtered
+        (2, good, "src1"),                               # survives
+        (3, good, "src1"),                               # exact dup of 2
+        (4, good + " extra tail words", "src1"),         # near-dup of 2
+        (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "src2"),
+        (6, "completely different clean content about mountains and weather patterns today", "src2"),
+        (7, "", "src2"),                                 # empty text → no words
+        (8, "word", None),                               # 1 word, null source
+        (9, good + " extra tail words", "src3"),         # exact dup of 4
+        (10, "unique nine token document covering oceans rivers lakes and streams", "src9"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    for rates, default in (
+        ({}, 1.0),
+        ({"src1": 0.5, "src2": 0.25}, 0.0625),
+        ({"src1": 1.0}, 0.0),
+    ):
+        for thr in (0.5, 0.8):
+            fused = curate_sampled_exact(
+                docs, bench, sample_rates=rates, default_rate=default,
+                jaccard_threshold=thr, fuse=True,
+            )
+            staged = curate_sampled_exact(
+                docs, bench, sample_rates=rates, default_rate=default,
+                jaccard_threshold=thr, fuse=False,
+            )
+            f = sorted((r.doc_id, r.source) for r in
+                       fused.select("doc_id", "source").collect())
+            s = sorted((r.doc_id, r.source) for r in
+                       staged.select("doc_id", "source").collect())
+            assert f == s, (rates, default, thr, f, s)
+
+
+def test_curate_sampled_exact_fused_parity_sf(spark, sf_dir):
+    """Fused vs staged curation on the real documents fixture (the
+    catalog query's exact configuration, both doc_id%97 splits)."""
+    from id3c_spark.plans.curation import curate_sampled_exact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    rest = docs.filter(F.col("doc_id") % 97 != 0)
+    kw = dict(
+        sample_rates={"src1": 0.5, "src2": 0.25, "src3": 0.125},
+        default_rate=0.0625, jaccard_threshold=0.8, k=3, max_df=200,
+    )
+    f = sorted((r.doc_id, r.source) for r in
+               curate_sampled_exact(rest, bench, fuse=True, **kw)
+               .select("doc_id", "source").collect())
+    s = sorted((r.doc_id, r.source) for r in
+               curate_sampled_exact(rest, bench, fuse=False, **kw)
+               .select("doc_id", "source").collect())
+    assert f == s and f
+
+
 # ---------------------------------------------------------------------------
 # WAV / BMP kernels
 # ---------------------------------------------------------------------------

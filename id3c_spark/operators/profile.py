@@ -400,46 +400,45 @@ def kmv_jaccard(
             f"group count — lower k, group coarser, or raise "
             f"max_sketch_rows if driver memory allows"
         )
-    sk = spark.createDataFrame(rows, sk_plan.schema)
-    groups = sk.select("g").distinct()
-    # |G|² pair relation (the one intentional crossJoin — group count,
-    # not corpus, bounds it); each side's sketch then attaches by EQUI
-    # join on its group key
-    pairs = (
-        groups.select(F.col("g").alias("ga"))
-        .crossJoin(F.broadcast(groups.select(F.col("g").alias("gb"))))
-        .where(F.col("ga") < F.col("gb"))
+    # r16 (guide §5 driver shape): the pair tail is driver-local set
+    # arithmetic over the ALREADY-COLLECTED ≤ k·|G|-row sketch — the old
+    # plan re-shipped those ~k·|G| local rows through a crossJoin, a
+    # (ga, gb) rank window and four broadcast joins (8+ jobs for ~100
+    # rows). Merged sketch per pair = k smallest of the union of the two
+    # sides' hash SETS (each side is its own k smallest, so the union's
+    # k smallest are among them — same validity argument as before);
+    # n_common counts merged hashes present in both. Hashes are exact
+    # doubles compared by equality on both engines, and group order
+    # (ga < gb) is Python's — identical to Spark's for strings (UTF-8
+    # byte order == code-point order) and numerics; NULL groups never
+    # pair (the old `ga < gb` predicate dropped them identically). The
+    # division + 6-dp round stay the SAME Spark expression as before.
+    by_g: dict = {}
+    for r in rows:
+        by_g.setdefault(r["g"], set()).add(r["h"])
+    gs = sorted(g for g in by_g if g is not None)
+    out = []
+    for i, ga in enumerate(gs):
+        for gb in gs[i + 1:]:
+            sa, sb = by_g[ga], by_g[gb]
+            merged = sorted(sa | sb)[:k]
+            n_common = sum(1 for h in merged if h in sa and h in sb)
+            out.append((ga, gb, len(merged), n_common))
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    g_type = sk_plan.schema["g"].dataType
+    schema = StructType(
+        [
+            StructField("group_a", g_type),
+            StructField("group_b", g_type),
+            StructField("k_used", LongType(), nullable=False),
+            StructField("n_common", LongType()),
+        ]
     )
-    merged_w = Window.partitionBy("ga", "gb").orderBy("h")
-    union = (
-        pairs.join(sk.select(F.col("g").alias("ga"), "h"), "ga")
-        .unionByName(pairs.join(sk.select(F.col("g").alias("gb"), "h"), "gb"))
-        .select("ga", "gb", "h")
-        .distinct()
-        .withColumn("r", F.row_number().over(merged_w))
-        .where(F.col("r") <= k)
-    )
-    in_a = F.broadcast(
-        sk.select(F.col("g").alias("ga"), "h").withColumn("in_a", F.lit(1))
-    )
-    in_b = F.broadcast(
-        sk.select(F.col("g").alias("gb"), "h").withColumn("in_b", F.lit(1))
-    )
-    return (
-        union.join(in_a, ["ga", "h"], "left")
-        .join(in_b, ["gb", "h"], "left")
-        .groupBy("ga", "gb")
-        .agg(
-            F.count(F.lit(1)).alias("k_used"),
-            F.sum(
-                F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
-            ).alias("n_common"),
-        )
-        .select(
-            F.col("ga").alias("group_a"),
-            F.col("gb").alias("group_b"),
-            "k_used",
-            "n_common",
-            F.round(F.col("n_common") / F.col("k_used"), 6).alias("est_jaccard"),
-        )
+    return spark.createDataFrame(out, schema).select(
+        "group_a",
+        "group_b",
+        "k_used",
+        "n_common",
+        F.round(F.col("n_common") / F.col("k_used"), 6).alias("est_jaccard"),
     )

@@ -58,9 +58,9 @@ ALLOWED_CROSS = {
     "spectral_outlier_embeddings": 1,  # score-stats scalar (one row)
     "idle_rich_accounts_report": 1,    # avg-balance threshold scalar (one row)
     # |G|² group-pair relation over the distinct sketch groups — bounded
-    # by group count, never corpus size (profile.kmv_jaccard); it appears
-    # twice because both union branches re-derive the pair relation
-    "kmv_source_jaccard": 2,
+    # r16: the pair tail runs driver-side over the bounded-collected
+    # sketch (profile.kmv_jaccard) — the |G|² crossJoin left the plan
+    "kmv_source_jaccard": 0,
     # cosine_topk's B×S blocked-GEMM crossJoin inside the kNN classifier
     "knn_label_embeddings": 1,
     # self-search over the dequantized int8 index: fused single-shard

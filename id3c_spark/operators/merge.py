@@ -92,6 +92,7 @@ def merge(
     details_col: str | None = "details",
     error_on_multi: bool = True,
     update_keys: bool = True,
+    single_pass: bool | None = None,
 ) -> MergeResult:
     """Upsert ``updates`` into ``target``; returns the merged DataFrame.
 
@@ -205,6 +206,102 @@ def merge(
 
     # --- change detection + column resolution ------------------------------
     changed = _null_safe_changed(matched, update_cols, dict(target.dtypes))
+
+    def ins_col(c: str) -> Column:
+        if c == id_col and c not in updates.columns:
+            all_keys = sum(alt_keys, [])
+            return F.xxhash64(*[F.col(f"u_{k}") for k in all_keys])
+        if c in updates.columns:
+            return F.col(f"u_{c}")
+        return F.lit(None).cast(dict(target.dtypes)[c])
+
+    if single_pass is None:
+        single_pass = len(alt_keys) == 1 and details_col is None
+    if single_pass:
+        assert len(alt_keys) == 1 and details_col is None
+        # r16 (guide §2.4): the single-key, no-details merge — the whole
+        # branch family (matched / untouched / unchanged / inserts) used
+        # to re-derive the updates subplan 5× and the target 4× (Spark
+        # does not dedupe common subplans within an action; the bench
+        # query's plan showed 5 lineitem-aggregate scans, 13 orders
+        # scans, 0 reused exchanges). ONE full-outer join now feeds one
+        # branch-selecting projection. Semantics are the staged flow's,
+        # including the duplicate-update-key corners error_on_multi=False
+        # tolerates: a per-target-id window over MATCHED pairs only
+        # (partition key falls back to a u-key hash for unmatched rows,
+        # with the matched flag in the key so a hash collision can never
+        # mix groups) replays "drop the unchanged copy when any pair of
+        # the same target changed" and "emit one unchanged row per id"
+        # (every unchanged pair of an id projects the identical target
+        # row, so the row_number pick is content-deterministic). Target
+        # ids are assumed unique (the surrogate-key contract — the
+        # staged flow's distinct-matched_ids anti-joins assume the same).
+        from pyspark.sql import Window
+
+        keys = alt_keys[0]
+        cond = F.lit(True)
+        for k in keys:
+            cond = (
+                cond
+                & F.col(f"u_{k}").eqNullSafe(F.col(f"t_{k}"))
+                & F.col(f"u_{k}").isNotNull()
+            )
+        j = t.withColumn("__t", F.lit(True)).join(
+            u.withColumn("__u", F.lit(True)), cond, "full_outer"
+        )
+        is_matched = F.col("__t").isNotNull() & F.col("__u").isNotNull()
+        is_insert = F.col("__t").isNull()
+        part_key = F.coalesce(
+            F.col(f"t_{id_col}").cast("string"),
+            F.xxhash64(*[F.col(f"u_{k}") for k in keys]).cast("string"),
+        )
+        w = Window.partitionBy(part_key, is_matched)
+        j = j.withColumn(
+            "__nch",
+            F.sum(F.when(is_matched & changed, 1).otherwise(0)).over(w),
+        ).withColumn("__rn", F.row_number().over(w.orderBy(F.lit(1))))
+        n_changed, rn = F.col("__nch"), F.col("__rn")
+        emit = (
+            is_insert
+            | ~is_matched                       # untouched target rows
+            | changed                           # updated pairs
+            | ((n_changed == 0) & (rn == 1))    # one unchanged row per id
+        )
+
+        def pick(c: str) -> Column:
+            upd = (
+                F.coalesce(F.col(f"u_{c}"), F.col(f"t_{c}"))
+                if c in update_cols and c != id_col
+                else F.col(f"t_{c}")
+            )
+            return (
+                F.when(is_insert, ins_col(c))
+                .when(is_matched & changed, upd)
+                .otherwise(F.col(f"t_{c}"))
+                .alias(c)
+            )
+
+        merged = j.filter(emit).select(*[pick(c) for c in target.columns])
+        t_cols = [F.col(f"t_{c}").alias(c) for c in target.columns]
+        return MergeResult(
+            df=merged,
+            updated_df=j.filter(is_matched & changed).select(
+                *[
+                    (
+                        F.coalesce(F.col(f"u_{c}"), F.col(f"t_{c}"))
+                        if c in update_cols and c != id_col
+                        else F.col(f"t_{c}")
+                    ).alias(c)
+                    for c in target.columns
+                ]
+            ),
+            inserted_df=j.filter(is_insert).select(
+                *[ins_col(c).alias(c) for c in target.columns]
+            ),
+            unchanged_df=j.filter(
+                is_matched & ~changed & (n_changed == 0) & (rn == 1)
+            ).select(*t_cols),
+        )
 
     def out_cols(merged_details: Column | None) -> list[Column]:
         cols = []

@@ -104,6 +104,50 @@ def test_find_or_create(spark):
     assert rows["kiosk"].site_id == 1  # existing row untouched
 
 
+def test_single_pass_merge_matches_staged(spark):
+    """r16 one-full-outer-join merge (single key, no details): must
+    return EXACTLY the staged branch-family rows, including the
+    error_on_multi=False corners — duplicate update keys where one copy
+    changes and another does not (the unchanged copy is dropped), all
+    copies unchanged (one target row emitted), null-key updates
+    (insert), null-key target rows (untouched), and plain
+    insert/update/skip."""
+    schema = "k long, v string, extra string"
+    target = df_of(spark, [
+        (1, "a", "x"),
+        (2, "b", "y"),
+        (3, "c", "z"),
+        (None, "nullkey", "w"),      # null-key target row → untouched
+    ], schema)
+    updates = df_of(spark, [
+        (1, "a2", None),             # changed copy …
+        (1, "a", None),              # … plus an unchanged copy, same key
+        (2, "b", None),              # unchanged only → one passthrough
+        (2, "b", None),              # duplicate unchanged copy
+        (9, "new", None),            # insert
+        (None, "nullk-upd", None),   # null key → insert
+    ], schema).drop("extra")
+
+    kw = dict(
+        key_cols=["k"], id_col="k", update_cols=["v"],
+        details_col=None, error_on_multi=False,
+    )
+    fast = merge(target, updates, single_pass=True, **kw)
+    slow = merge(target, updates, single_pass=False, **kw)
+
+    def norm(rows):
+        return sorted(
+            (tuple(r) for r in rows),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+
+    assert norm(fast.df.collect()) == norm(slow.df.collect())
+    for attr in ("updated_df", "inserted_df", "unchanged_df"):
+        fa = norm(getattr(fast, attr).collect())
+        sa = norm(getattr(slow, attr).collect())
+        assert fa == sa, attr
+
+
 def test_deterministic_insert_ids(spark):
     """Surrogate keys are stable across runs (hash of natural key)."""
     target = spark.createDataFrame([], SAMPLE_SCHEMA)

@@ -47,8 +47,10 @@ ALLOWED_CROSS = {
     # shape as bm25's stats): corpus doc count, unigram vocabulary size,
     # and the DSIR token totals — each side is exactly one row
     "tfidf_keywords_docs": 1,
-    "lm_cross_entropy_docs": 1,
-    "dsir_top_docs": 1,
+    # r16: fused below the single-task gate — the scalar crossJoins
+    # (model totals) left the plan; distributed shape keeps them
+    "lm_cross_entropy_docs": 0,
+    "dsir_top_docs": 0,
     "temperature_sample_docs": 1,  # α-weight normalizer z (one row)
     "rich_idle_customers": 1,      # scalar avg-balance threshold (one row)
     "order_window_overlaps": 1,    # min-orderdate base scalar (one row)

@@ -27,16 +27,113 @@ from id3c_spark.functions.text import words_array
 from id3c_spark.operators.dedup import md5_bigint
 
 
+def _fused_hash_counts(
+    df: DataFrame, id_col: str, text_col: str, dim: int
+) -> DataFrame:
+    """Single-task DENSE (id, dim, s, nrm2) integer grid for the
+    stats-gated small regime: ONE mapInPandas pass factorizes the words,
+    hashes each DISTINCT word once (hashlib md5 == Spark's
+    conv(substring(md5, 1, 7), 16, 10) on the same UTF-8 bytes), and
+    accumulates the signed bucket counts + per-doc squared norm as exact
+    integers; the division/sqrt/6-dp-round stay the caller's Spark
+    expressions. Every input row emits all *dim* rows (the staged grid
+    join's all-zero rows for wordless docs included)."""
+    src = df.select(
+        F.col(id_col).alias("id"), words_array(F.col(text_col)).alias("ws")
+    ).coalesce(1)
+
+    def run(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        id_rows, ws_rows = [], []
+        for pdf in batches:
+            if len(pdf):
+                id_rows.append(pdf["id"].to_numpy(np.int64))
+                ws_rows.extend(
+                    list(w) if w is not None else [] for w in pdf["ws"].tolist()
+                )
+        if not id_rows:
+            return
+        ids = np.concatenate(id_rows)
+        nrows = len(ids)
+        lens = np.asarray([len(w) for w in ws_rows], dtype=np.int64)
+        total = int(lens.sum())
+        grid = np.zeros((nrows, dim), dtype=np.int64)
+        if total:
+            flat = np.empty(total, dtype=object)
+            pos = 0
+            for w in ws_rows:
+                flat[pos:pos + len(w)] = w
+                pos += len(w)
+            wcodes, uniq = pd.factorize(flat)
+            wcodes = wcodes.astype(np.int64)
+            bkt = np.empty(len(uniq), dtype=np.int64)
+            sgn = np.empty(len(uniq), dtype=np.int64)
+            for i, w in enumerate(uniq):
+                wb = w.encode("utf-8")
+                bkt[i] = int(
+                    hashlib.md5(wb).hexdigest()[:7], 16
+                ) % dim
+                sgn[i] = (
+                    1
+                    if int(
+                        hashlib.md5(b"sg:" + wb).hexdigest()[:7], 16
+                    ) % 2 == 0
+                    else -1
+                )
+            rowi = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+            np.add.at(
+                grid, (rowi, bkt[wcodes]), sgn[wcodes]
+            )
+        nrm2 = (grid * grid).sum(axis=1)
+        yield pd.DataFrame({
+            "id": np.repeat(ids, dim),
+            "dim": np.tile(np.arange(dim, dtype=np.int32), nrows),
+            "s": grid.reshape(-1),
+            "nrm2": np.repeat(nrm2, dim),
+        })
+
+    return src.mapInPandas(run, "id long, dim int, s long, nrm2 long")
+
+
 def hashed_doc_embeddings(
     df: DataFrame,
     id_col: str,
     text_col: str,
     dim: int = 64,
+    fuse: bool | None = None,
 ) -> DataFrame:
     """(id, dim, v): L2-normalized signed hashed bag-of-words, one row
     per (document, dimension) — exploded form so downstream packing /
     comparison is layout-free. Documents with no words emit all-zero
-    rows."""
+    rows.
+
+    *fuse* (r16): None = stats-gated — below the single-task file-bytes
+    gate the explode + (id, bucket) aggregate + grid/norm joins collapse
+    into ONE narrow mapInPandas stage emitting the dense integer grid;
+    the normalize (division, sqrt, 6-dp round) stays the SAME Spark
+    expression. Distributed shape untouched past the gate."""
+    if fuse is None:
+        from id3c_spark.operators.dedup import _fuse_text
+
+        fuse = _fuse_text(df, id_col)
+    if fuse:
+        rel = _fused_hash_counts(df, id_col, text_col, dim)
+        return rel.select(
+            "id",
+            "dim",
+            F.round(
+                F.when(
+                    F.col("nrm2") > 0,
+                    F.col("s").cast("double")
+                    / F.sqrt(F.col("nrm2").cast("double")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("v"),
+        )
     words = df.select(
         F.col(id_col).alias("id"),
         F.explode(words_array(F.col(text_col))).alias("w"),

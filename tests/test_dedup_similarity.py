@@ -495,6 +495,27 @@ def test_hashed_embeddings_similarity_structure(spark):
     assert dot(vecs[1], vecs[2]) > 0.5 > abs(dot(vecs[1], vecs[3]))
 
 
+def test_fused_hashed_embeddings_match_distributed(spark, sf_dir):
+    """r16 fused feature-hash path: the single-task dense integer grid
+    must reproduce EXACTLY the distributed explode+agg+grid-join rows —
+    on the real documents fixture and on degenerate docs (empty text,
+    null text, repeated words)."""
+    from id3c_spark.operators.embed import hashed_doc_embeddings
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    f = sorted(map(tuple, hashed_doc_embeddings(docs, "doc_id", "text", dim=64, fuse=True).collect()))
+    s = sorted(map(tuple, hashed_doc_embeddings(docs, "doc_id", "text", dim=64, fuse=False).collect()))
+    assert f == s and f
+
+    tiny = spark.createDataFrame(
+        [(1, "alpha beta alpha alpha"), (2, ""), (3, None), (4, "one")],
+        "doc_id long, text string",
+    )
+    f = sorted(map(tuple, hashed_doc_embeddings(tiny, "doc_id", "text", dim=8, fuse=True).collect()))
+    s = sorted(map(tuple, hashed_doc_embeddings(tiny, "doc_id", "text", dim=8, fuse=False).collect()))
+    assert f == s and len(f) == 32
+
+
 def test_knn_classify_majority_and_tiebreak(spark):
     from id3c_spark.operators.ann import knn_classify
 

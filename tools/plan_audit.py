@@ -92,6 +92,12 @@ DEFAULT_QUERIES = [
     "embedding_drift",
     # round-15 additions
     "ann_lsh_topk",
+    # round-16 additions (touched this round)
+    "merge_upsert_orders",
+    "hashed_doc_embeddings",
+    "part_entity_resolution",
+    "video_neardup_pairs_docs",
+    "video_image_decontam_docs",
 ]
 
 

@@ -41,6 +41,11 @@ QUERIES = [
     "orders_profile",
     "part_entity_resolution",
     "video_neardup_pairs_docs",
+    # r16 session-2 fused paths
+    "curation_pipeline_docs",
+    "lm_cross_entropy_docs",
+    "dsir_top_docs",
+    "hashed_doc_embeddings",
 ]
 
 #: the table each query's fuse gate stats (for the `gates` report)
@@ -57,6 +62,10 @@ GATE_SOURCE = {
     "orders_profile": "orders",
     "part_entity_resolution": "part",
     "video_neardup_pairs_docs": "documents",
+    "curation_pipeline_docs": "documents",
+    "lm_cross_entropy_docs": "documents",
+    "dsir_top_docs": "documents",
+    "hashed_doc_embeddings": "documents",
 }
 
 

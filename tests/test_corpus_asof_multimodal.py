@@ -388,25 +388,27 @@ def test_curate_sampled_exact_fused_parity(spark):
     bench = spark.createDataFrame(
         [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
     )
-    for rates, default in (
-        ({}, 1.0),
-        ({"src1": 0.5, "src2": 0.25}, 0.0625),
-        ({"src1": 1.0}, 0.0),
+    # three configs cover: no-rates/keep-all at a low threshold, the
+    # catalog query's rate map at 0.8, and a zero default rate — the
+    # full 6-config matrix ran 65 s and added no distinct code path
+    for rates, default, thr in (
+        ({}, 1.0, 0.5),
+        ({"src1": 0.5, "src2": 0.25}, 0.0625, 0.8),
+        ({"src1": 1.0}, 0.0, 0.8),
     ):
-        for thr in (0.5, 0.8):
-            fused = curate_sampled_exact(
-                docs, bench, sample_rates=rates, default_rate=default,
-                jaccard_threshold=thr, fuse=True,
-            )
-            staged = curate_sampled_exact(
-                docs, bench, sample_rates=rates, default_rate=default,
-                jaccard_threshold=thr, fuse=False,
-            )
-            f = sorted((r.doc_id, r.source) for r in
-                       fused.select("doc_id", "source").collect())
-            s = sorted((r.doc_id, r.source) for r in
-                       staged.select("doc_id", "source").collect())
-            assert f == s, (rates, default, thr, f, s)
+        fused = curate_sampled_exact(
+            docs, bench, sample_rates=rates, default_rate=default,
+            jaccard_threshold=thr, fuse=True,
+        )
+        staged = curate_sampled_exact(
+            docs, bench, sample_rates=rates, default_rate=default,
+            jaccard_threshold=thr, fuse=False,
+        )
+        f = sorted((r.doc_id, r.source) for r in
+                   fused.select("doc_id", "source").collect())
+        s = sorted((r.doc_id, r.source) for r in
+                   staged.select("doc_id", "source").collect())
+        assert f == s, (rates, default, thr, f, s)
 
 
 def test_curate_sampled_exact_fused_parity_sf(spark, sf_dir):
